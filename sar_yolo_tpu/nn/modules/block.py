@@ -1,0 +1,590 @@
+"""YOLO block zoo (v8 CSP blocks + fork's v13 hypergraph/area-attention blocks).
+
+TPU-native Flax/NHWC re-implementations with capability parity to the reference:
+  C2f/C3/SPPF/Bottleneck  -> ultralytics/nn/modules/block.py:176-760
+  AAttn/ABlock/A2C2f      -> block.py:1213-1405 (flash-attn area attention)
+  DSBottleneck/DSC3k(2)   -> block.py:1408-1580 (depthwise-separable CSP)
+  AdaHyperedgeGen/AdaHGConv/C3AH/FuseModule/HyperACE -> block.py:1624-1984
+  DownsampleConv/FullPAD_Tunnel -> block.py:1955-2021
+  CBAM variants           -> block.py:742-772,1582
+
+Design notes (TPU-first, not a translation):
+  * NHWC everywhere; channel concat on the last (lane) axis keeps layouts trivial.
+  * Attention math runs through jnp.einsum so XLA tiles it onto the MXU; the
+    area chunking folds into the batch dimension (B*area) — static shapes, no
+    dynamic control flow. A Pallas flash-attention kernel can swap in under
+    `area_attention` without touching callers.
+  * All hidden-channel arithmetic matches the reference so YAML configs and
+    checkpoint-converted weights line up 1:1.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .conv import CBAM, Conv, DSConv, conv_init
+
+Dtype = Any
+
+
+class Bottleneck(nn.Module):
+    """Standard residual bottleneck: Conv(k1) -> Conv(k2), add if channels match."""
+
+    c2: int
+    shortcut: bool = True
+    g: int = 1
+    k: tuple = (3, 3)
+    e: float = 0.5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c1 = x.shape[-1]
+        c_ = int(self.c2 * self.e)
+        y = Conv(c_, self.k[0], 1, dtype=self.dtype, name="cv1")(x, train)
+        y = Conv(self.c2, self.k[1], 1, g=self.g, dtype=self.dtype, name="cv2")(y, train)
+        return x + y if self.shortcut and c1 == self.c2 else y
+
+
+class C2f(nn.Module):
+    """Cross-stage partial bottleneck with 2-way split and (2+n)-way fuse."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = False
+    g: int = 1
+    e: float = 0.5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = int(self.c2 * self.e)
+        y = Conv(2 * c, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        ys = [y[..., :c], y[..., c:]]
+        for i in range(self.n):
+            ys.append(Bottleneck(c, self.shortcut, self.g, (3, 3), 1.0,
+                                 dtype=self.dtype, name=f"m{i}")(ys[-1], train))
+        return Conv(self.c2, 1, dtype=self.dtype, name="cv2")(jnp.concatenate(ys, -1), train)
+
+
+class C3(nn.Module):
+    """CSP bottleneck with 3 convs."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    k: tuple = ((1, 1), (3, 3))
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        a = Conv(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        for i in range(self.n):
+            a = Bottleneck(c_, self.shortcut, self.g, (self.k[0][0], self.k[1][0]), 1.0,
+                           dtype=self.dtype, name=f"m{i}")(a, train)
+        b = Conv(c_, 1, 1, dtype=self.dtype, name="cv2")(x, train)
+        return Conv(self.c2, 1, dtype=self.dtype, name="cv3")(jnp.concatenate([a, b], -1), train)
+
+
+class C3k(nn.Module):
+    """C3 with configurable bottleneck kernel size k."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    k: int = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        a = Conv(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        for i in range(self.n):
+            a = Bottleneck(c_, self.shortcut, self.g, (self.k, self.k), 1.0,
+                           dtype=self.dtype, name=f"m{i}")(a, train)
+        b = Conv(c_, 1, 1, dtype=self.dtype, name="cv2")(x, train)
+        return Conv(self.c2, 1, dtype=self.dtype, name="cv3")(jnp.concatenate([a, b], -1), train)
+
+
+class C3k2(nn.Module):
+    """C2f whose inner blocks are either C3k stacks or plain bottlenecks."""
+
+    c2: int
+    n: int = 1
+    c3k: bool = False
+    e: float = 0.5
+    g: int = 1
+    shortcut: bool = True
+    dtype: Dtype = jnp.float32
+
+    def inner(self, i: int):
+        if self.c3k:
+            return C3k(self.c, 2, self.shortcut, self.g, dtype=self.dtype, name=f"m{i}")
+        return Bottleneck(self.c, self.shortcut, self.g, (3, 3), 1.0, dtype=self.dtype, name=f"m{i}")
+
+    @property
+    def c(self):
+        return int(self.c2 * self.e)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = self.c
+        y = Conv(2 * c, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        ys = [y[..., :c], y[..., c:]]
+        for i in range(self.n):
+            ys.append(self.inner(i)(ys[-1], train))
+        return Conv(self.c2, 1, dtype=self.dtype, name="cv2")(jnp.concatenate(ys, -1), train)
+
+
+class C3k2_CBAM(C3k2):
+    """C3k2 with CBAM attention applied to the fused output (fork block.py:742)."""
+
+    kernel_size: int = 7
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = self.c
+        y = Conv(2 * c, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        ys = [y[..., :c], y[..., c:]]
+        for i in range(self.n):
+            ys.append(self.inner(i)(ys[-1], train))
+        out = Conv(self.c2, 1, dtype=self.dtype, name="cv2")(jnp.concatenate(ys, -1), train)
+        return CBAM(self.kernel_size, dtype=self.dtype, name="cbam")(out, train)
+
+
+class SPPF(nn.Module):
+    """Spatial pyramid pooling (fast): three cumulative k x k maxpools."""
+
+    c2: int
+    k: int = 5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c1 = x.shape[-1]
+        c_ = c1 // 2
+        y = Conv(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        pad = self.k // 2
+        pool = lambda t: nn.max_pool(t, (self.k, self.k), strides=(1, 1),
+                                     padding=[(pad, pad), (pad, pad)])
+        y1 = pool(y)
+        y2 = pool(y1)
+        y3 = pool(y2)
+        return Conv(self.c2, 1, 1, dtype=self.dtype, name="cv2")(
+            jnp.concatenate([y, y1, y2, y3], -1), train)
+
+
+# ---------------------------------------------------------------------------
+# YOLOv13 fork blocks
+# ---------------------------------------------------------------------------
+
+
+def area_attention(q, k, v, num_heads: int, area: int):
+    """Block-local multi-head attention over flattened spatial tokens.
+
+    q,k,v: (B, N, C). The N tokens are split into `area` contiguous chunks and
+    attention is computed within each chunk (folded into the batch dim — static
+    shapes, XLA maps the matmuls straight onto the MXU).
+
+    Semantics match reference AAttn (block.py:1254-1298); the flash-attn fp16 CUDA
+    path is replaced by bf16-friendly einsum attention (Pallas kernel slot-in later).
+    """
+    B, N, C = q.shape
+    hd = C // num_heads
+    if area > 1:
+        q = q.reshape(B * area, N // area, C)
+        k = k.reshape(B * area, N // area, C)
+        v = v.reshape(B * area, N // area, C)
+    Ba, Na, _ = q.shape
+    q = q.reshape(Ba, Na, num_heads, hd)
+    k = k.reshape(Ba, Na, num_heads, hd)
+    v = v.reshape(Ba, Na, num_heads, hd)
+    scale = hd ** -0.5
+    attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+    attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(Ba, Na, C)
+    if area > 1:
+        out = out.reshape(B, N, C)
+    return out
+
+
+class AAttn(nn.Module):
+    """Area-attention: local attention within `area` spatial chunks + conv position bias.
+
+    Reference: ultralytics/nn/modules/block.py:1213 (AAttn).
+    """
+
+    dim: int
+    num_heads: int
+    area: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        B, H, W, C = x.shape
+        N = H * W
+        qk = Conv(2 * C, 1, act=False, dtype=self.dtype, name="qk")(x, train)
+        v = Conv(C, 1, act=False, dtype=self.dtype, name="v")(x, train)
+        pe = Conv(C, 5, 1, 2, g=C, act=False, dtype=self.dtype, name="pe")(v, train)
+        qk = qk.reshape(B, N, 2 * C)
+        q, k = qk[..., :C], qk[..., C:]
+        out = area_attention(q, k, v.reshape(B, N, C), self.num_heads, self.area)
+        out = out.reshape(B, H, W, C) + pe
+        return Conv(C, 1, act=False, dtype=self.dtype, name="proj")(out, train)
+
+
+class ABlock(nn.Module):
+    """Area-attention block: attn + MLP, both residual (reference block.py:1301)."""
+
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 1.2
+    area: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = x + AAttn(self.dim, self.num_heads, self.area, dtype=self.dtype, name="attn")(x, train)
+        hidden = int(self.dim * self.mlp_ratio)
+        y = Conv(hidden, 1, dtype=self.dtype, name="mlp1")(x, train)
+        y = Conv(self.dim, 1, act=False, dtype=self.dtype, name="mlp2")(y, train)
+        return x + y
+
+
+class A2C2f(nn.Module):
+    """R-ELAN area-attention CSP block (reference block.py:1352).
+
+    n stacked pairs of ABlocks (or C3k when a2=False), ELAN concat, optional
+    layer-scaled residual (gamma init 0.01).
+    """
+
+    c2: int
+    n: int = 1
+    a2: bool = True
+    area: int = 1
+    residual: bool = False
+    mlp_ratio: float = 2.0
+    e: float = 0.5
+    g: int = 1
+    shortcut: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        assert c_ % 32 == 0, "A2C2f hidden dim must be a multiple of 32"
+        num_heads = c_ // 32
+        y = Conv(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        ys = [y]
+        for i in range(self.n):
+            t = ys[-1]
+            if self.a2:
+                t = ABlock(c_, num_heads, self.mlp_ratio, self.area,
+                           dtype=self.dtype, name=f"m{i}_0")(t, train)
+                t = ABlock(c_, num_heads, self.mlp_ratio, self.area,
+                           dtype=self.dtype, name=f"m{i}_1")(t, train)
+            else:
+                t = C3k(c_, 2, self.shortcut, self.g, dtype=self.dtype, name=f"m{i}")(t, train)
+            ys.append(t)
+        out = Conv(self.c2, 1, dtype=self.dtype, name="cv2")(jnp.concatenate(ys, -1), train)
+        if self.a2 and self.residual:
+            gamma = self.param("gamma", nn.initializers.constant(0.01), (self.c2,), jnp.float32)
+            return x + gamma.astype(out.dtype) * out
+        return out
+
+
+class DSBottleneck(nn.Module):
+    """Depthwise-separable bottleneck: DSConv(k1) -> DSConv(k2, dilation d2)."""
+
+    c2: int
+    shortcut: bool = True
+    e: float = 0.5
+    k1: int = 3
+    k2: int = 5
+    d2: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c1 = x.shape[-1]
+        c_ = int(self.c2 * self.e)
+        y = DSConv(c_, self.k1, 1, dtype=self.dtype, name="cv1")(x, train)
+        y = DSConv(self.c2, self.k2, 1, d=self.d2, dtype=self.dtype, name="cv2")(y, train)
+        return x + y if self.shortcut and c1 == self.c2 else y
+
+
+class DSC3k(nn.Module):
+    """C3 with DSBottleneck inner blocks (reference block.py:1447)."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    k1: int = 3
+    k2: int = 5
+    d2: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        a = Conv(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        for i in range(self.n):
+            a = DSBottleneck(c_, self.shortcut, 1.0, self.k1, self.k2, self.d2,
+                             dtype=self.dtype, name=f"m{i}")(a, train)
+        b = Conv(c_, 1, 1, dtype=self.dtype, name="cv2")(x, train)
+        return Conv(self.c2, 1, dtype=self.dtype, name="cv3")(jnp.concatenate([a, b], -1), train)
+
+
+class DSC3k2(nn.Module):
+    """C2f whose inner blocks are DSC3k stacks or DSBottlenecks (reference block.py:1505)."""
+
+    c2: int
+    n: int = 1
+    dsc3k: bool = False
+    e: float = 0.5
+    g: int = 1
+    shortcut: bool = True
+    k1: int = 3
+    k2: int = 7
+    d2: int = 1
+    dtype: Dtype = jnp.float32
+
+    def inner(self, i: int, c: int):
+        if self.dsc3k:
+            return DSC3k(c, 2, self.shortcut, self.g, 1.0, self.k1, self.k2, self.d2,
+                         dtype=self.dtype, name=f"m{i}")
+        return DSBottleneck(c, self.shortcut, 1.0, self.k1, self.k2, self.d2,
+                            dtype=self.dtype, name=f"m{i}")
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = int(self.c2 * self.e)
+        y = Conv(2 * c, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        ys = [y[..., :c], y[..., c:]]
+        for i in range(self.n):
+            ys.append(self.inner(i, c)(ys[-1], train))
+        return Conv(self.c2, 1, dtype=self.dtype, name="cv2")(jnp.concatenate(ys, -1), train)
+
+
+class DSC3k2_CBAM(DSC3k2):
+    """DSC3k2 with CBAM on the output (fork block.py:1582)."""
+
+    kernel_size: int = 7
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = int(self.c2 * self.e)
+        y = Conv(2 * c, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        ys = [y[..., :c], y[..., c:]]
+        for i in range(self.n):
+            ys.append(self.inner(i, c)(ys[-1], train))
+        out = Conv(self.c2, 1, dtype=self.dtype, name="cv2")(jnp.concatenate(ys, -1), train)
+        return CBAM(self.kernel_size, dtype=self.dtype, name="cbam")(out, train)
+
+
+class AdaHyperedgeGen(nn.Module):
+    """Adaptive hyperedge participation matrix generator (reference block.py:1624).
+
+    Produces A (B, N, E): softmax over the *vertex* axis so each hyperedge's
+    participation over nodes sums to 1 (matches reference F.softmax(logits, dim=1)).
+    """
+
+    node_dim: int
+    num_hyperedges: int
+    num_heads: int = 4
+    dropout: float = 0.1
+    context: str = "both"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, X, train: bool = False):
+        B, N, D = X.shape
+        E, h = self.num_hyperedges, self.num_heads
+        hd = D // h
+        proto_base = self.param("prototype_base", nn.initializers.xavier_uniform(), (E, D), jnp.float32)
+        if self.context == "mean":
+            ctx = jnp.mean(X, axis=1)
+        elif self.context == "max":
+            ctx = jnp.max(X, axis=1)
+        else:
+            ctx = jnp.concatenate([jnp.mean(X, axis=1), jnp.max(X, axis=1)], axis=-1)
+        offsets = nn.Dense(E * D, dtype=self.dtype, param_dtype=jnp.float32,
+                           name="context_net")(ctx).reshape(B, E, D)
+        prototypes = proto_base.astype(offsets.dtype)[None] + offsets
+        Xp = nn.Dense(D, dtype=self.dtype, param_dtype=jnp.float32, name="pre_head_proj")(X)
+        Xh = Xp.reshape(B, N, h, hd)
+        Ph = prototypes.reshape(B, E, h, hd)
+        logits = jnp.einsum("bnhd,behd->bhne", Xh, Ph) / jnp.sqrt(hd).astype(Xh.dtype)
+        logits = jnp.mean(logits, axis=1)  # (B, N, E)
+        logits = nn.Dropout(self.dropout, deterministic=not train)(logits)
+        return jax.nn.softmax(logits.astype(jnp.float32), axis=1).astype(X.dtype)
+
+
+class AdaHGConv(nn.Module):
+    """Adaptive hypergraph conv: vertex->edge->vertex message passing + residual."""
+
+    embed_dim: int
+    num_hyperedges: int = 16
+    num_heads: int = 4
+    dropout: float = 0.1
+    context: str = "both"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, X, train: bool = False):
+        A = AdaHyperedgeGen(self.embed_dim, self.num_hyperedges, self.num_heads,
+                            self.dropout, self.context, dtype=self.dtype,
+                            name="edge_generator")(X, train)
+        He = jnp.einsum("bne,bnd->bed", A, X)
+        He = nn.gelu(nn.Dense(self.embed_dim, dtype=self.dtype, param_dtype=jnp.float32,
+                              name="edge_proj")(He))
+        Xn = jnp.einsum("bne,bed->bnd", A, He)
+        Xn = nn.gelu(nn.Dense(self.embed_dim, dtype=self.dtype, param_dtype=jnp.float32,
+                              name="node_proj")(Xn))
+        return Xn + X
+
+
+class AdaHGComputation(nn.Module):
+    """Wrap AdaHGConv for NHWC maps: flatten -> hypergraph conv -> reshape."""
+
+    embed_dim: int
+    num_hyperedges: int = 16
+    num_heads: int = 8
+    dropout: float = 0.1
+    context: str = "both"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        B, H, W, C = x.shape
+        tokens = x.reshape(B, H * W, C)
+        tokens = AdaHGConv(self.embed_dim, self.num_hyperedges, self.num_heads,
+                           self.dropout, self.context, dtype=self.dtype,
+                           name="hgnn")(tokens, train)
+        return tokens.reshape(B, H, W, C)
+
+
+class C3AH(nn.Module):
+    """CSP block with an adaptive-hypergraph branch (reference block.py:1796)."""
+
+    c2: int
+    e: float = 1.0
+    num_hyperedges: int = 8
+    context: str = "both"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        assert c_ % 16 == 0, "C3AH hidden dim must be a multiple of 16"
+        num_heads = c_ // 16
+        a = Conv(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        a = AdaHGComputation(c_, self.num_hyperedges, num_heads, 0.1, self.context,
+                             dtype=self.dtype, name="m")(a, train)
+        b = Conv(c_, 1, 1, dtype=self.dtype, name="cv2")(x, train)
+        return Conv(self.c2, 1, dtype=self.dtype, name="cv3")(jnp.concatenate([a, b], -1), train)
+
+
+def _avgpool2(x):
+    return nn.avg_pool(x, (2, 2), strides=(2, 2))
+
+
+def _upsample2(x):
+    return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+
+
+class FuseModule(nn.Module):
+    """Align 3 (or 4) pyramid scales to the middle resolution and fuse by 1x1 conv.
+
+    Reference block.py:1839. Channel counts are inferred from the concat (flax
+    infers in-channels), which covers both the 3*c and 4*c reference cases.
+    """
+
+    c_in: int
+    channel_adjust: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        if len(xs) == 3:
+            cat = jnp.concatenate([_avgpool2(xs[0]), xs[1], _upsample2(xs[2])], axis=-1)
+        else:  # 4-scale (P2..P5) variant
+            cat = jnp.concatenate(
+                [_avgpool2(_avgpool2(xs[0])), _avgpool2(xs[1]), xs[2], _upsample2(xs[3])], axis=-1)
+        return Conv(self.c_in, 1, dtype=self.dtype, name="conv_out")(cat, train)
+
+
+class HyperACE(nn.Module):
+    """Hypergraph-based Adaptive Correlation Enhancement (reference block.py:1901).
+
+    fuse(P3,P4,P5) -> split 3 ways -> two C3AH high-order branches + DSC3k
+    low-order chain -> fuse with 1x1 conv.
+    """
+
+    c1: int
+    c2: int
+    n: int = 1
+    num_hyperedges: int = 8
+    dsc3k: bool = True
+    shortcut: bool = False
+    e1: float = 0.5
+    e2: float = 1.0
+    context: str = "both"
+    channel_adjust: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        c = int(self.c2 * self.e1)
+        x = FuseModule(self.c1, self.channel_adjust, dtype=self.dtype, name="fuse")(xs, train)
+        y = Conv(3 * c, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        ys = [y[..., :c], y[..., c:2 * c], y[..., 2 * c:]]
+        out1 = C3AH(c, self.e2, self.num_hyperedges, self.context,
+                    dtype=self.dtype, name="branch1")(ys[1], train)
+        out2 = C3AH(c, self.e2, self.num_hyperedges, self.context,
+                    dtype=self.dtype, name="branch2")(ys[1], train)
+        for i in range(self.n):
+            if self.dsc3k:
+                ys.append(DSC3k(c, 2, self.shortcut, 1, 0.5, 3, 7,
+                                dtype=self.dtype, name=f"m{i}")(ys[-1], train))
+            else:
+                ys.append(DSBottleneck(c, self.shortcut, dtype=self.dtype,
+                                       name=f"m{i}")(ys[-1], train))
+        ys[1] = out1
+        ys.append(out2)
+        return Conv(self.c2, 1, dtype=self.dtype, name="cv2")(jnp.concatenate(ys, -1), train)
+
+
+class DownsampleConv(nn.Module):
+    """2x avg-pool downsample with optional channel doubling (reference block.py:1955)."""
+
+    c1: int
+    channel_adjust: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = _avgpool2(x)
+        if self.channel_adjust:
+            x = Conv(self.c1 * 2, 1, dtype=self.dtype, name="channel_adjust")(x, train)
+        return x
+
+
+class FullPAD_Tunnel(nn.Module):
+    """Gated residual fusion: out = x0 + gate * x1, scalar learnable gate init 0."""
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        gate = self.param("gate", nn.initializers.zeros, (), jnp.float32)
+        return xs[0] + gate.astype(xs[0].dtype) * xs[1]

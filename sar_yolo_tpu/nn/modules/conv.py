@@ -1,0 +1,190 @@
+"""Convolution building blocks, TPU-native (Flax linen, NHWC, bf16-ready).
+
+Capability parity with reference conv zoo (ultralytics/nn/modules/conv.py: Conv:38,
+DSConv:84, DWConv:121, ChannelAttention:297, SpatialAttention:312, CBAM:328,
+Concat:342). New design: NHWC layout (TPU-native), functional Flax modules,
+fp32 params with configurable compute dtype so XLA keeps convs on the MXU in bf16.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+# torch kaiming_uniform(a=sqrt(5)) equivalent: uniform with bound 1/sqrt(fan_in)
+conv_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+
+Dtype = Any
+
+
+def autopad(k: int, p: int | None = None, d: int = 1) -> int:
+    """'Same'-shape padding for stride-1 convs (matches reference autopad semantics)."""
+    if d > 1:
+        k = d * (k - 1) + 1
+    if p is None:
+        p = k // 2
+    return p
+
+
+class Conv(nn.Module):
+    """Conv2d(no bias) + BatchNorm + SiLU — the universal YOLO conv block.
+
+    Args mirror the reference: (c2, k, s, p, g, d, act). c1 is inferred from input.
+    """
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    p: int | None = None
+    g: int = 1
+    d: int = 1
+    act: bool | Callable = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        pad = autopad(self.k, self.p, self.d)
+        x = nn.Conv(
+            features=self.c2,
+            kernel_size=(self.k, self.k),
+            strides=(self.s, self.s),
+            padding=[(pad, pad), (pad, pad)],
+            feature_group_count=self.g,
+            kernel_dilation=(self.d, self.d),
+            use_bias=False,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=conv_init,
+            name="conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.97,
+            epsilon=1e-3,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="bn",
+        )(x)
+        if self.act is True:
+            x = nn.silu(x)
+        elif callable(self.act):
+            x = self.act(x)
+        return x
+
+
+class DWConv(nn.Module):
+    """Depthwise convolution block (groups = gcd(c1, c2))."""
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    d: int = 1
+    act: bool | Callable = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c1 = x.shape[-1]
+        return Conv(self.c2, self.k, self.s, None, math.gcd(c1, self.c2), self.d, self.act,
+                    dtype=self.dtype, name="conv")(x, train)
+
+
+class DSConv(nn.Module):
+    """Depthwise-separable conv: DW kxk then PW 1x1, one BN+SiLU on the output.
+
+    Reference: ultralytics/nn/modules/conv.py:84 (fork addition for YOLOv13).
+    """
+
+    c2: int
+    k: int = 3
+    s: int = 1
+    p: int | None = None
+    d: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c1 = x.shape[-1]
+        pad = self.p if self.p is not None else (self.d * (self.k - 1)) // 2
+        x = nn.Conv(c1, (self.k, self.k), (self.s, self.s), [(pad, pad), (pad, pad)],
+                    feature_group_count=c1, kernel_dilation=(self.d, self.d), use_bias=False,
+                    dtype=self.dtype, param_dtype=jnp.float32, kernel_init=conv_init, name="dw")(x)
+        x = nn.Conv(self.c2, (1, 1), use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
+                    kernel_init=conv_init, name="pw")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
+                         dtype=self.dtype, param_dtype=jnp.float32, name="bn")(x)
+        return nn.silu(x)
+
+
+class ChannelAttention(nn.Module):
+    """Squeeze-excite style channel attention (reference conv.py:297)."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        pooled = jnp.mean(x, axis=(1, 2), keepdims=True)  # (B,1,1,C)
+        attn = nn.Conv(c, (1, 1), use_bias=True, dtype=self.dtype, param_dtype=jnp.float32,
+                       name="fc")(pooled)
+        return x * jax.nn.sigmoid(attn)
+
+
+class SpatialAttention(nn.Module):
+    """Spatial attention over channel-pooled maps (reference conv.py:312)."""
+
+    kernel_size: int = 7
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        avg = jnp.mean(x, axis=-1, keepdims=True)
+        mx = jnp.max(x, axis=-1, keepdims=True)
+        pooled = jnp.concatenate([avg, mx], axis=-1)
+        pad = self.kernel_size // 2
+        attn = nn.Conv(1, (self.kernel_size, self.kernel_size),
+                       padding=[(pad, pad), (pad, pad)], use_bias=True,
+                       dtype=self.dtype, param_dtype=jnp.float32, name="cv1")(pooled)
+        return x * jax.nn.sigmoid(attn)
+
+
+class CBAM(nn.Module):
+    """Convolutional Block Attention Module: channel then spatial attention."""
+
+    kernel_size: int = 7
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = ChannelAttention(dtype=self.dtype, name="channel_attention")(x, train)
+        return SpatialAttention(self.kernel_size, dtype=self.dtype, name="spatial_attention")(x, train)
+
+
+class Concat(nn.Module):
+    """Concatenate a list of NHWC tensors along channels (reference dim=1 ≙ NHWC -1)."""
+
+    dim: int = -1
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        return jnp.concatenate(xs, axis=-1)
+
+
+class Upsample(nn.Module):
+    """Nearest-neighbor 2x upsample (≙ reference nn.Upsample(None, 2, 'nearest')).
+
+    Implemented as repeat (cheaper than gather-based resize on TPU).
+    """
+
+    scale: int = 2
+    mode: str = "nearest"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        s = int(self.scale)
+        x = jnp.repeat(x, s, axis=1)
+        return jnp.repeat(x, s, axis=2)

@@ -1,0 +1,220 @@
+"""Detection heads: Detect (anchor-free + DFL), JDE (det + ReID embed + posture state),
+Pose, Segment, OBB, Classify.
+
+Capability parity with ultralytics/nn/modules/head.py (Detect:21, JDE:174,
+Segment:252, OBB:277, Pose:307, Classify:359). TPU-native redesign: heads emit raw
+per-level NHWC maps; decode (DFL softmax, dist2bbox, sigmoid) lives in
+`sar_yolo_tpu.ops.decode` as pure jittable functions so train/val/predict paths
+compose functionally instead of branching on a module flag.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .conv import Conv, DWConv, conv_init
+
+Dtype = Any
+
+
+def _pred_conv(features: int, name: str, dtype):
+    """Final 1x1 prediction conv (with bias, torch-default-like init)."""
+    return nn.Conv(features, (1, 1), use_bias=True, dtype=dtype, param_dtype=jnp.float32,
+                   kernel_init=conv_init, name=name)
+
+
+class Detect(nn.Module):
+    """Anchor-free decoupled detect head with DFL box regression.
+
+    Outputs a list of per-level (B, H, W, 4*reg_max + nc) maps.
+    `legacy` selects the v8-style cls branch; non-legacy uses the v13 DWConv branch.
+    """
+
+    nc: int = 80
+    ch: tuple = ()
+    reg_max: int = 16
+    legacy: bool = False
+    dtype: Dtype = jnp.float32
+
+    @property
+    def no(self):
+        return self.nc + self.reg_max * 4
+
+    def _box_branch(self, x, i, train):
+        c2 = max(16, self.ch[0] // 4, self.reg_max * 4)
+        y = Conv(c2, 3, dtype=self.dtype, name=f"cv2_{i}_0")(x, train)
+        y = Conv(c2, 3, dtype=self.dtype, name=f"cv2_{i}_1")(y, train)
+        return _pred_conv(4 * self.reg_max, f"cv2_{i}_pred", self.dtype)(y)
+
+    def _cls_branch(self, x, i, train):
+        c3 = max(self.ch[0], min(self.nc, 100))
+        if self.legacy:
+            y = Conv(c3, 3, dtype=self.dtype, name=f"cv3_{i}_0")(x, train)
+            y = Conv(c3, 3, dtype=self.dtype, name=f"cv3_{i}_1")(y, train)
+        else:
+            y = DWConv(x.shape[-1], 3, dtype=self.dtype, name=f"cv3_{i}_0dw")(x, train)
+            y = Conv(c3, 1, dtype=self.dtype, name=f"cv3_{i}_0pw")(y, train)
+            y = DWConv(c3, 3, dtype=self.dtype, name=f"cv3_{i}_1dw")(y, train)
+            y = Conv(c3, 1, dtype=self.dtype, name=f"cv3_{i}_1pw")(y, train)
+        return _pred_conv(self.nc, f"cv3_{i}_pred", self.dtype)(y)
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        outs = []
+        for i, x in enumerate(xs):
+            box = self._box_branch(x, i, train)
+            cls = self._cls_branch(x, i, train)
+            outs.append(jnp.concatenate([box, cls], axis=-1))
+        return outs
+
+
+class JDE(Detect):
+    """Joint Detection + Embedding head with optional posture-state prediction.
+
+    Adds a cv4 embedding branch and a per-anchor state MLP on the embedding
+    (reference head.py:174-249). Per-level output channels:
+        4*reg_max + nc + embed_dim [+ state_classes]
+    """
+
+    embed_dim: int = 128
+    state_classes: int | None = None
+
+    @property
+    def no(self):
+        n = self.nc + self.reg_max * 4 + self.embed_dim
+        return n + (self.state_classes or 0)
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        c4 = max(self.ch[0] // 4, self.embed_dim)
+        # state predictor MLP is shared across pyramid levels (one instance,
+        # multiple calls), matching reference head.py:186-191
+        if self.state_classes is not None:
+            state_fc1 = nn.Dense(self.embed_dim // 2, dtype=self.dtype,
+                                 param_dtype=jnp.float32, name="state_fc1")
+            state_fc2 = nn.Dense(self.state_classes, dtype=self.dtype,
+                                 param_dtype=jnp.float32, name="state_fc2")
+        outs = []
+        for i, x in enumerate(xs):
+            box = self._box_branch(x, i, train)
+            cls = self._cls_branch(x, i, train)
+            e = Conv(c4, 3, dtype=self.dtype, name=f"cv4_{i}_0")(x, train)
+            e = Conv(c4, 3, dtype=self.dtype, name=f"cv4_{i}_1")(e, train)
+            emb = _pred_conv(self.embed_dim, f"cv4_{i}_pred", self.dtype)(e)
+            parts = [box, cls, emb]
+            if self.state_classes is not None:
+                s = nn.relu(state_fc1(emb))
+                s = nn.Dropout(0.1, deterministic=not train)(s)
+                parts.append(state_fc2(s))
+            outs.append(jnp.concatenate(parts, axis=-1))
+        return outs
+
+
+class Pose(Detect):
+    """Keypoint head: Detect + per-anchor (nk) keypoint regression branch."""
+
+    kpt_shape: tuple = (17, 3)
+
+    @property
+    def no(self):
+        return self.nc + self.reg_max * 4 + self.kpt_shape[0] * self.kpt_shape[1]
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        nk = self.kpt_shape[0] * self.kpt_shape[1]
+        c4 = max(self.ch[0] // 4, nk)
+        outs = []
+        for i, x in enumerate(xs):
+            box = self._box_branch(x, i, train)
+            cls = self._cls_branch(x, i, train)
+            k = Conv(c4, 3, dtype=self.dtype, name=f"cv4_{i}_0")(x, train)
+            k = Conv(c4, 3, dtype=self.dtype, name=f"cv4_{i}_1")(k, train)
+            kpt = _pred_conv(nk, f"cv4_{i}_pred", self.dtype)(k)
+            outs.append(jnp.concatenate([box, cls, kpt], axis=-1))
+        return outs
+
+
+class Proto(nn.Module):
+    """Mask prototype generator for segmentation (reference block.py:84)."""
+
+    c_: int = 256
+    c2: int = 32
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = Conv(self.c_, 3, dtype=self.dtype, name="cv1")(x, train)
+        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)  # upsample 2x
+        x = Conv(self.c_, 3, dtype=self.dtype, name="cv2")(x, train)
+        return Conv(self.c2, 1, dtype=self.dtype, name="cv3")(x, train)
+
+
+class Segment(Detect):
+    """Segmentation head: Detect + mask coefficients + prototype masks.
+
+    Returns (list_of_level_maps, protos); level maps carry nm mask coeffs.
+    """
+
+    nm: int = 32
+    npr: int = 256
+
+    @property
+    def no(self):
+        return self.nc + self.reg_max * 4 + self.nm
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        protos = Proto(self.npr, self.nm, dtype=self.dtype, name="proto")(xs[0], train)
+        c4 = max(self.ch[0] // 4, self.nm)
+        outs = []
+        for i, x in enumerate(xs):
+            box = self._box_branch(x, i, train)
+            cls = self._cls_branch(x, i, train)
+            m = Conv(c4, 3, dtype=self.dtype, name=f"cv4_{i}_0")(x, train)
+            m = Conv(c4, 3, dtype=self.dtype, name=f"cv4_{i}_1")(m, train)
+            mc = _pred_conv(self.nm, f"cv4_{i}_pred", self.dtype)(m)
+            outs.append(jnp.concatenate([box, cls, mc], axis=-1))
+        return outs, protos
+
+
+class OBB(Detect):
+    """Oriented bounding box head: Detect + angle branch (ne extra channels)."""
+
+    ne: int = 1
+
+    @property
+    def no(self):
+        return self.nc + self.reg_max * 4 + self.ne
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        c4 = max(self.ch[0] // 4, self.ne)
+        outs = []
+        for i, x in enumerate(xs):
+            box = self._box_branch(x, i, train)
+            cls = self._cls_branch(x, i, train)
+            a = Conv(c4, 3, dtype=self.dtype, name=f"cv4_{i}_0")(x, train)
+            a = Conv(c4, 3, dtype=self.dtype, name=f"cv4_{i}_1")(a, train)
+            ang = _pred_conv(self.ne, f"cv4_{i}_pred", self.dtype)(a)
+            outs.append(jnp.concatenate([box, cls, ang], axis=-1))
+        return outs
+
+
+class Classify(nn.Module):
+    """Image classification head: conv -> GAP -> dropout -> linear."""
+
+    nc: int
+    c_: int = 1280
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if isinstance(x, (list, tuple)):
+            x = jnp.concatenate(x, axis=-1)
+        x = Conv(self.c_, 1, 1, dtype=self.dtype, name="conv")(x, train)
+        x = jnp.mean(x, axis=(1, 2))
+        x = nn.Dropout(0.0, deterministic=not train)(x)
+        return nn.Dense(self.nc, dtype=self.dtype, param_dtype=jnp.float32, name="linear")(x)

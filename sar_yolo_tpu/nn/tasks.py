@@ -1,0 +1,388 @@
+"""Model graph compiler: YAML architecture specs -> Flax module graph.
+
+Capability parity with ultralytics/nn/tasks.py (parse_model:954, yaml_model_load:1135,
+DetectionModel:309, JDEModel:441, guess_model_task:1169), re-designed for JAX:
+
+  * parse_model does the identical channel/depth/width arithmetic (so the same
+    YAML dialect & scale dicts work unchanged) but emits a static tuple of
+    LayerSpec records instead of an nn.Sequential.
+  * GraphModel is a single Flax module that walks the spec graph with an explicit
+    save-dict; under jit the whole walk is traced once and XLA fuses it.
+  * Strides are inferred with jax.eval_shape (zero FLOPs) instead of a real
+    forward probe; Detect/JDE biases are initialised by functional param surgery.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from sar_yolo_tpu.utils import LOGGER, ROOT, yaml_load
+from sar_yolo_tpu.nn.modules import block as B
+from sar_yolo_tpu.nn.modules import conv as C
+from sar_yolo_tpu.nn.modules import head as H
+
+
+def make_divisible(x: float, divisor: int = 8) -> int:
+    return int(math.ceil(x / divisor) * divisor)
+
+
+@dataclass(frozen=True)
+class LayerSpec:
+    """One node of the model graph (static/hashable for Flax)."""
+
+    i: int                 # layer index
+    f: Any                 # from: -1, int, or tuple of ints
+    name: str              # module registry name
+    args: tuple            # resolved constructor args (post channel arithmetic)
+    c2: int                # output channels
+    kwargs: tuple = ()     # resolved keyword args as tuple of (k, v)
+
+
+# set of modules whose first yaml arg is out-channels (width-scaled)
+_CH_SCALED = {"Conv", "DWConv", "DSConv", "Bottleneck", "SPPF", "C2f", "C3", "C3k",
+              "C3k2", "C3k2_CBAM", "A2C2f", "DSC3k2", "DSC3k2_CBAM", "Classify"}
+# subset that takes an inserted repeat count n
+_REPEAT_ARG = {"C2f", "C3", "C3k", "C3k2", "C3k2_CBAM", "A2C2f", "DSC3k2", "DSC3k2_CBAM"}
+_HEADS = {"Detect", "JDE", "Segment", "Pose", "OBB", "Classify"}
+
+TASK_BY_HEAD = {"Detect": "detect", "JDE": "jde", "Segment": "segment",
+                "Pose": "pose", "OBB": "obb", "Classify": "classify"}
+
+
+def _resolve_arg(a, names: dict):
+    if isinstance(a, str):
+        if a in names:
+            return names[a]
+        low = a.lower()
+        if low in {"true", "false", "none"}:
+            return {"true": True, "false": False, "none": None}[low]
+    return a
+
+
+def parse_model(d: dict, ch: int = 3, verbose: bool = False):
+    """Compile a model yaml dict into LayerSpecs + save list + metadata.
+
+    Channel arithmetic mirrors reference parse_model (nn/tasks.py:954-1133)
+    including fork special-cases for HyperACE / DownsampleConv / FullPAD_Tunnel.
+    """
+    legacy = True
+    max_channels = float("inf")
+    nc = d.get("nc", 80)
+    scales = d.get("scales")
+    depth, width = d.get("depth_multiple", 1.0), d.get("width_multiple", 1.0)
+    scale = d.get("scale", "")
+    if scales:
+        if not scale:
+            scale = tuple(scales.keys())[0]
+            LOGGER.warning(f"WARNING: no model scale passed, assuming scale='{scale}'")
+        depth, width, max_channels = scales[scale]
+
+    names = {"nc": nc}
+    chs = [ch]
+    specs: list[LayerSpec] = []
+    save: list[int] = []
+    meta: dict[str, Any] = {"nc": nc, "scale": scale, "reg_max": 16}
+
+    for i, (f, n, m, args) in enumerate(d["backbone"] + d["head"]):
+        args = [_resolve_arg(a, names) for a in args]
+        n = max(round(n * depth), 1) if n > 1 else n
+        kwargs: dict[str, Any] = {}
+
+        if m in _CH_SCALED:
+            c1, c2 = chs[f], args[0]
+            if not (m == "Classify" and c2 == nc):
+                c2 = make_divisible(min(c2, max_channels) * width, 8)
+            args = [c2, *args[1:]]
+            if m in _REPEAT_ARG:
+                args.insert(1, n)
+                n = 1
+            if m in {"C3k2", "DSC3k2", "C3k2_CBAM", "DSC3k2_CBAM"}:
+                legacy = False
+                if scale in "lx":
+                    # force c3k/dsc3k inner blocks on large scales
+                    if len(args) >= 3:
+                        args[2] = True
+                    else:
+                        args.append(True)
+            if m == "A2C2f":
+                legacy = False
+                if scale in "lx":
+                    # residual=True, mlp_ratio=1.5 (positional order: c2,n,a2,area,residual,mlp_ratio)
+                    while len(args) < 4:
+                        args.append(True if len(args) == 2 else 1)
+                    args += [True, 1.5]
+        elif m == "nn.Upsample":
+            m = "Upsample"
+            args = [int(args[1]), str(args[2])]
+            c2 = chs[f]
+        elif m == "Concat":
+            c2 = sum(chs[x] for x in f)
+            args = []
+        elif m in _HEADS and m != "Classify":
+            ch_list = tuple(chs[x] for x in f)
+            kwargs["ch"] = ch_list
+            kwargs["legacy"] = legacy
+            c2 = 0  # heads terminate the graph
+            meta["head"] = m
+            meta["head_index"] = i
+            meta["head_ch"] = ch_list
+            meta["nl"] = len(ch_list)
+        elif m == "HyperACE":
+            legacy = False
+            c1 = chs[f[1]]
+            c2 = make_divisible(min(args[0], max_channels) * width, 8)
+            he = args[1]
+            if scale == "n":
+                he = int(args[1] * 0.5)
+            elif scale == "x":
+                he = int(args[1] * 1.5)
+            args = [c1, c2, n, he, *args[2:]]
+            n = 1
+            if scale in "lx":
+                args.append(False)  # channel_adjust=False for l/x
+        elif m == "DownsampleConv":
+            c1 = chs[f]
+            c2 = c1 * 2
+            args = [c1]
+            if scale in "lx":
+                args.append(False)
+                c2 = c1
+        elif m == "FullPAD_Tunnel":
+            c2 = chs[f[0]]
+            args = []
+        else:
+            c2 = chs[f]
+
+        if n != 1:
+            raise ValueError(f"module {m} at layer {i} has unhandled repeat n={n}")
+
+        specs.append(LayerSpec(i=i, f=tuple(f) if isinstance(f, list) else f,
+                               name=m, args=tuple(args), c2=c2,
+                               kwargs=tuple(sorted(kwargs.items()))))
+        save.extend(x % i for x in ([f] if isinstance(f, int) else f) if x != -1)
+        if i == 0:
+            chs = []
+        chs.append(c2)
+        if verbose:
+            LOGGER.info(f"{i:>3}{str(f):>18}{n:>3}  {m:<20}{str(args):<40}")
+
+    meta["legacy"] = legacy
+    meta["channels"] = chs
+    return tuple(specs), tuple(sorted(set(save))), meta
+
+
+def _build_module(spec: LayerSpec, nc: int, dtype):
+    """Instantiate the Flax module for a LayerSpec."""
+    a = spec.args
+    kw = dict(spec.kwargs)
+    name = spec.name
+    if name == "Conv":
+        return C.Conv(*a, dtype=dtype)
+    if name == "DWConv":
+        return C.DWConv(*a, dtype=dtype)
+    if name == "DSConv":
+        return C.DSConv(*a, dtype=dtype)
+    if name == "Upsample":
+        return C.Upsample(scale=a[0], mode=a[1])
+    if name == "Concat":
+        return C.Concat()
+    if name == "CBAM":
+        return C.CBAM(*a, dtype=dtype)
+    if name == "Bottleneck":
+        return B.Bottleneck(*a, dtype=dtype)
+    if name == "C2f":
+        return B.C2f(*a, dtype=dtype)
+    if name == "C3":
+        return B.C3(*a, dtype=dtype)
+    if name == "C3k":
+        return B.C3k(*a, dtype=dtype)
+    if name == "C3k2":
+        return B.C3k2(*a, dtype=dtype)
+    if name == "C3k2_CBAM":
+        return B.C3k2_CBAM(*a, dtype=dtype)
+    if name == "SPPF":
+        return B.SPPF(*a, dtype=dtype)
+    if name == "A2C2f":
+        return B.A2C2f(*a, dtype=dtype)
+    if name == "DSC3k2":
+        return B.DSC3k2(*a, dtype=dtype)
+    if name == "DSC3k2_CBAM":
+        return B.DSC3k2_CBAM(*a, dtype=dtype)
+    if name == "HyperACE":
+        return B.HyperACE(*a, dtype=dtype)
+    if name == "DownsampleConv":
+        return B.DownsampleConv(*a, dtype=dtype)
+    if name == "FullPAD_Tunnel":
+        return B.FullPAD_Tunnel()
+    if name == "Detect":
+        return H.Detect(nc=a[0] if a else nc, ch=kw["ch"], legacy=kw["legacy"], dtype=dtype)
+    if name == "JDE":
+        return H.JDE(nc=a[0], embed_dim=a[1] if len(a) > 1 else 128,
+                     state_classes=a[2] if len(a) > 2 else None,
+                     ch=kw["ch"], legacy=kw["legacy"], dtype=dtype)
+    if name == "Segment":
+        return H.Segment(nc=a[0], nm=a[1] if len(a) > 1 else 32,
+                         npr=a[2] if len(a) > 2 else 256,
+                         ch=kw["ch"], legacy=kw["legacy"], dtype=dtype)
+    if name == "Pose":
+        return H.Pose(nc=a[0], kpt_shape=tuple(a[1]) if len(a) > 1 else (17, 3),
+                      ch=kw["ch"], legacy=kw["legacy"], dtype=dtype)
+    if name == "OBB":
+        return H.OBB(nc=a[0], ne=a[1] if len(a) > 1 else 1,
+                     ch=kw["ch"], legacy=kw["legacy"], dtype=dtype)
+    if name == "Classify":
+        return H.Classify(nc=a[0], dtype=dtype)
+    raise KeyError(f"Unknown module '{name}' in model yaml")
+
+
+class GraphModel(nn.Module):
+    """Executes a parsed YAML layer graph with an explicit save-dict.
+
+    Equivalent of reference BaseModel._predict_once (nn/tasks.py:141) as one
+    traced functional graph. Returns the head output (list of per-level NHWC
+    maps, or a (maps, protos) tuple for Segment).
+    """
+
+    specs: tuple
+    save: tuple
+    nc: int
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.blocks = [_build_module(s, self.nc, self.dtype) for s in self.specs]
+
+    def __call__(self, x, train: bool = False):
+        saved = {}
+        out = x
+        for spec, blk in zip(self.specs, self.blocks):
+            f = spec.f
+            if f == -1:
+                inp = out
+            elif isinstance(f, int):
+                inp = saved[f]
+            else:
+                inp = [out if j == -1 else saved[j] for j in f]
+            out = blk(inp, train=train)
+            if spec.i in self.save:
+                saved[spec.i] = out
+        return out
+
+
+def yaml_model_load(path) -> dict:
+    """Load a model yaml, extracting the scale char from the filename.
+
+    'yolov8n.yaml' -> cfg/models/v8/yolov8.yaml with scale='n' (reference
+    nn/tasks.py:1135 convention).
+    """
+    path = Path(path)
+    stem = path.stem
+    m = re.match(r"(.*yolov\d+)([nslmx])(.*)", stem)
+    scale = ""
+    if m:
+        scale = m.group(2)
+        unified = f"{m.group(1)}{m.group(3)}.yaml"
+    else:
+        unified = path.name
+    search = path if path.exists() else None
+    if search is None:
+        for cand in (unified, path.name):
+            hits = sorted((ROOT / "cfg" / "models").rglob(cand))
+            if hits:
+                search = hits[0]
+                break
+    if search is None:
+        raise FileNotFoundError(f"model yaml '{path}' not found (searched cfg/models/**)")
+    d = yaml_load(search, append_filename=True)
+    d["scale"] = d.get("scale") or scale
+    return d
+
+
+def guess_model_task(d: dict) -> str:
+    head_name = d["head"][-1][2]
+    return TASK_BY_HEAD.get(head_name, "detect")
+
+
+def build_model(cfg, nc: int | None = None, dtype=jnp.float32, verbose: bool = False):
+    """Build a GraphModel from a yaml path/dict. Returns (model, meta).
+
+    meta carries nc/reg_max/strides-placeholder/head info for losses & decode.
+    """
+    d = yaml_model_load(cfg) if isinstance(cfg, (str, Path)) else dict(cfg)
+    if nc is not None and nc != d.get("nc"):
+        d = dict(d)
+        d["nc"] = nc
+    specs, save, meta = parse_model(d, ch=3, verbose=verbose)
+    meta["yaml"] = d
+    meta["task"] = guess_model_task(d)
+    model = GraphModel(specs=specs, save=save, nc=meta["nc"], dtype=dtype)
+    head_spec = specs[-1]
+    if head_spec.name == "JDE":
+        meta["embed_dim"] = head_spec.args[1] if len(head_spec.args) > 1 else 128
+        meta["state_classes"] = head_spec.args[2] if len(head_spec.args) > 2 else None
+    if head_spec.name == "Pose":
+        meta["kpt_shape"] = tuple(head_spec.args[1]) if len(head_spec.args) > 1 else (17, 3)
+    if head_spec.name == "Segment":
+        meta["nm"] = head_spec.args[1] if len(head_spec.args) > 1 else 32
+    return model, meta
+
+
+def infer_strides(model: GraphModel, meta: dict, imgsz: int = 256):
+    """Infer per-level strides via shape-only tracing (no FLOPs)."""
+    if meta["task"] == "classify":
+        return []
+    x = jnp.zeros((1, imgsz, imgsz, 3), jnp.float32)
+    rng = jax.random.PRNGKey(0)
+
+    def init_fwd(r, xx):
+        return model.init_with_output(r, xx, train=False)
+
+    out_shape, _ = jax.eval_shape(init_fwd, rng, x)
+    feats = out_shape[0] if isinstance(out_shape, tuple) and not hasattr(out_shape, "shape") else out_shape
+    if isinstance(feats, (list, tuple)) and hasattr(feats[0], "shape") and len(feats[0].shape) == 4:
+        levels = feats
+    else:
+        levels = feats[0]
+    return [int(imgsz // s.shape[1]) for s in levels]
+
+
+def init_model(model: GraphModel, meta: dict, rng, imgsz: int = 640):
+    """Initialize model variables and apply Detect bias init. Returns variables."""
+    x = jnp.zeros((1, imgsz, imgsz, 3), jnp.float32)
+    # jit the init: one compiled program instead of per-op dispatch of every initializer
+    init_fn = jax.jit(lambda r, xx: model.init({"params": r, "dropout": r}, xx, train=False))
+    variables = init_fn(rng, x)
+    strides = infer_strides(model, meta)
+    meta["strides"] = strides
+    if meta.get("head") in {"Detect", "JDE", "Segment", "Pose", "OBB"}:
+        variables = bias_init_head(variables, meta)
+    return variables
+
+
+def bias_init_head(variables, meta: dict):
+    """Functional equivalent of Detect.bias_init (reference head.py:133-146).
+
+    cv2 (box) final bias -> 1.0; cv3 (cls) final bias -> log(5 / nc / (640/s)^2).
+    """
+    import flax
+
+    params = flax.core.unfreeze(variables["params"])
+    head_key = f"blocks_{meta['head_index']}"
+    head = params[head_key]
+    nc = meta["nc"]
+    for i, s in enumerate(meta["strides"]):
+        if f"cv2_{i}_pred" in head:
+            head[f"cv2_{i}_pred"]["bias"] = jnp.ones_like(head[f"cv2_{i}_pred"]["bias"])
+        if f"cv3_{i}_pred" in head:
+            b = head[f"cv3_{i}_pred"]["bias"]
+            head[f"cv3_{i}_pred"]["bias"] = jnp.full_like(b, math.log(5 / nc / (640 / s) ** 2))
+    new_vars = dict(variables)
+    new_vars["params"] = params
+    return new_vars

@@ -1,0 +1,23 @@
+"""Test config: force CPU platform with an 8-device virtual mesh.
+
+This replaces the reference's untestable-without-2-GPUs DDP setup
+(reference tests/test_cli.py:108-122): all sharding paths run on a simulated
+8-device CPU mesh, so SPMD code is exercised in every CI run.
+"""
+
+import os
+
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+os.environ["SARYOLO_VERBOSE"] = "0"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(autouse=True)
+def _seed():
+    np.random.seed(0)

@@ -1,0 +1,113 @@
+"""Tests for box ops and on-device NMS (vs. a trusted numpy greedy reference)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sar_yolo_tpu.ops import (bbox2dist, bbox_iou, box_iou_pairwise, dfl_decode,
+                              dist2bbox, make_anchors, non_max_suppression,
+                              xywh2xyxy, xyxy2xywh)
+
+
+def test_xywh_roundtrip():
+    x = jnp.array([[10.0, 20.0, 4.0, 8.0]])
+    assert np.allclose(xyxy2xywh(xywh2xyxy(x)), x)
+    assert np.allclose(xywh2xyxy(x), [[8, 16, 12, 24]])
+
+
+def test_make_anchors():
+    pts, strd = make_anchors([(2, 2), (1, 1)], [8, 16])
+    assert pts.shape == (5, 2) and strd.shape == (5, 1)
+    assert np.allclose(pts[0], [0.5, 0.5]) and np.allclose(pts[3], [1.5, 1.5])
+    assert np.allclose(strd[:4], 8) and np.allclose(strd[4], 16)
+
+
+def test_dist2bbox_bbox2dist_roundtrip():
+    anchors = jnp.array([[4.0, 4.0], [10.0, 10.0]])
+    boxes = jnp.array([[2.0, 1.0, 6.0, 7.0], [8.0, 9.0, 14.0, 13.0]])
+    dist = bbox2dist(anchors, boxes, 16.0)
+    rec = dist2bbox(dist, anchors, xywh=False)
+    assert np.allclose(rec, boxes, atol=1e-5)
+
+
+def test_dfl_decode_onehot():
+    # one-hot distribution at bin k decodes to ~k
+    logits = np.full((1, 1, 64), -20.0, np.float32)
+    for side, k in enumerate([3, 7, 0, 15]):
+        logits[0, 0, side * 16 + k] = 20.0
+    out = dfl_decode(jnp.asarray(logits), 16)
+    assert np.allclose(out[0, 0], [3, 7, 0, 15], atol=1e-3)
+
+
+def test_bbox_iou_identity():
+    b = jnp.array([[0.0, 0.0, 10.0, 10.0]])
+    assert np.isclose(float(bbox_iou(b, b)[0, 0]), 1.0, atol=1e-5)
+    ciou = float(bbox_iou(b, b, CIoU=True)[0, 0])
+    assert np.isclose(ciou, 1.0, atol=1e-5)
+
+
+def _numpy_nms(boxes, scores, iou_thres):
+    """Trusted O(n^2) greedy NMS."""
+    idxs = np.argsort(-scores)
+    keep = []
+    while len(idxs):
+        i = idxs[0]
+        keep.append(i)
+        if len(idxs) == 1:
+            break
+        xx1 = np.maximum(boxes[i, 0], boxes[idxs[1:], 0])
+        yy1 = np.maximum(boxes[i, 1], boxes[idxs[1:], 1])
+        xx2 = np.minimum(boxes[i, 2], boxes[idxs[1:], 2])
+        yy2 = np.minimum(boxes[i, 3], boxes[idxs[1:], 3])
+        inter = np.clip(xx2 - xx1, 0, None) * np.clip(yy2 - yy1, 0, None)
+        area_i = (boxes[i, 2] - boxes[i, 0]) * (boxes[i, 3] - boxes[i, 1])
+        area_o = (boxes[idxs[1:], 2] - boxes[idxs[1:], 0]) * (boxes[idxs[1:], 3] - boxes[idxs[1:], 1])
+        iou = inter / (area_i + area_o - inter + 1e-7)
+        idxs = idxs[1:][iou <= iou_thres]
+    return keep
+
+
+def test_nms_matches_numpy_reference():
+    rng = np.random.default_rng(0)
+    N, nc = 100, 3
+    cx = rng.uniform(50, 590, (N, 1))
+    cy = rng.uniform(50, 590, (N, 1))
+    wh = rng.uniform(10, 80, (N, 2))
+    scores = rng.uniform(0, 1, (N, nc)).astype(np.float32)
+    preds = np.concatenate([cx, cy, wh, scores], -1).astype(np.float32)[None]
+
+    out = np.asarray(non_max_suppression(jnp.asarray(preds), conf_thres=0.25,
+                                         iou_thres=0.5, max_det=50, nc=nc))
+    got = out[0]
+    got = got[got[:, 4] > 0]
+
+    # build the expected set with the same conf/class rules
+    boxes = np.asarray(xywh2xyxy(jnp.asarray(preds[0, :, :4])))
+    conf = scores.max(-1)
+    cls = scores.argmax(-1)
+    mask = conf >= 0.25
+    exp_keep = []
+    for c in range(nc):
+        m = mask & (cls == c)
+        if m.sum() == 0:
+            continue
+        kept = _numpy_nms(boxes[m], conf[m], 0.5)
+        idx = np.where(m)[0][kept]
+        exp_keep.extend(idx.tolist())
+    exp_keep = sorted(exp_keep, key=lambda i: -conf[i])[:50]
+
+    assert len(got) == len(exp_keep)
+    assert np.allclose(sorted(got[:, 4].tolist()), sorted(conf[exp_keep].tolist()), atol=1e-5)
+
+
+def test_nms_carries_extras():
+    # one confident box with an extra embedding channel
+    pred = np.zeros((1, 10, 4 + 1 + 2), np.float32)
+    pred[0, 3, :4] = [100, 100, 20, 20]
+    pred[0, 3, 4] = 0.9
+    pred[0, 3, 5:] = [0.5, -0.25]
+    out = np.asarray(non_max_suppression(jnp.asarray(pred), nc=1, max_det=5))
+    assert out.shape == (1, 5, 8)
+    assert np.isclose(out[0, 0, 4], 0.9)
+    assert np.allclose(out[0, 0, 6:], [0.5, -0.25])
+    assert np.all(out[0, 1:, 4] == 0)

@@ -1,0 +1,83 @@
+"""Golden tests for the YAML->graph compiler channel arithmetic.
+
+Golden values derived from the reference parse_model printout conventions
+(ultralytics yolov8n: 3,157,184 trainable params, strides 8/16/32).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sar_yolo_tpu.nn.tasks import build_model, init_model, parse_model, yaml_model_load
+
+
+def n_params(variables):
+    return int(sum(np.prod(p.shape) for p in jax.tree.leaves(variables["params"])))
+
+
+def test_yolov8n_channels():
+    d = yaml_model_load("yolov8n.yaml")
+    specs, save, meta = parse_model(d)
+    assert meta["nc"] == 80
+    assert meta["legacy"] is True
+    # golden per-layer output channels for yolov8n (width 0.25)
+    assert meta["channels"][:10] == [16, 32, 32, 64, 64, 128, 128, 256, 256, 256]
+    assert save == (4, 6, 9, 12, 15, 18, 21)
+    assert meta["head"] == "Detect"
+    assert meta["head_ch"] == (64, 128, 256)
+
+
+def test_yolov8s_channels():
+    d = yaml_model_load("yolov8s.yaml")
+    _, _, meta = parse_model(d)
+    assert meta["channels"][:10] == [32, 64, 64, 128, 128, 256, 256, 512, 512, 512]
+
+
+def test_yolov13n_parse():
+    d = yaml_model_load("yolov13n.yaml")
+    specs, save, meta = parse_model(d)
+    assert meta["legacy"] is False
+    # backbone channels (width 0.25): 16,32,64,64,128,128,128,256,256
+    assert meta["channels"][:9] == [16, 32, 64, 64, 128, 128, 128, 256, 256]
+    # HyperACE output = make_divisible(512*0.25) = 128; hyperedges scaled 8*0.5=4 at n
+    hyper = specs[9]
+    assert hyper.name == "HyperACE"
+    assert hyper.args[1] == 128 and hyper.args[3] == 4
+    # DownsampleConv doubles channels
+    assert specs[11].name == "DownsampleConv" and specs[11].c2 == 256
+    # FullPAD_Tunnel keeps first-input channels
+    assert specs[12].name == "FullPAD_Tunnel" and specs[12].c2 == 128
+
+
+def test_yolov13_jde_parse():
+    d = yaml_model_load("yolov13n-JDE.yaml")
+    specs, save, meta = parse_model(d)
+    assert meta["nc"] == 1
+    head = specs[-1]
+    assert head.name == "JDE"
+    assert head.args == (1, 256, 6)  # nc, embed_dim, state_classes
+
+
+@pytest.mark.slow
+def test_yolov8n_param_count_and_forward():
+    model, meta = build_model("yolov8n.yaml")
+    variables = init_model(model, meta, jax.random.PRNGKey(0), imgsz=64)
+    # reference yolov8n: 3,157,184 gradients (trainable params; +16 frozen DFL proj)
+    assert n_params(variables) == 3_157_184
+    assert meta["strides"] == [8, 16, 32]
+    feats = jax.jit(lambda v, x: model.apply(v, x, train=False))(
+        variables, jnp.zeros((1, 64, 64, 3)))
+    assert [f.shape for f in feats] == [(1, 8, 8, 144), (1, 4, 4, 144), (1, 2, 2, 144)]
+
+
+@pytest.mark.slow
+def test_yolov13n_jde_forward():
+    model, meta = build_model("yolov13n-JDE.yaml")
+    variables = init_model(model, meta, jax.random.PRNGKey(0), imgsz=64)
+    assert meta["strides"] == [8, 16, 32]
+    assert meta["embed_dim"] == 256 and meta["state_classes"] == 6
+    feats = jax.jit(lambda v, x: model.apply(v, x, train=False))(
+        variables, jnp.zeros((1, 64, 64, 3)))
+    no = 16 * 4 + 1 + 256 + 6  # reg_max*4 + nc + embed + states
+    assert [f.shape for f in feats] == [(1, 8, 8, no), (1, 4, 4, no), (1, 2, 2, no)]
