@@ -1,0 +1,73 @@
+"""Benchmark: end-to-end detection throughput (preproc + forward + decode + NMS).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Measures the BASELINE.json north-star metric — end-to-end images/sec/chip at
+640px including on-device preprocessing and NMS, on yolov8n (config 1).
+`vs_baseline` is relative to the only latency figure the reference repo ships:
+~0.146 s/img ≈ 6.85 img/s for YOLOv13n e2e
+(reference examples/YOLOv13-FastAPI-REST-API/yolov13_fastapi_api.py:17).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_IMGS_PER_SEC = 6.85  # reference example code claim (unverified hardware)
+
+
+def main():
+    from sar_yolo_tpu.nn.tasks import build_model, init_model
+    from sar_yolo_tpu.ops.decode import decode_detect
+    from sar_yolo_tpu.ops.nms import non_max_suppression
+
+    imgsz = 640
+    model, meta = build_model("yolov8n.yaml")
+    variables = init_model(model, meta, jax.random.PRNGKey(0), imgsz=imgsz)
+    strides = tuple(meta["strides"])
+    nc = meta["nc"]
+    on_tpu = jax.default_backend() == "tpu"
+    # bf16 compute on TPU (params stay f32)
+    if on_tpu:
+        model_bf16, _ = build_model("yolov8n.yaml", dtype=jnp.bfloat16)
+        model = model_bf16
+
+    @jax.jit
+    def e2e(variables, img_u8):
+        # device-side preprocess: uint8 HWC -> normalized float
+        x = img_u8.astype(jnp.float32) / 255.0
+        feats = model.apply(variables, x, train=False)
+        preds = decode_detect(feats, strides, nc, meta["reg_max"])
+        return non_max_suppression(preds, conf_thres=0.25, iou_thres=0.7,
+                                   max_det=300, pre_topk=1024, nc=nc)
+
+    best = 0.0
+    batches = [16, 32] if on_tpu else [2]
+    rng = np.random.default_rng(0)
+    for B in batches:
+        img = jnp.asarray(rng.integers(0, 255, (B, imgsz, imgsz, 3), dtype=np.uint8))
+        out = jax.block_until_ready(e2e(variables, img))  # compile
+        n_iter = 20 if on_tpu else 2
+        t0 = time.perf_counter()
+        for _ in range(n_iter):
+            out = e2e(variables, img)
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        ips = B * n_iter / dt
+        best = max(best, ips)
+
+    print(json.dumps({
+        "metric": "e2e_images_per_sec_per_chip_640px_yolov8n",
+        "value": round(best, 2),
+        "unit": "img/s",
+        "vs_baseline": round(best / BASELINE_IMGS_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

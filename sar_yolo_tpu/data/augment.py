@@ -1,0 +1,183 @@
+"""Host-side image augmentations (numpy/cv2) with reference-pipeline semantics.
+
+Capability parity with ultralytics/data/augment.py (Mosaic:490, RandomPerspective:966,
+RandomHSV:1319, RandomFlip:1399, LetterBox:1493) including the fork's `tags`
+propagation through mosaic/affine (augment.py:846-873, 1240, 1274).
+
+Labels flow as dicts: {img uint8 HWC, cls (n,), bboxes (n,4) xyxy pixels, tags (n,)}.
+The heavy per-pixel work (HSV LUTs, letterbox pad, normalize) also has a fused
+device-side path in ops/preprocess.py; these numpy versions feed the training
+dataloader workers where cv2's SIMD warpAffine is still the right tool.
+"""
+
+from __future__ import annotations
+
+import math
+
+import cv2
+import numpy as np
+
+
+def letterbox(img: np.ndarray, new_shape=(640, 640), color=(114, 114, 114),
+              scaleup: bool = True, center: bool = True):
+    """Resize + pad to new_shape keeping aspect ratio. Returns img, ratio, (dw, dh)."""
+    shape = img.shape[:2]
+    if isinstance(new_shape, int):
+        new_shape = (new_shape, new_shape)
+    r = min(new_shape[0] / shape[0], new_shape[1] / shape[1])
+    if not scaleup:
+        r = min(r, 1.0)
+    new_unpad = (round(shape[1] * r), round(shape[0] * r))
+    dw, dh = new_shape[1] - new_unpad[0], new_shape[0] - new_unpad[1]
+    if center:
+        dw /= 2
+        dh /= 2
+    if shape[::-1] != new_unpad:
+        img = cv2.resize(img, new_unpad, interpolation=cv2.INTER_LINEAR)
+    top, bottom = round(dh - 0.1), round(dh + 0.1)
+    left, right = round(dw - 0.1), round(dw + 0.1)
+    img = cv2.copyMakeBorder(img, top, bottom, left, right, cv2.BORDER_CONSTANT, value=color)
+    return img, r, (left, top)
+
+
+def augment_hsv(img: np.ndarray, hgain=0.015, sgain=0.7, vgain=0.4, rng=None):
+    """In-place HSV jitter in uint8 LUT space (matches cv2-based reference)."""
+    rng = rng or np.random.default_rng()
+    if hgain or sgain or vgain:
+        r = rng.uniform(-1, 1, 3) * [hgain, sgain, vgain] + 1
+        hue, sat, val = cv2.split(cv2.cvtColor(img, cv2.COLOR_BGR2HSV))
+        x = np.arange(0, 256, dtype=r.dtype)
+        lut_hue = ((x * r[0]) % 180).astype(img.dtype)
+        lut_sat = np.clip(x * r[1], 0, 255).astype(img.dtype)
+        lut_val = np.clip(x * r[2], 0, 255).astype(img.dtype)
+        im_hsv = cv2.merge((cv2.LUT(hue, lut_hue), cv2.LUT(sat, lut_sat), cv2.LUT(val, lut_val)))
+        cv2.cvtColor(im_hsv, cv2.COLOR_HSV2BGR, dst=img)
+    return img
+
+
+def random_flip(labels: dict, fliplr=0.5, flipud=0.0, rng=None):
+    rng = rng or np.random.default_rng()
+    img = labels["img"]
+    h, w = img.shape[:2]
+    boxes = labels["bboxes"]
+    if flipud and rng.random() < flipud:
+        labels["img"] = np.flipud(img).copy()
+        if len(boxes):
+            boxes[:, [1, 3]] = h - boxes[:, [3, 1]]
+    img = labels["img"]
+    if fliplr and rng.random() < fliplr:
+        labels["img"] = np.fliplr(img).copy()
+        if len(boxes):
+            boxes[:, [0, 2]] = w - boxes[:, [2, 0]]
+    labels["bboxes"] = boxes
+    return labels
+
+
+def _box_candidates(box1, box2, wh_thr=2, ar_thr=100, area_thr=0.1, eps=1e-16):
+    """Keep boxes that survived the affine transform (reference augment.py:1240)."""
+    w1, h1 = box1[2] - box1[0], box1[3] - box1[1]
+    w2, h2 = box2[2] - box2[0], box2[3] - box2[1]
+    ar = np.maximum(w2 / (h2 + eps), h2 / (w2 + eps))
+    return (w2 > wh_thr) & (h2 > wh_thr) & (w2 * h2 / (w1 * h1 + eps) > area_thr) & (ar < ar_thr)
+
+
+def random_perspective(labels: dict, degrees=0.0, translate=0.1, scale=0.5, shear=0.0,
+                       perspective=0.0, border=(0, 0), rng=None):
+    """Random affine/perspective warp of image + boxes (+tags kept aligned)."""
+    rng = rng or np.random.default_rng()
+    img = labels["img"]
+    h = img.shape[0] + border[0] * 2
+    w = img.shape[1] + border[1] * 2
+
+    # build combined transform (center -> perspective -> rotate/scale -> shear -> translate)
+    C = np.eye(3)
+    C[0, 2] = -img.shape[1] / 2
+    C[1, 2] = -img.shape[0] / 2
+    P = np.eye(3)
+    P[2, 0] = rng.uniform(-perspective, perspective)
+    P[2, 1] = rng.uniform(-perspective, perspective)
+    R = np.eye(3)
+    a = rng.uniform(-degrees, degrees)
+    s = rng.uniform(1 - scale, 1 + scale)
+    R[:2] = cv2.getRotationMatrix2D(angle=a, center=(0, 0), scale=s)
+    S = np.eye(3)
+    S[0, 1] = math.tan(rng.uniform(-shear, shear) * math.pi / 180)
+    S[1, 0] = math.tan(rng.uniform(-shear, shear) * math.pi / 180)
+    T = np.eye(3)
+    T[0, 2] = rng.uniform(0.5 - translate, 0.5 + translate) * w
+    T[1, 2] = rng.uniform(0.5 - translate, 0.5 + translate) * h
+    M = T @ S @ R @ P @ C
+
+    if (border[0] != 0) or (border[1] != 0) or (M != np.eye(3)).any():
+        if perspective:
+            img = cv2.warpPerspective(img, M, dsize=(w, h), borderValue=(114, 114, 114))
+        else:
+            img = cv2.warpAffine(img, M[:2], dsize=(w, h), borderValue=(114, 114, 114))
+
+    boxes = labels["bboxes"]
+    n = len(boxes)
+    if n:
+        xy = np.ones((n * 4, 3))
+        xy[:, :2] = boxes[:, [0, 1, 2, 3, 0, 3, 2, 1]].reshape(n * 4, 2)
+        xy = xy @ M.T
+        xy = (xy[:, :2] / xy[:, 2:3] if perspective else xy[:, :2]).reshape(n, 8)
+        x = xy[:, [0, 2, 4, 6]]
+        y = xy[:, [1, 3, 5, 7]]
+        new = np.stack([x.min(1), y.min(1), x.max(1), y.max(1)], axis=1)
+        new[:, [0, 2]] = new[:, [0, 2]].clip(0, w)
+        new[:, [1, 3]] = new[:, [1, 3]].clip(0, h)
+        keep = _box_candidates(boxes.T * s, new.T, area_thr=0.1)
+        labels["bboxes"] = new[keep]
+        labels["cls"] = labels["cls"][keep]
+        if "tags" in labels:
+            labels["tags"] = labels["tags"][keep]
+    labels["img"] = img
+    return labels
+
+
+def mosaic4(items: list[dict], imgsz: int, rng=None) -> dict:
+    """4-image mosaic composition (reference Mosaic:490); tags concatenated like
+    boxes (fork augment.py:846-873)."""
+    rng = rng or np.random.default_rng()
+    s = imgsz
+    yc = int(rng.uniform(s // 2, 2 * s - s // 2))
+    xc = int(rng.uniform(s // 2, 2 * s - s // 2))
+    img4 = np.full((s * 2, s * 2, 3), 114, dtype=np.uint8)
+    cls4, boxes4, tags4 = [], [], []
+    has_tags = "tags" in items[0]
+    for i, it in enumerate(items):
+        img = it["img"]
+        h, w = img.shape[:2]
+        if i == 0:
+            x1a, y1a, x2a, y2a = max(xc - w, 0), max(yc - h, 0), xc, yc
+            x1b, y1b, x2b, y2b = w - (x2a - x1a), h - (y2a - y1a), w, h
+        elif i == 1:
+            x1a, y1a, x2a, y2a = xc, max(yc - h, 0), min(xc + w, s * 2), yc
+            x1b, y1b, x2b, y2b = 0, h - (y2a - y1a), min(w, x2a - x1a), h
+        elif i == 2:
+            x1a, y1a, x2a, y2a = max(xc - w, 0), yc, xc, min(s * 2, yc + h)
+            x1b, y1b, x2b, y2b = w - (x2a - x1a), 0, w, min(y2a - y1a, h)
+        else:
+            x1a, y1a, x2a, y2a = xc, yc, min(xc + w, s * 2), min(s * 2, yc + h)
+            x1b, y1b, x2b, y2b = 0, 0, min(w, x2a - x1a), min(y2a - y1a, h)
+        img4[y1a:y2a, x1a:x2a] = img[y1b:y2b, x1b:x2b]
+        padw, padh = x1a - x1b, y1a - y1b
+        b = it["bboxes"].copy()
+        if len(b):
+            b[:, [0, 2]] += padw
+            b[:, [1, 3]] += padh
+        boxes4.append(b)
+        cls4.append(it["cls"])
+        if has_tags:
+            tags4.append(it["tags"])
+    out = {
+        "img": img4,
+        "cls": np.concatenate(cls4) if cls4 else np.zeros(0),
+        "bboxes": np.concatenate(boxes4) if boxes4 else np.zeros((0, 4)),
+        "mosaic_border": (-s // 2, -s // 2),
+    }
+    if has_tags:
+        out["tags"] = np.concatenate(tags4)
+    out["bboxes"][:, [0, 2]] = out["bboxes"][:, [0, 2]].clip(0, 2 * s)
+    out["bboxes"][:, [1, 3]] = out["bboxes"][:, [1, 3]].clip(0, 2 * s)
+    return out

@@ -1,0 +1,236 @@
+"""Datasets: YOLO-format detection datasets (5-col) + fork's 6-col jde tags,
+plus a synthetic dataset for tests/benchmarks.
+
+Capability parity: ultralytics/data/base.py (BaseDataset:21), data/dataset.py
+(YOLODataset:46, tags :63-117), data/utils.py (verify_image_label :102-173 with
+col-6 person_id tags at :134). Redesigned: labels are padded to a static
+`max_labels` per image at collate time so the whole batch pipeline feeds XLA
+static shapes (reference pads dynamically per-batch via list collate).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from pathlib import Path
+
+import cv2
+import numpy as np
+
+from sar_yolo_tpu.utils import LOGGER, yaml_load
+from .augment import augment_hsv, letterbox, mosaic4, random_flip, random_perspective
+
+IMG_FORMATS = {"bmp", "dng", "jpeg", "jpg", "mpo", "png", "tif", "tiff", "webp", "pfm"}
+
+
+def img2label_paths(img_paths):
+    """images/xxx.jpg -> labels/xxx.txt (ultralytics convention)."""
+    out = []
+    for p in img_paths:
+        p = Path(p)
+        parts = list(p.parts)
+        for i in range(len(parts) - 1, -1, -1):
+            if parts[i] == "images":
+                parts[i] = "labels"
+                break
+        out.append(str(Path(*parts).with_suffix(".txt")))
+    return out
+
+
+def check_det_dataset(data) -> dict:
+    """Parse a dataset yaml: {path, train, val, names, nc, [person_states]}."""
+    d = yaml_load(data) if isinstance(data, (str, Path)) else dict(data)
+    root = Path(d.get("path", Path(data).parent if isinstance(data, (str, Path)) else "."))
+    if not root.is_absolute() and isinstance(data, (str, Path)):
+        root = (Path(data).parent / root).resolve()
+    for split in ("train", "val", "test"):
+        if d.get(split):
+            p = Path(d[split])
+            d[split] = str(p if p.is_absolute() else root / p)
+    names = d.get("names", {})
+    if isinstance(names, list):
+        names = dict(enumerate(names))
+    d["names"] = names
+    d["nc"] = d.get("nc", len(names))
+    return d
+
+
+class YOLODataset:
+    """Detection dataset over an image dir/list file with YOLO txt labels.
+
+    Each label row: `class cx cy w h [person_id]` (normalized). The optional
+    6th column becomes `tags` when use_tags=True (jde task).
+    """
+
+    def __init__(self, img_path, imgsz=640, augment=False, hyp=None, use_tags=False,
+                 max_labels=128, single_cls=False, fraction=1.0, rect=False):
+        self.imgsz = imgsz
+        self.augment = augment
+        self.hyp = hyp
+        self.use_tags = use_tags
+        self.max_labels = max_labels
+        self.single_cls = single_cls
+        self.mosaic_enabled = bool(augment and hyp is not None and getattr(hyp, "mosaic", 0) > 0)
+        self.im_files = self._scan_images(img_path)
+        if fraction < 1.0:
+            self.im_files = self.im_files[: max(1, int(len(self.im_files) * fraction))]
+        self.label_files = img2label_paths(self.im_files)
+        self.labels = [self._load_label(lf) for lf in self.label_files]
+        self.rng = np.random.default_rng(0)
+
+    @staticmethod
+    def _scan_images(img_path):
+        files = []
+        for p in ([img_path] if isinstance(img_path, (str, Path)) else img_path):
+            p = Path(p)
+            if p.is_dir():
+                files += sorted(str(f) for f in p.rglob("*") if f.suffix[1:].lower() in IMG_FORMATS)
+            elif p.is_file() and p.suffix == ".txt":
+                base = p.parent
+                for line in p.read_text().splitlines():
+                    line = line.strip()
+                    if line:
+                        q = Path(line)
+                        files.append(str(q if q.is_absolute() else base / q))
+            elif p.is_file():
+                files.append(str(p))
+        if not files:
+            raise FileNotFoundError(f"No images found in {img_path}")
+        return files
+
+    def _load_label(self, lf):
+        """Read one label txt -> dict(cls (n,), bboxes (n,4) normalized xywh, tags (n,))."""
+        if Path(lf).is_file():
+            rows = []
+            for line in Path(lf).read_text().splitlines():
+                parts = line.split()
+                if len(parts) >= 5:
+                    rows.append([float(x) for x in parts[:6]] + ([0.0] if len(parts) == 5 else []))
+            arr = np.array(rows, np.float32) if rows else np.zeros((0, 6), np.float32)
+        else:
+            arr = np.zeros((0, 6), np.float32)
+        cls = arr[:, 0] if not self.single_cls else np.zeros(len(arr), np.float32)
+        return {"cls": cls, "bboxes": arr[:, 1:5], "tags": arr[:, 5]}
+
+    def __len__(self):
+        return len(self.im_files)
+
+    def _load_item(self, i, target_size=None):
+        """Load image i resized so the long side == target (keeps ratio), labels in pixels xyxy."""
+        img = cv2.imread(self.im_files[i])
+        if img is None:
+            raise FileNotFoundError(self.im_files[i])
+        h0, w0 = img.shape[:2]
+        size = target_size or self.imgsz
+        r = size / max(h0, w0)
+        if r != 1:
+            img = cv2.resize(img, (round(w0 * r), round(h0 * r)), interpolation=cv2.INTER_LINEAR)
+        h, w = img.shape[:2]
+        lb = self.labels[i]
+        boxes = lb["bboxes"].copy()
+        if len(boxes):
+            # normalized xywh -> pixel xyxy at current size
+            cx, cy, bw, bh = boxes[:, 0] * w, boxes[:, 1] * h, boxes[:, 2] * w, boxes[:, 3] * h
+            boxes = np.stack([cx - bw / 2, cy - bh / 2, cx + bw / 2, cy + bh / 2], 1)
+        item = {"img": img, "cls": lb["cls"].copy(), "bboxes": boxes.astype(np.float32)}
+        if self.use_tags:
+            item["tags"] = lb["tags"].copy()
+        return item
+
+    def __getitem__(self, i):
+        hyp = self.hyp
+        if self.augment and self.mosaic_enabled and self.rng.random() < getattr(hyp, "mosaic", 1.0):
+            idxs = [i] + list(self.rng.integers(0, len(self), 3))
+            item = mosaic4([self._load_item(j) for j in idxs], self.imgsz, rng=self.rng)
+            border = item.pop("mosaic_border")
+            item = random_perspective(item, degrees=hyp.degrees, translate=hyp.translate,
+                                      scale=hyp.scale, shear=hyp.shear,
+                                      perspective=hyp.perspective, border=border, rng=self.rng)
+        else:
+            item = self._load_item(i)
+            img, r, (padx, pady) = letterbox(item["img"], self.imgsz, scaleup=self.augment)
+            if len(item["bboxes"]):
+                item["bboxes"] = item["bboxes"] * r
+                item["bboxes"][:, [0, 2]] += padx
+                item["bboxes"][:, [1, 3]] += pady
+            item["img"] = img
+            if self.augment:
+                item = random_perspective(item, degrees=hyp.degrees, translate=hyp.translate,
+                                          scale=hyp.scale, shear=hyp.shear,
+                                          perspective=hyp.perspective, rng=self.rng)
+        if self.augment:
+            augment_hsv(item["img"], hyp.hsv_h, hyp.hsv_s, hyp.hsv_v, rng=self.rng)
+            item = random_flip(item, fliplr=hyp.fliplr, flipud=hyp.flipud, rng=self.rng)
+        return self._format(item)
+
+    def _format(self, item):
+        """To training arrays: img uint8 HWC-RGB, padded labels (normalized xywh)."""
+        img = item["img"]
+        h, w = img.shape[:2]
+        img = np.ascontiguousarray(img[..., ::-1])  # BGR -> RGB
+        M = self.max_labels
+        n = min(len(item["bboxes"]), M)
+        cls = np.zeros(M, np.float32)
+        boxes = np.zeros((M, 4), np.float32)
+        mask = np.zeros(M, np.float32)
+        tags = np.zeros(M, np.float32)
+        if n:
+            b = item["bboxes"][:n]
+            cx = (b[:, 0] + b[:, 2]) / 2 / w
+            cy = (b[:, 1] + b[:, 3]) / 2 / h
+            bw = (b[:, 2] - b[:, 0]) / w
+            bh = (b[:, 3] - b[:, 1]) / h
+            boxes[:n] = np.stack([cx, cy, bw, bh], 1)
+            cls[:n] = item["cls"][:n]
+            mask[:n] = 1.0
+            if self.use_tags:
+                tags[:n] = item["tags"][:n]
+        out = {"img": img, "cls": cls, "bboxes": boxes, "mask": mask}
+        if self.use_tags:
+            out["tags"] = tags
+        return out
+
+
+class SyntheticDataset:
+    """Procedural detection dataset (colored rectangles on noise) for tests/bench.
+
+    Deterministic per index; no downloads needed. Class = color bin.
+    """
+
+    def __init__(self, n=64, imgsz=640, nc=3, max_labels=128, use_tags=False, seed=0):
+        self.n = n
+        self.imgsz = imgsz
+        self.nc = nc
+        self.max_labels = max_labels
+        self.use_tags = use_tags
+        self.seed = seed
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        rng = np.random.default_rng(self.seed * 100003 + i)
+        s = self.imgsz
+        img = (rng.uniform(0, 60, (s, s, 3))).astype(np.uint8)
+        M = self.max_labels
+        n_obj = int(rng.integers(1, 6))
+        cls = np.zeros(M, np.float32)
+        boxes = np.zeros((M, 4), np.float32)
+        mask = np.zeros(M, np.float32)
+        tags = np.zeros(M, np.float32)
+        colors = [(220, 40, 40), (40, 220, 40), (40, 40, 220), (220, 220, 40), (220, 40, 220)]
+        for j in range(n_obj):
+            c = int(rng.integers(0, self.nc))
+            w = rng.uniform(0.1, 0.3) * s
+            h = rng.uniform(0.1, 0.3) * s
+            cx = rng.uniform(w / 2, s - w / 2)
+            cy = rng.uniform(h / 2, s - h / 2)
+            x1, y1, x2, y2 = int(cx - w / 2), int(cy - h / 2), int(cx + w / 2), int(cy + h / 2)
+            img[y1:y2, x1:x2] = colors[c % len(colors)]
+            boxes[j] = [cx / s, cy / s, w / s, h / s]
+            cls[j] = c
+            mask[j] = 1.0
+            tags[j] = j % 4
+        out = {"img": img, "cls": cls, "bboxes": boxes, "mask": mask}
+        if self.use_tags:
+            out["tags"] = tags
+        return out

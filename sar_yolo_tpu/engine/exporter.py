@@ -1,0 +1,103 @@
+"""Exporter: StableHLO / TF SavedModel / TFLite deployment artifacts.
+
+Capability parity with reference Exporter (engine/exporter.py:181, 13 formats).
+TPU-native export story: the canonical portable artifact is **StableHLO**
+(serialized jax.export), which any XLA-based runtime (and IREE) can consume;
+TF SavedModel + TFLite come via jax2tf for the reference's TF-family targets.
+Torch-specific formats (torchscript/engine/ncnn/...) are intentionally not
+replicated — their deployment role is covered by the StableHLO/SavedModel path
+and the C++ client under examples/.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sar_yolo_tpu.ops.decode import decode_detect
+from sar_yolo_tpu.ops.nms import non_max_suppression
+from sar_yolo_tpu.utils import LOGGER
+
+EXPORT_FORMATS = ("stablehlo", "saved_model", "tflite")
+
+
+def export_formats():
+    """Table of supported export formats (mirrors reference export_formats:107)."""
+    return [
+        {"format": "stablehlo", "suffix": ".stablehlo", "args": []},
+        {"format": "saved_model", "suffix": "_saved_model", "args": ["keras"]},
+        {"format": "tflite", "suffix": ".tflite", "args": ["int8"]},
+    ]
+
+
+class Exporter:
+    def __init__(self, args):
+        self.args = args
+
+    def _build_infer_fn(self, model, variables, meta, with_nms: bool):
+        strides = tuple(meta["strides"])
+        nc = meta["nc"]
+        extra_sig = meta.get("state_classes") or 0
+
+        def infer(img):
+            x = img.astype(jnp.float32) / 255.0
+            feats = model.apply(variables, x, train=False)
+            preds = decode_detect(feats, strides, nc, meta["reg_max"], extra_sigmoid=extra_sig)
+            if with_nms:
+                return non_max_suppression(preds, conf_thres=0.25, iou_thres=self.args.iou,
+                                           max_det=self.args.max_det, nc=nc)
+            return preds
+
+        return infer
+
+    def __call__(self, model, variables, meta):
+        fmt = self.args.format
+        imgsz = self.args.imgsz if isinstance(self.args.imgsz, int) else self.args.imgsz[0]
+        batch = 1 if not self.args.dynamic else None
+        out_dir = Path("exports")
+        out_dir.mkdir(exist_ok=True)
+        stem = Path(str(self.args.model or "model")).stem
+        infer = self._build_infer_fn(model, variables, meta, with_nms=self.args.nms)
+        spec_shape = (batch or 1, imgsz, imgsz, 3)
+        t0 = time.time()
+
+        if fmt == "stablehlo":
+            exported = jax.export.export(jax.jit(infer))(
+                jax.ShapeDtypeStruct(spec_shape, jnp.uint8))
+            path = out_dir / f"{stem}.stablehlo"
+            path.write_bytes(exported.serialize())
+            (out_dir / f"{stem}.stablehlo.json").write_text(json.dumps({
+                "input_shape": list(spec_shape), "input_dtype": "uint8",
+                "imgsz": imgsz, "nc": meta["nc"], "task": meta.get("task"),
+                "with_nms": bool(self.args.nms),
+                "output": "(B, max_det, 6+E) dets" if self.args.nms else "(B, N, 4+nc+E) raw preds",
+            }))
+        elif fmt in {"saved_model", "tflite"}:
+            import tensorflow as tf
+            from jax.experimental import jax2tf
+            tf_fn = tf.function(
+                jax2tf.convert(infer, with_gradient=False),
+                input_signature=[tf.TensorSpec(spec_shape, tf.uint8)],
+                autograph=False)
+            module = tf.Module()
+            module.f = tf_fn
+            sm_path = out_dir / f"{stem}_saved_model"
+            tf.saved_model.save(module, str(sm_path))
+            path = sm_path
+            if fmt == "tflite":
+                converter = tf.lite.TFLiteConverter.from_saved_model(str(sm_path))
+                converter.target_spec.supported_ops = [
+                    tf.lite.OpsSet.TFLITE_BUILTINS, tf.lite.OpsSet.SELECT_TF_OPS]
+                tfl = converter.convert()
+                path = out_dir / f"{stem}.tflite"
+                path.write_bytes(tfl)
+        else:
+            raise ValueError(f"Unsupported export format '{fmt}'. "
+                             f"Available: {EXPORT_FORMATS}")
+        LOGGER.info(f"Export complete: {path} ({time.time() - t0:.1f}s)")
+        return str(path)

@@ -1,0 +1,166 @@
+"""YOLO model facade: unified train/val/predict/export API with task routing.
+
+Capability parity with reference Model (engine/model.py:31-1175) and YOLO
+(models/yolo/model.py:10-127) incl. the task_map that routes each task to its
+(Trainer, Validator, Predictor) triple (fork adds 'jde': model.py:63-68).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+
+from sar_yolo_tpu.cfg import get_cfg
+from sar_yolo_tpu.nn.tasks import build_model, init_model
+from sar_yolo_tpu.utils import DEFAULT_CFG_DICT, LOGGER
+from sar_yolo_tpu.utils.checkpoint import is_checkpoint, load_checkpoint
+
+
+class YOLO:
+    """Load a model from yaml (new) or checkpoint dir (trained) and run any mode.
+
+    Examples:
+        >>> m = YOLO("yolov8n.yaml")
+        >>> m.train(data="coco128.yaml", epochs=1)
+        >>> m = YOLO("runs/detect/exp/weights/best")
+        >>> results = m.predict("image.jpg")
+    """
+
+    def __init__(self, model="yolov8n.yaml", task: str | None = None, verbose: bool = False):
+        self.overrides: dict = {}
+        self.variables = None
+        self.trainer = None
+        self.metrics = None
+        if is_checkpoint(model):
+            self._load(model, task)
+        else:
+            self._new(model, task)
+
+    def _new(self, cfg, task):
+        self.model, self.meta = build_model(cfg)
+        self.task = task or self.meta["task"]
+        self.cfg = str(cfg)
+        self.ckpt_dir = None
+        self.overrides["model"] = str(cfg)
+        self.overrides["task"] = self.task
+
+    def _load(self, ckpt_dir, task):
+        payload, metadata = load_checkpoint(ckpt_dir)
+        self.model, self.meta = build_model(metadata["model_yaml"], nc=metadata.get("nc"))
+        self.meta["strides"] = metadata.get("strides") or self.meta.get("strides")
+        self.task = task or metadata.get("task") or self.meta["task"]
+        self.variables = {"params": payload["ema_params"] or payload["params"],
+                          "batch_stats": payload["batch_stats"]}
+        self.ckpt_dir = str(ckpt_dir)
+        train_args = metadata.get("train_args", {})
+        self.overrides = {k: v for k, v in train_args.items()
+                          if k in DEFAULT_CFG_DICT and v != DEFAULT_CFG_DICT.get(k)}
+        self.overrides["model"] = train_args.get("model", "yolov8n.yaml")
+        self.overrides["task"] = self.task
+
+    # ------------------------------------------------------------------ modes
+    @property
+    def task_map(self) -> dict:
+        from sar_yolo_tpu.engine.predictor import DetectionPredictor, JDEPredictor
+        from sar_yolo_tpu.engine.trainer import BaseTrainer, DetectionTrainer, JDETrainer
+        from sar_yolo_tpu.engine.validator import DetectionValidator, JDEValidator
+        return {
+            "detect": {"trainer": DetectionTrainer, "validator": DetectionValidator,
+                       "predictor": DetectionPredictor},
+            "jde": {"trainer": JDETrainer, "validator": JDEValidator,
+                    "predictor": JDEPredictor},
+            # pose/segment/obb trainers land with their loss heads; detection
+            # machinery runs their shared box path meanwhile
+            "pose": {"trainer": DetectionTrainer, "validator": DetectionValidator,
+                     "predictor": DetectionPredictor},
+            "segment": {"trainer": DetectionTrainer, "validator": DetectionValidator,
+                        "predictor": DetectionPredictor},
+            "obb": {"trainer": DetectionTrainer, "validator": DetectionValidator,
+                    "predictor": DetectionPredictor},
+        }
+
+    def _ensure_variables(self, imgsz=640):
+        if self.variables is None:
+            variables = init_model(self.model, self.meta, jax.random.PRNGKey(0), imgsz=imgsz)
+            self.variables = {"params": variables["params"],
+                              "batch_stats": variables.get("batch_stats", {})}
+
+    def train(self, **kwargs):
+        overrides = {**self.overrides, **kwargs, "mode": "train"}
+        trainer_cls = self.task_map[self.task]["trainer"]
+        self.trainer = trainer_cls(overrides=overrides)
+        self.metrics = self.trainer.train()
+        # adopt the trained model graph (nc may differ from the yaml default) + weights
+        self.model = self.trainer.model
+        self.variables = {"params": jax.device_get(self.trainer.state.ema_params),
+                          "batch_stats": jax.device_get(self.trainer.state.batch_stats)}
+        self.meta = self.trainer.meta
+        self.meta["names"] = self.trainer.data.get("names")
+        self.ckpt_dir = str(self.trainer.wdir / "best")
+        return self.metrics
+
+    def val(self, **kwargs):
+        overrides = {**self.overrides, **kwargs, "mode": "val"}
+        args = get_cfg(overrides=overrides)
+        self._ensure_variables(args.imgsz)
+        validator = self.task_map[self.task]["validator"]()
+        from sar_yolo_tpu.data import SyntheticDataset, YOLODataset, check_det_dataset
+        use_tags = self.task == "jde"
+        if args.data in (None, "synthetic"):
+            data = {"nc": self.meta["nc"], "names": {i: f"c{i}" for i in range(self.meta["nc"])}}
+            dataset = SyntheticDataset(n=16, imgsz=args.imgsz, nc=min(self.meta["nc"], 3),
+                                       max_labels=args.max_labels, use_tags=use_tags)
+        else:
+            data = check_det_dataset(args.data)
+            split = data.get(args.split) or data.get("val") or data["train"]
+            dataset = YOLODataset(split, imgsz=args.imgsz, augment=False, hyp=args,
+                                  use_tags=use_tags, max_labels=args.max_labels)
+        self.metrics = validator(model=self.model, variables=self.variables, meta=self.meta,
+                                 dataset=dataset, args=args, data=data)
+        return self.metrics
+
+    def predict(self, source, stream: bool = False, **kwargs):
+        overrides = {**self.overrides, **kwargs, "mode": "predict"}
+        if "conf" not in overrides:
+            overrides["conf"] = 0.25
+        args = get_cfg(overrides=overrides)
+        self._ensure_variables(args.imgsz if isinstance(args.imgsz, int) else args.imgsz[0])
+        predictor_cls = self.task_map[self.task]["predictor"]
+        names = self.meta.get("names") or {i: f"c{i}" for i in range(self.meta["nc"])}
+        predictor = predictor_cls(self.model, self.variables, self.meta, args, names)
+        return predictor(source, stream=stream)
+
+    def __call__(self, source, **kwargs):
+        return self.predict(source, **kwargs)
+
+    def track(self, source, **kwargs):
+        """Predict + multi-object tracking (ByteTrack/BoT-SORT)."""
+        from sar_yolo_tpu.trackers import track_results
+        results = self.predict(source, stream=False, **kwargs)
+        return track_results(results, tracker=kwargs.get("tracker", "bytetrack.yaml"))
+
+    def export(self, **kwargs):
+        from sar_yolo_tpu.engine.exporter import Exporter
+        overrides = {**self.overrides, **kwargs, "mode": "export"}
+        args = get_cfg(overrides=overrides)
+        self._ensure_variables(args.imgsz if isinstance(args.imgsz, int) else args.imgsz[0])
+        return Exporter(args)(self.model, self.variables, self.meta)
+
+    def benchmark(self, **kwargs):
+        from sar_yolo_tpu.utils.benchmarks import benchmark
+        return benchmark(self, **kwargs)
+
+    @property
+    def names(self):
+        return self.meta.get("names") or {i: f"c{i}" for i in range(self.meta["nc"])}
+
+    def info(self, verbose=True):
+        import numpy as np
+        self._ensure_variables()
+        n = int(sum(np.prod(p.shape) for p in jax.tree.leaves(self.variables["params"])))
+        s = f"{type(self).__name__} task={self.task} params={n:,} strides={self.meta.get('strides')}"
+        if verbose:
+            LOGGER.info(s)
+        return s

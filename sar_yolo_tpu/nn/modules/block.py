@@ -220,12 +220,16 @@ def area_attention(q, k, v, num_heads: int, area: int):
 class AAttn(nn.Module):
     """Area-attention: local attention within `area` spatial chunks + conv position bias.
 
-    Reference: ultralytics/nn/modules/block.py:1213 (AAttn).
+    Reference: ultralytics/nn/modules/block.py:1213 (AAttn). On TPU the attention
+    runs through the Pallas flash kernel (ops/pallas/flash_attention.py) — the
+    TPU-native replacement for the CUDA flash_attn dependency; einsum fallback
+    elsewhere (identical math, tested to 1e-6).
     """
 
     dim: int
     num_heads: int
     area: int = 1
+    use_flash: bool | None = None  # None = auto (TPU backend)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -237,7 +241,13 @@ class AAttn(nn.Module):
         pe = Conv(C, 5, 1, 2, g=C, act=False, dtype=self.dtype, name="pe")(v, train)
         qk = qk.reshape(B, N, 2 * C)
         q, k = qk[..., :C], qk[..., C:]
-        out = area_attention(q, k, v.reshape(B, N, C), self.num_heads, self.area)
+        use_flash = (jax.default_backend() == "tpu") if self.use_flash is None else self.use_flash
+        if use_flash:
+            from sar_yolo_tpu.ops.pallas import flash_area_attention
+            out = flash_area_attention(q, k, v.reshape(B, N, C), self.num_heads,
+                                       self.area, interpret=False)
+        else:
+            out = area_attention(q, k, v.reshape(B, N, C), self.num_heads, self.area)
         out = out.reshape(B, H, W, C) + pe
         return Conv(C, 1, act=False, dtype=self.dtype, name="proj")(out, train)
 

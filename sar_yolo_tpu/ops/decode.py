@@ -1,0 +1,55 @@
+"""Prediction decode: raw head maps -> (B, N, 4 + nc + E) detections.
+
+Functional equivalent of Detect._inference / JDE._inference
+(reference nn/modules/head.py:100-131, 214-249): DFL softmax-expectation decode,
+dist2bbox around anchor points, stride scaling, sigmoid on class (and state)
+channels. Pure jnp — composes into one jit with the forward pass and NMS.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .boxes import dfl_decode, dist2bbox, make_anchors
+
+
+def flatten_feats(feats):
+    """[(B,H,W,C), ...] -> (B, sum(H*W), C) plus [(H,W), ...]."""
+    hw = [(f.shape[1], f.shape[2]) for f in feats]
+    B = feats[0].shape[0]
+    C = feats[0].shape[-1]
+    flat = jnp.concatenate([f.reshape(B, -1, C) for f in feats], axis=1)
+    return flat, hw
+
+
+def decode_detect(feats, strides, nc: int, reg_max: int = 16, extra_sigmoid: int = 0):
+    """Decode detection head output.
+
+    Args:
+        feats: list of per-level (B, H, W, 4*reg_max + nc + E) maps.
+        strides: per-level stride ints.
+        nc: class count.
+        extra_sigmoid: number of trailing extra channels to sigmoid (JDE states);
+            extra channels before those (embeddings) pass through raw.
+
+    Returns:
+        (B, N, 4 + nc + E): xywh boxes in input pixels, sigmoided class scores,
+        extras (raw embeddings, sigmoided states).
+    """
+    x, hw = flatten_feats(feats)
+    anchors, stride_t = make_anchors(hw, strides)
+    box = x[..., : 4 * reg_max]
+    cls = x[..., 4 * reg_max: 4 * reg_max + nc]
+    extras = x[..., 4 * reg_max + nc:]
+
+    dist = dfl_decode(box, reg_max)
+    dbox = dist2bbox(dist, anchors[None], xywh=True) * stride_t[None, :, :]
+    parts = [dbox, jax.nn.sigmoid(cls)]
+    if extras.shape[-1]:
+        if extra_sigmoid:
+            parts.append(extras[..., :-extra_sigmoid])
+            parts.append(jax.nn.sigmoid(extras[..., -extra_sigmoid:]))
+        else:
+            parts.append(extras)
+    return jnp.concatenate(parts, axis=-1)

@@ -1,0 +1,271 @@
+"""Training losses: v8 detection (BCE + CIoU + DFL) and v13 JDE (+ triplet embedding
++ class-balanced focal state loss).
+
+Semantics parity with reference ultralytics/utils/loss.py (v8DetectionLoss:255,
+BboxLoss:189, DFLoss:163, v13JDELoss:360, MetricLearningLoss:19-112). Redesigned
+for XLA: every reduction is a masked sum over static shapes — no boolean
+indexing, no data-dependent shapes, no host sync. The fork's class-balanced EMA
+state counts become explicit functional state threaded through the train step.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from sar_yolo_tpu.ops.boxes import bbox2dist, bbox_iou, dfl_decode, dist2bbox, make_anchors, xywh2xyxy
+from sar_yolo_tpu.ops.decode import flatten_feats
+from sar_yolo_tpu.utils.tal import task_aligned_assigner
+
+
+def _bce_logits(logits, targets):
+    """Elementwise binary cross-entropy on logits (== torch BCEWithLogitsLoss none)."""
+    return jnp.maximum(logits, 0) - logits * targets + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+
+
+def _df_loss(pred_dist, target, reg_max: int):
+    """Distribution focal loss per anchor (reference DFLoss:163).
+
+    pred_dist: (..., 4, reg_max) logits; target: (..., 4) continuous in [0, reg_max-1).
+    Returns (...,) mean over the 4 sides.
+    """
+    target = jnp.clip(target, 0, reg_max - 1 - 0.01)
+    tl = jnp.floor(target).astype(jnp.int32)
+    tr = tl + 1
+    wl = tr.astype(target.dtype) - target
+    wr = 1.0 - wl
+    logp = jax.nn.log_softmax(pred_dist.astype(jnp.float32), axis=-1)
+    ce_l = -jnp.take_along_axis(logp, tl[..., None], axis=-1).squeeze(-1)
+    ce_r = -jnp.take_along_axis(logp, jnp.clip(tr, 0, reg_max - 1)[..., None], axis=-1).squeeze(-1)
+    return (ce_l * wl + ce_r * wr).mean(-1)
+
+
+class DetLossOut(NamedTuple):
+    total: jnp.ndarray
+    items: jnp.ndarray  # (3,) box, cls, dfl (detached component values)
+
+
+def detection_loss(feats, batch, hyp, *, nc: int, reg_max: int, strides, tal_topk: int = 10):
+    """v8 detection loss over padded targets.
+
+    Args:
+        feats: list of per-level (B, H, W, 4*reg_max + nc) raw head maps.
+        batch: dict with
+            'cls'    (B, M) float/int class ids
+            'bboxes' (B, M, 4) normalized xywh in [0,1]
+            'mask'   (B, M) validity
+        hyp: namespace with box/cls/dfl gains.
+
+    Returns DetLossOut(total scaled by batch size, per-part values).
+    """
+    x, hw = flatten_feats(feats)
+    B, N, _ = x.shape
+    pred_distri = x[..., : 4 * reg_max].astype(jnp.float32)
+    pred_scores = x[..., 4 * reg_max: 4 * reg_max + nc].astype(jnp.float32)
+
+    anchor_points, stride_t = make_anchors(hw, strides)
+    imgsz_h = hw[0][0] * strides[0]
+    imgsz_w = hw[0][1] * strides[0]
+    scale = jnp.array([imgsz_w, imgsz_h, imgsz_w, imgsz_h], jnp.float32)
+
+    gt_labels = batch["cls"].astype(jnp.int32)
+    gt_bboxes = xywh2xyxy(batch["bboxes"].astype(jnp.float32) * scale)
+    mask_gt = batch["mask"].astype(jnp.float32) * (gt_bboxes.sum(-1) > 0)
+
+    pred_dist4 = pred_distri.reshape(B, N, 4, reg_max)
+    pred_bboxes = dist2bbox(dfl_decode(pred_distri, reg_max), anchor_points[None], xywh=False)
+
+    assign = task_aligned_assigner(
+        jax.lax.stop_gradient(jax.nn.sigmoid(pred_scores)),
+        jax.lax.stop_gradient(pred_bboxes) * stride_t[None],
+        anchor_points * stride_t,
+        gt_labels, gt_bboxes, mask_gt,
+        topk=tal_topk, num_classes=nc, alpha=0.5, beta=6.0)
+
+    target_scores = assign.target_scores
+    target_scores_sum = jnp.maximum(target_scores.sum(), 1.0)
+    fg = assign.fg_mask.astype(jnp.float32)
+
+    # cls: BCE over all anchors
+    loss_cls = _bce_logits(pred_scores, target_scores).sum() / target_scores_sum
+
+    # box: CIoU weighted by assigned score, fg only
+    target_bboxes = assign.target_bboxes / stride_t[None]
+    weight = target_scores.sum(-1) * fg
+    iou = bbox_iou(pred_bboxes, target_bboxes, xywh=False, CIoU=True).squeeze(-1)
+    loss_box = ((1.0 - iou) * weight).sum() / target_scores_sum
+
+    # dfl
+    target_ltrb = bbox2dist(anchor_points[None], target_bboxes, reg_max - 1)
+    loss_dfl = (_df_loss(pred_dist4, target_ltrb, reg_max) * weight).sum() / target_scores_sum
+
+    items = jnp.stack([loss_box * hyp.box, loss_cls * hyp.cls, loss_dfl * hyp.dfl])
+    return DetLossOut(items.sum() * B, jax.lax.stop_gradient(items))
+
+
+# ---------------------------------------------------------------------------
+# JDE: detection + metric-learning embedding + class-balanced focal state loss
+# ---------------------------------------------------------------------------
+
+
+def triplet_embedding_loss(embeds, tags, conf, valid, *, margin: float = 0.075,
+                           conf_fraction: float = 0.5):
+    """Hard-positive / semi-hard-negative triplet loss over fixed-size candidates.
+
+    Matches the reference mining strategy (MetricLearningLoss:19 with
+    BatchEasyHardMiner(pos='hard', neg='semihard') + top-50%-confidence gating)
+    in fixed shapes: K candidates, masked pairwise distances.
+
+    Args:
+        embeds: (K, D) candidate embeddings (already gathered fg/top-conf).
+        tags:   (K,) int person ids.
+        conf:   (K,) detection confidence of each candidate.
+        valid:  (K,) candidate validity mask.
+    """
+    K = embeds.shape[0]
+    keep = max(1, int(conf_fraction * K))
+    # keep top-`keep` by confidence among valid
+    conf_m = jnp.where(valid, conf, -1.0)
+    thresh = jax.lax.top_k(conf_m, keep)[0][-1]
+    sel = valid & (conf_m >= thresh)
+
+    sq = jnp.sum((embeds[:, None, :] - embeds[None, :, :]) ** 2, -1)
+    # safe sqrt: zero-distance pairs (diagonal, collapsed embeddings) get zero
+    # gradient instead of the 1/sqrt(eps) explosion
+    d = jnp.sqrt(jnp.where(sq > 1e-9, sq, 1e-9))
+    same = (tags[:, None] == tags[None, :])
+    pair_ok = sel[:, None] & sel[None, :]
+    eye = jnp.eye(K, dtype=bool)
+
+    pos_mask = same & ~eye & pair_ok
+    neg_mask = ~same & pair_ok
+
+    BIG = 1e9
+    hard_pos = jnp.max(jnp.where(pos_mask, d, -BIG), axis=1)           # (K,)
+    has_pos = pos_mask.any(axis=1)
+    neg_d = jnp.where(neg_mask, d, BIG)
+    semi = neg_d > hard_pos[:, None]
+    semi_min = jnp.min(jnp.where(semi, neg_d, BIG), axis=1)
+    any_semi = (jnp.where(semi & neg_mask, 1, 0).sum(axis=1)) > 0
+    hard_neg = jnp.where(any_semi, semi_min, jnp.min(neg_d, axis=1))
+    has_neg = neg_mask.any(axis=1)
+
+    anchor_ok = sel & has_pos & has_neg
+    per_anchor = jnp.maximum(hard_pos - hard_neg + margin, 0.0)
+    denom = jnp.maximum(anchor_ok.sum(), 1)
+    return jnp.where(anchor_ok, per_anchor, 0.0).sum() / denom
+
+
+class JDELossOut(NamedTuple):
+    total: jnp.ndarray
+    items: jnp.ndarray        # (5,) box, cls, dfl, emb, state
+    cb_counts: jnp.ndarray    # updated class-balanced EMA counts (state_classes,)
+
+
+def jde_loss_components(feats, batch, hyp, *, nc: int, reg_max: int, strides,
+                        embed_dim: int, state_classes: int, cb_counts,
+                        tal_topk: int = 10, triplet_k: int = 128):
+    """Raw (ungained) JDE loss components; see jde_loss."""
+    x, hw = flatten_feats(feats)
+    B, N, _ = x.shape
+    c0 = 4 * reg_max
+    pred_distri = x[..., :c0].astype(jnp.float32)
+    pred_scores = x[..., c0:c0 + nc].astype(jnp.float32)
+    pred_embeds = x[..., c0 + nc:c0 + nc + embed_dim].astype(jnp.float32)
+    pred_states = x[..., c0 + nc + embed_dim:].astype(jnp.float32)
+
+    anchor_points, stride_t = make_anchors(hw, strides)
+    imgsz_h = hw[0][0] * strides[0]
+    imgsz_w = hw[0][1] * strides[0]
+    scale = jnp.array([imgsz_w, imgsz_h, imgsz_w, imgsz_h], jnp.float32)
+
+    gt_labels = batch["cls"].astype(jnp.int32)
+    gt_bboxes = xywh2xyxy(batch["bboxes"].astype(jnp.float32) * scale)
+    mask_gt = batch["mask"].astype(jnp.float32) * (gt_bboxes.sum(-1) > 0)
+    gt_tags = batch["tags"].astype(jnp.int32)
+
+    pred_dist4 = pred_distri.reshape(B, N, 4, reg_max)
+    pred_bboxes = dist2bbox(dfl_decode(pred_distri, reg_max), anchor_points[None], xywh=False)
+
+    assign = task_aligned_assigner(
+        jax.lax.stop_gradient(jax.nn.sigmoid(pred_scores)),
+        jax.lax.stop_gradient(pred_bboxes) * stride_t[None],
+        anchor_points * stride_t,
+        gt_labels, gt_bboxes, mask_gt, gt_tags,
+        topk=tal_topk, num_classes=nc, alpha=0.5, beta=6.0)
+
+    target_scores = assign.target_scores
+    tss = jnp.maximum(target_scores.sum(), 1.0)
+    fg = assign.fg_mask.astype(jnp.float32)
+
+    loss_cls = _bce_logits(pred_scores, target_scores).sum() / tss
+
+    target_bboxes = assign.target_bboxes / stride_t[None]
+    weight = target_scores.sum(-1) * fg
+    iou = bbox_iou(pred_bboxes, target_bboxes, xywh=False, CIoU=True).squeeze(-1)
+    loss_box = ((1.0 - iou) * weight).sum() / tss
+    target_ltrb = bbox2dist(anchor_points[None], target_bboxes, reg_max - 1)
+    loss_dfl = (_df_loss(pred_dist4, target_ltrb, reg_max) * weight).sum() / tss
+
+    # ---- embedding triplet loss on fg anchors, top-conf gated, fixed K candidates
+    conf_all = (jax.nn.sigmoid(pred_scores).max(-1) * fg).reshape(-1)   # (B*N,)
+    k = min(triplet_k, conf_all.shape[0])
+    top_conf, top_idx = jax.lax.top_k(conf_all, k)
+    emb_flat = pred_embeds.reshape(-1, embed_dim)[top_idx]
+    tag_flat = assign.target_tags.reshape(-1)[top_idx]
+    valid = top_conf > 0
+    loss_emb = triplet_embedding_loss(emb_flat, tag_flat, top_conf, valid)
+
+    # ---- state loss: focal CE with class-balanced EMA weights over fg anchors
+    # (reference uses target tags clamped into state range as state labels)
+    st_target = jnp.clip(assign.target_tags, 0, state_classes - 1)
+    onehot = jax.nn.one_hot(st_target, state_classes, dtype=jnp.float32)
+    logp = jax.nn.log_softmax(pred_states, axis=-1)
+    ce = -(onehot * logp).sum(-1)                                       # (B, N)
+    p_t = jnp.exp(-ce)
+    gamma = getattr(hyp, "state_focal_gamma", 2.0)
+    focal_w = (1.0 - p_t) ** gamma
+
+    use_cb = getattr(hyp, "use_state_cb", True)
+    cb_beta = getattr(hyp, "state_cb_beta", 0.999)
+    batch_counts = (onehot * fg[..., None]).sum((0, 1))                 # (state_classes,)
+    new_counts = cb_beta * cb_counts + (1.0 - cb_beta) * batch_counts
+    if use_cb:
+        eps = 1e-8
+        # 1 - beta^n computed as -expm1(n*log(beta)): exact for tiny n, and immune
+        # to the XLA reassociation (1.0 + eps) - pow(...) that collapses to 0 in f32
+        one_minus_beta_n = -jnp.expm1(new_counts * jnp.log(cb_beta))
+        cb_w = (1.0 - cb_beta) / jnp.maximum(one_minus_beta_n, eps)
+        cb_w = cb_w / (cb_w.mean() + eps)
+        sample_w = (onehot * cb_w[None, None, :]).sum(-1)
+    else:
+        sample_w = jnp.ones_like(ce)
+    n_fg = jnp.maximum(fg.sum(), 1.0)
+    loss_state = (sample_w * focal_w * ce * fg).sum() / n_fg
+
+    return {"box": loss_box, "cls": loss_cls, "dfl": loss_dfl, "emb": loss_emb,
+            "state": loss_state, "cb_counts": new_counts, "batch_size": B}
+
+
+def jde_loss(feats, batch, hyp, *, nc: int, reg_max: int, strides, embed_dim: int,
+             state_classes: int, cb_counts, tal_topk: int = 10,
+             triplet_k: int = 128):
+    """v13 JDE loss: box + cls + dfl + triplet embedding + CB-focal state.
+
+    batch additionally carries 'tags' (B, M) person ids; padded rows tag 0.
+    cb_counts: (state_classes,) EMA class-sample counts (functional state).
+    """
+    c = jde_loss_components(feats, batch, hyp, nc=nc, reg_max=reg_max, strides=strides,
+                            embed_dim=embed_dim, state_classes=state_classes,
+                            cb_counts=cb_counts, tal_topk=tal_topk, triplet_k=triplet_k)
+    items = jnp.stack([
+        c["box"] * hyp.box,
+        c["cls"] * hyp.cls,
+        c["dfl"] * hyp.dfl,
+        c["emb"] * getattr(hyp, "clr", 0.5),
+        c["state"] * getattr(hyp, "state", 1.0),
+    ])
+    return JDELossOut(items.sum() * c["batch_size"], jax.lax.stop_gradient(items),
+                      jax.lax.stop_gradient(c["cb_counts"]))

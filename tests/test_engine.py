@@ -1,0 +1,118 @@
+"""End-to-end engine tests: train/val/predict/resume + SPMD mesh + tracking.
+
+Replaces the reference's engine tests (tests/test_engine.py) and its GPU-gated
+DDP tests (test_cli.py:110) with CPU-mesh SPMD coverage that runs everywhere.
+"""
+
+import numpy as np
+import pytest
+
+from sar_yolo_tpu import YOLO
+
+
+def _train_kwargs(tmp_path, **kw):
+    base = dict(data="synthetic", epochs=1, imgsz=64, batch=4, workers=1,
+                project=str(tmp_path), name="t", exist_ok=True, max_labels=16,
+                mesh_shape=[1], plots=False)
+    base.update(kw)
+    return base
+
+
+@pytest.mark.slow
+def test_detect_train_val_predict(tmp_path):
+    m = YOLO("tinydet.yaml")
+    metrics = m.train(**_train_kwargs(tmp_path, epochs=2))
+    assert "train/box" in metrics and np.isfinite(metrics["train/box"])
+    assert "metrics/mAP50-95(B)" in metrics
+
+    img = np.full((96, 128, 3), 30, np.uint8)
+    img[20:60, 30:90] = (220, 40, 40)
+    res = m.predict(img, imgsz=64)
+    assert len(res) == 1
+    assert res[0].boxes is not None
+    # checkpoint reload round-trip
+    m2 = YOLO(str(m.trainer.wdir / "best"))
+    res2 = m2.predict(img, imgsz=64)
+    assert len(res2) == 1
+
+
+@pytest.mark.slow
+def test_jde_train_and_predict(tmp_path):
+    m = YOLO("tinyjde.yaml")
+    metrics = m.train(**_train_kwargs(tmp_path, epochs=1))
+    assert "train/emb" in metrics and "train/state" in metrics
+    img = np.full((64, 64, 3), 30, np.uint8)
+    img[10:50, 10:50] = (220, 40, 40)
+    res = m.predict(img, imgsz=64)
+    r = res[0]
+    if len(r) > 0:
+        assert r.embeds is not None and r.embeds.shape[1] == 32
+        assert r.person_states is not None
+
+
+@pytest.mark.slow
+def test_spmd_8device_mesh(tmp_path):
+    """Data-parallel train step over the full 8-device virtual CPU mesh."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    m = YOLO("tinydet.yaml")
+    metrics = m.train(**_train_kwargs(tmp_path, imgsz=32, batch=8, mesh_shape=[8],
+                                      val=False))
+    assert np.isfinite(metrics["train/cls"])
+
+
+@pytest.mark.slow
+def test_resume(tmp_path):
+    m = YOLO("tinydet.yaml")
+    m.train(**_train_kwargs(tmp_path, epochs=1, val=False))
+    ckpt = m.trainer.wdir / "last"
+    m2 = YOLO("tinydet.yaml")
+    m2.train(**_train_kwargs(tmp_path, epochs=2, val=False, resume=str(ckpt)))
+    assert m2.trainer.epoch >= 1
+
+
+def test_bytetrack_sequence():
+    from sar_yolo_tpu.trackers.byte_tracker import BYTETracker
+    trk = BYTETracker(new_track_thresh=0.5)
+    ids_seen = []
+    for t in range(5):
+        dets = np.array([
+            [10 + 2 * t, 10, 40 + 2 * t, 60, 0.9, 0.0],
+            [100, 100 + 3 * t, 140, 160 + 3 * t, 0.8, 0.0],
+        ], np.float32)
+        out = trk.update(dets)
+        if t > 0:
+            assert out.shape[1] == 7
+            ids_seen.append(sorted(out[:, 6].tolist()))
+    # both tracks persist with stable ids
+    assert len(ids_seen[-1]) == 2
+    assert ids_seen[0] == ids_seen[-1]
+
+
+def test_botsort_with_embeddings():
+    from sar_yolo_tpu.trackers.bot_sort import BOTSORT
+    rng = np.random.default_rng(0)
+    f1, f2 = rng.normal(0, 1, 32), rng.normal(0, 1, 32)
+    trk = BOTSORT(new_track_thresh=0.5)
+    for t in range(4):
+        dets = np.array([
+            [10 + 2 * t, 10, 40 + 2 * t, 60, 0.9, 0.0],
+            [100, 100 + 3 * t, 140, 160 + 3 * t, 0.8, 0.0],
+        ], np.float32)
+        out = trk.update(dets, extras=np.stack([f1, f2]))
+    assert out.shape == (2, 7)
+
+
+def test_graft_entry_single():
+    import __graft_entry__ as ge
+    import jax
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape[0] == 1 and out.shape[2] >= 6
+
+
+@pytest.mark.slow
+def test_graft_dryrun_multichip():
+    import __graft_entry__ as ge
+    ge.dryrun_multichip(4)

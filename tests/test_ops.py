@@ -111,3 +111,20 @@ def test_nms_carries_extras():
     assert np.isclose(out[0, 0, 4], 0.9)
     assert np.allclose(out[0, 0, 6:], [0.5, -0.25])
     assert np.all(out[0, 1:, 4] == 0)
+
+
+def test_flash_area_attention_matches_einsum():
+    """Pallas flash kernel (interpret mode) vs einsum reference."""
+    import jax
+    from sar_yolo_tpu.nn.modules.block import area_attention
+    from sar_yolo_tpu.ops.pallas import flash_area_attention
+
+    key = jax.random.PRNGKey(0)
+    for B, N, C, H, area in [(2, 64, 64, 2, 1), (2, 256, 64, 2, 4), (1, 100, 32, 1, 1)]:
+        ks = jax.random.split(key, 3)
+        q = jax.random.normal(ks[0], (B, N, C))
+        k = jax.random.normal(ks[1], (B, N, C))
+        v = jax.random.normal(ks[2], (B, N, C))
+        ref = area_attention(q, k, v, H, area)
+        got = flash_area_attention(q, k, v, H, area, interpret=True)
+        assert float(jnp.abs(ref - got).max()) < 1e-4
