@@ -51,12 +51,14 @@ def main():
     rng = np.random.default_rng(0)
     for B in batches:
         img = jnp.asarray(rng.integers(0, 255, (B, imgsz, imgsz, 3), dtype=np.uint8))
-        out = jax.block_until_ready(e2e(variables, img))  # compile
+        out = jax.device_get(e2e(variables, img))  # compile + settle
         n_iter = 20 if on_tpu else 2
         t0 = time.perf_counter()
         for _ in range(n_iter):
-            out = e2e(variables, img)
-        jax.block_until_ready(out)
+            # force a real device->host fetch each call: under the remote-device
+            # tunnel block_until_ready returns before execution completes, so a
+            # scalar fetch is the only reliable completion barrier
+            float(jnp.sum(e2e(variables, img)))
         dt = time.perf_counter() - t0
         ips = B * n_iter / dt
         best = max(best, ips)

@@ -62,14 +62,20 @@ class YOLODataset:
     """
 
     def __init__(self, img_path, imgsz=640, augment=False, hyp=None, use_tags=False,
-                 max_labels=128, single_cls=False, fraction=1.0, rect=False):
+                 max_labels=128, single_cls=False, fraction=1.0, rect=False,
+                 task="detect", kpt_shape=(17, 3)):
         self.imgsz = imgsz
         self.augment = augment
         self.hyp = hyp
-        self.use_tags = use_tags
+        self.use_tags = use_tags or task == "jde"
         self.max_labels = max_labels
         self.single_cls = single_cls
-        self.mosaic_enabled = bool(augment and hyp is not None and getattr(hyp, "mosaic", 0) > 0)
+        self.task = task
+        self.kpt_shape = tuple(kpt_shape)
+        # pose/segment geometry augments need kpt/polygon transforms — letterbox-only
+        # until those land (mosaic stays on for detect/jde)
+        self.mosaic_enabled = bool(augment and hyp is not None and getattr(hyp, "mosaic", 0) > 0
+                                   and task in ("detect", "jde"))
         self.im_files = self._scan_images(img_path)
         if fraction < 1.0:
             self.im_files = self.im_files[: max(1, int(len(self.im_files) * fraction))]
@@ -98,18 +104,49 @@ class YOLODataset:
         return files
 
     def _load_label(self, lf):
-        """Read one label txt -> dict(cls (n,), bboxes (n,4) normalized xywh, tags (n,))."""
+        """Read one label txt -> dict(cls, bboxes normalized xywh, tags[, keypoints, polygons]).
+
+        Formats (all normalized, reference data/utils.py:102-173):
+          detect: class cx cy w h
+          jde:    class cx cy w h person_id          (fork 6-column)
+          pose:   class cx cy w h x1 y1 v1 ... xK yK vK
+          segment: class x1 y1 x2 y2 ... (polygon -> bbox + rasterized mask)
+        """
+        lines = []
         if Path(lf).is_file():
-            rows = []
-            for line in Path(lf).read_text().splitlines():
-                parts = line.split()
-                if len(parts) >= 5:
-                    rows.append([float(x) for x in parts[:6]] + ([0.0] if len(parts) == 5 else []))
-            arr = np.array(rows, np.float32) if rows else np.zeros((0, 6), np.float32)
-        else:
-            arr = np.zeros((0, 6), np.float32)
-        cls = arr[:, 0] if not self.single_cls else np.zeros(len(arr), np.float32)
-        return {"cls": cls, "bboxes": arr[:, 1:5], "tags": arr[:, 5]}
+            lines = [ln.split() for ln in Path(lf).read_text().splitlines() if ln.strip()]
+        K, kd = self.kpt_shape
+        cls, boxes, tags, kpts, polys = [], [], [], [], []
+        for parts in lines:
+            vals = [float(x) for x in parts]
+            if self.task == "segment" and len(vals) > 5 and (len(vals) - 1) % 2 == 0:
+                poly = np.array(vals[1:], np.float32).reshape(-1, 2)
+                x1, y1 = poly.min(0)
+                x2, y2 = poly.max(0)
+                boxes.append([(x1 + x2) / 2, (y1 + y2) / 2, x2 - x1, y2 - y1])
+                polys.append(poly)
+                cls.append(vals[0])
+                tags.append(0.0)
+            elif self.task == "pose" and len(vals) >= 5 + K * kd:
+                cls.append(vals[0])
+                boxes.append(vals[1:5])
+                kpts.append(np.array(vals[5:5 + K * kd], np.float32).reshape(K, kd))
+                tags.append(0.0)
+            elif len(vals) >= 5:
+                cls.append(vals[0])
+                boxes.append(vals[1:5])
+                tags.append(vals[5] if len(vals) > 5 else 0.0)
+        n = len(cls)
+        out = {
+            "cls": np.zeros(n, np.float32) if self.single_cls else np.array(cls, np.float32),
+            "bboxes": np.array(boxes, np.float32).reshape(n, 4),
+            "tags": np.array(tags, np.float32),
+        }
+        if self.task == "pose":
+            out["keypoints"] = np.stack(kpts) if kpts else np.zeros((0, K, kd), np.float32)
+        if self.task == "segment":
+            out["polygons"] = polys
+        return out
 
     def __len__(self):
         return len(self.im_files)
@@ -134,6 +171,14 @@ class YOLODataset:
         item = {"img": img, "cls": lb["cls"].copy(), "bboxes": boxes.astype(np.float32)}
         if self.use_tags:
             item["tags"] = lb["tags"].copy()
+        if self.task == "pose" and "keypoints" in lb:
+            k = lb["keypoints"].copy()
+            if len(k):
+                k[..., 0] *= w
+                k[..., 1] *= h
+            item["keypoints"] = k
+        if self.task == "segment":
+            item["polygons"] = [p * np.array([w, h], np.float32) for p in lb.get("polygons", [])]
         return item
 
     def __getitem__(self, i):
@@ -152,14 +197,21 @@ class YOLODataset:
                 item["bboxes"] = item["bboxes"] * r
                 item["bboxes"][:, [0, 2]] += padx
                 item["bboxes"][:, [1, 3]] += pady
+            if "keypoints" in item and len(item["keypoints"]):
+                item["keypoints"][..., 0] = item["keypoints"][..., 0] * r + padx
+                item["keypoints"][..., 1] = item["keypoints"][..., 1] * r + pady
+            if "polygons" in item:
+                item["polygons"] = [p * r + np.array([padx, pady], np.float32)
+                                    for p in item["polygons"]]
             item["img"] = img
-            if self.augment:
+            if self.augment and self.task in ("detect", "jde"):
                 item = random_perspective(item, degrees=hyp.degrees, translate=hyp.translate,
                                           scale=hyp.scale, shear=hyp.shear,
                                           perspective=hyp.perspective, rng=self.rng)
         if self.augment:
             augment_hsv(item["img"], hyp.hsv_h, hyp.hsv_s, hyp.hsv_v, rng=self.rng)
-            item = random_flip(item, fliplr=hyp.fliplr, flipud=hyp.flipud, rng=self.rng)
+            if self.task in ("detect", "jde"):  # kpt/polygon flip transforms land later
+                item = random_flip(item, fliplr=hyp.fliplr, flipud=hyp.flipud, rng=self.rng)
         return self._format(item)
 
     def _format(self, item):
@@ -187,6 +239,21 @@ class YOLODataset:
         out = {"img": img, "cls": cls, "bboxes": boxes, "mask": mask}
         if self.use_tags:
             out["tags"] = tags
+        if self.task == "pose":
+            K, kd = self.kpt_shape
+            kp = np.zeros((M, K, kd), np.float32)
+            if n and "keypoints" in item and len(item["keypoints"]):
+                kk = item["keypoints"][:n].copy()
+                kk[..., 0] /= w
+                kk[..., 1] /= h
+                kp[:n] = kk
+            out["keypoints"] = kp
+        if self.task == "segment":
+            ms = self.imgsz // 4
+            seg = np.zeros((ms, ms), np.float32)
+            for j, poly in enumerate(item.get("polygons", [])[:n]):
+                cv2.fillPoly(seg, [np.round(poly / 4).astype(np.int32)], float(j + 1))
+            out["masks"] = seg
         return out
 
 
@@ -194,15 +261,20 @@ class SyntheticDataset:
     """Procedural detection dataset (colored rectangles on noise) for tests/bench.
 
     Deterministic per index; no downloads needed. Class = color bin.
+    task='pose' adds 5 keypoints (corners + center); task='segment' adds
+    overlap-encoded instance masks at 1/4 resolution.
     """
 
-    def __init__(self, n=64, imgsz=640, nc=3, max_labels=128, use_tags=False, seed=0):
+    def __init__(self, n=64, imgsz=640, nc=3, max_labels=128, use_tags=False, seed=0,
+                 task="detect", kpt_shape=(5, 3)):
         self.n = n
         self.imgsz = imgsz
         self.nc = nc
         self.max_labels = max_labels
-        self.use_tags = use_tags
+        self.use_tags = use_tags or task == "jde"
         self.seed = seed
+        self.task = task
+        self.kpt_shape = kpt_shape
 
     def __len__(self):
         return self.n
@@ -217,6 +289,10 @@ class SyntheticDataset:
         boxes = np.zeros((M, 4), np.float32)
         mask = np.zeros(M, np.float32)
         tags = np.zeros(M, np.float32)
+        K, kd = self.kpt_shape
+        kpts = np.zeros((M, K, kd), np.float32)
+        ms = s // 4
+        seg_masks = np.zeros((ms, ms), np.float32)
         colors = [(220, 40, 40), (40, 220, 40), (40, 40, 220), (220, 220, 40), (220, 40, 220)]
         for j in range(n_obj):
             c = int(rng.integers(0, self.nc))
@@ -230,7 +306,17 @@ class SyntheticDataset:
             cls[j] = c
             mask[j] = 1.0
             tags[j] = j % 4
+            if self.task == "pose":
+                pts = [(x1, y1), (x2, y1), (x2, y2), (x1, y2), (cx, cy)][:K]
+                for ki, (px, py) in enumerate(pts):
+                    kpts[j, ki] = [px / s, py / s, 2.0][:kd]
+            if self.task == "segment":
+                seg_masks[y1 // 4:y2 // 4, x1 // 4:x2 // 4] = j + 1
         out = {"img": img, "cls": cls, "bboxes": boxes, "mask": mask}
         if self.use_tags:
             out["tags"] = tags
+        if self.task == "pose":
+            out["keypoints"] = kpts
+        if self.task == "segment":
+            out["masks"] = seg_masks
         return out

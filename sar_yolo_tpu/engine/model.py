@@ -63,20 +63,22 @@ class YOLO:
     # ------------------------------------------------------------------ modes
     @property
     def task_map(self) -> dict:
-        from sar_yolo_tpu.engine.predictor import DetectionPredictor, JDEPredictor
-        from sar_yolo_tpu.engine.trainer import BaseTrainer, DetectionTrainer, JDETrainer
-        from sar_yolo_tpu.engine.validator import DetectionValidator, JDEValidator
+        from sar_yolo_tpu.engine.predictor import (DetectionPredictor, JDEPredictor,
+                                                   PosePredictor, SegmentPredictor)
+        from sar_yolo_tpu.engine.trainer import (DetectionTrainer, JDETrainer,
+                                                 PoseTrainer, SegmentTrainer)
+        from sar_yolo_tpu.engine.validator import (DetectionValidator, JDEValidator,
+                                                   PoseValidator, SegmentValidator)
         return {
             "detect": {"trainer": DetectionTrainer, "validator": DetectionValidator,
                        "predictor": DetectionPredictor},
             "jde": {"trainer": JDETrainer, "validator": JDEValidator,
                     "predictor": JDEPredictor},
-            # pose/segment/obb trainers land with their loss heads; detection
-            # machinery runs their shared box path meanwhile
-            "pose": {"trainer": DetectionTrainer, "validator": DetectionValidator,
-                     "predictor": DetectionPredictor},
-            "segment": {"trainer": DetectionTrainer, "validator": DetectionValidator,
-                        "predictor": DetectionPredictor},
+            "pose": {"trainer": PoseTrainer, "validator": PoseValidator,
+                     "predictor": PosePredictor},
+            "segment": {"trainer": SegmentTrainer, "validator": SegmentValidator,
+                        "predictor": SegmentPredictor},
+            # obb reuses the detection machinery until the rotated pipeline lands
             "obb": {"trainer": DetectionTrainer, "validator": DetectionValidator,
                     "predictor": DetectionPredictor},
         }

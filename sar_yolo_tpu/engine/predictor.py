@@ -154,3 +154,92 @@ class JDEPredictor(BasePredictor):
         states = d[:, 6 + ed:6 + ed + sc].argmax(-1) if sc else None
         return Results(orig_img, path, self.names, boxes=d[:, :6], embeds=embeds,
                        person_states=states, speed=speed)
+
+
+class PosePredictor(BasePredictor):
+    """Decodes keypoints into Results.keypoints (reference pose/predict.py)."""
+
+    def _build(self):
+        model, meta, args = self.model, self.meta, self.args
+        nc = meta["nc"]
+        conf = args.conf if args.conf is not None else 0.25
+        strides = tuple(meta["strides"])
+        kpt_shape = tuple(meta.get("kpt_shape", (17, 3)))
+
+        @jax.jit
+        def run(variables, img_u8, scale_hw):
+            x = img_u8.astype(jnp.float32) / 255.0
+            feats = model.apply(variables, x, train=False)
+            preds = decode_detect(feats, strides, nc, meta["reg_max"], kpt_shape=kpt_shape)
+            dets = non_max_suppression(preds, conf_thres=conf, iou_thres=args.iou,
+                                       max_det=args.max_det, nc=nc)
+            r = scale_hw[0]
+            pad = scale_hw[1:3]
+            boxes = (dets[..., :4] - jnp.concatenate([pad, pad])[None, None, :]) / r
+            K, D = kpt_shape
+            kpts = dets[..., 6:6 + K * D].reshape(*dets.shape[:2], K, D)
+            kxy = (kpts[..., :2] - pad[None, None, None, :]) / r
+            kpts = jnp.concatenate([kxy, kpts[..., 2:]], -1).reshape(*dets.shape[:2], K * D)
+            return jnp.concatenate([boxes, dets[..., 4:6], kpts], -1)
+
+        return run
+
+    def postprocess(self, dets, path, orig_img, speed):
+        d = np.asarray(dets[0])
+        d = d[d[:, 4] > 0]
+        h, w = orig_img.shape[:2]
+        d[:, [0, 2]] = d[:, [0, 2]].clip(0, w)
+        d[:, [1, 3]] = d[:, [1, 3]].clip(0, h)
+        K, D = self.meta.get("kpt_shape", (17, 3))
+        kpts = d[:, 6:6 + K * D].reshape(-1, K, D)
+        return Results(orig_img, path, self.names, boxes=d[:, :6], keypoints=kpts,
+                       speed=speed)
+
+
+class SegmentPredictor(BasePredictor):
+    """Composes instance masks from prototypes (reference segment/predict.py)."""
+
+    def _build(self):
+        model, meta, args = self.model, self.meta, self.args
+        nc = meta["nc"]
+        conf = args.conf if args.conf is not None else 0.25
+        strides = tuple(meta["strides"])
+
+        @jax.jit
+        def run(variables, img_u8, scale_hw):
+            x = img_u8.astype(jnp.float32) / 255.0
+            feats, protos = model.apply(variables, x, train=False)
+            preds = decode_detect(feats, strides, nc, meta["reg_max"])
+            dets = non_max_suppression(preds, conf_thres=conf, iou_thres=args.iou,
+                                       max_det=args.max_det, nc=nc)
+            from sar_yolo_tpu.ops.masks import process_mask
+            H = img_u8.shape[1]
+            masks = jax.vmap(lambda p, dd: process_mask(p, dd[:, 6:], dd[:, :4], (H, H)))(
+                protos, dets)
+            r = scale_hw[0]
+            pad = scale_hw[1:3]
+            boxes = (dets[..., :4] - jnp.concatenate([pad, pad])[None, None, :]) / r
+            return jnp.concatenate([boxes, dets[..., 4:6]], -1), masks
+
+        return run
+
+    def stream_inference(self, source):
+        import time as _t
+        for path, img in load_sources(source):
+            t0 = _t.perf_counter()
+            inp, scale = self.preprocess(img)
+            t1 = _t.perf_counter()
+            dets, masks = self._predict(self.variables, jnp.asarray(inp), jnp.asarray(scale))
+            dets = np.asarray(dets)
+            masks = np.asarray(masks)
+            t2 = _t.perf_counter()
+            speed = {"preprocess": (t1 - t0) * 1e3, "inference": (t2 - t1) * 1e3}
+            d = dets[0]
+            keep = d[:, 4] > 0
+            d = d[keep]
+            h, w = img.shape[:2]
+            d[:, [0, 2]] = d[:, [0, 2]].clip(0, w)
+            d[:, [1, 3]] = d[:, [1, 3]].clip(0, h)
+            res = Results(img, path, self.names, boxes=d[:, :6], masks=masks[0][keep],
+                          speed=speed)
+            yield res

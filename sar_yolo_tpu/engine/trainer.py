@@ -35,7 +35,7 @@ from sar_yolo_tpu.parallel import get_mesh, replicate, shard_batch
 from sar_yolo_tpu.utils import DEFAULT_CFG, LOGGER, colorstr
 from sar_yolo_tpu.utils.callbacks import HasCallbacks
 from sar_yolo_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
-from sar_yolo_tpu.utils.loss import detection_loss, jde_loss
+from sar_yolo_tpu.utils.loss import detection_loss, jde_loss, pose_loss, segmentation_loss
 
 
 class TrainState(struct.PyTreeNode):
@@ -133,18 +133,24 @@ class BaseTrainer(HasCallbacks):
         if data in (None, "synthetic") or str(data).startswith("synthetic"):
             nc = 3
             info = {"nc": nc, "names": {i: f"class{i}" for i in range(nc)}}
+            kpt_shape = tuple(self.args.get("kpt_shape", (5, 3))) if hasattr(self.args, "get") else (5, 3)
             train = SyntheticDataset(n=64, imgsz=self.args.imgsz, nc=nc,
-                                     max_labels=self.args.max_labels, use_tags=use_tags)
+                                     max_labels=self.args.max_labels, use_tags=use_tags,
+                                     task=self.task, kpt_shape=kpt_shape)
             val = SyntheticDataset(n=16, imgsz=self.args.imgsz, nc=nc,
-                                   max_labels=self.args.max_labels, use_tags=use_tags, seed=1)
+                                   max_labels=self.args.max_labels, use_tags=use_tags, seed=1,
+                                   task=self.task, kpt_shape=kpt_shape)
+            info["kpt_shape"] = kpt_shape
             return train, val, info
         info = check_det_dataset(data)
+        kpt_shape = tuple(info.get("kpt_shape", (17, 3)))
         train = YOLODataset(info["train"], imgsz=self.args.imgsz, augment=True, hyp=self.args,
                             use_tags=use_tags, max_labels=self.args.max_labels,
-                            single_cls=self.args.single_cls, fraction=self.args.fraction)
+                            single_cls=self.args.single_cls, fraction=self.args.fraction,
+                            task=self.task, kpt_shape=kpt_shape)
         val = YOLODataset(info.get("val") or info["train"], imgsz=self.args.imgsz, augment=False,
                           hyp=self.args, use_tags=use_tags, max_labels=self.args.max_labels,
-                          single_cls=self.args.single_cls)
+                          single_cls=self.args.single_cls, task=self.task, kpt_shape=kpt_shape)
         return train, val, info
 
     def make_loss_fn(self) -> Callable:
@@ -158,6 +164,22 @@ class BaseTrainer(HasCallbacks):
                                state_classes=meta["state_classes"] or 1, cb_counts=cb)
                 return out.total, out.items, out.cb_counts
             self.loss_names = ("box", "cls", "dfl", "emb", "state")
+            return fn
+        if self.task == "pose":
+            kpt_shape = tuple(meta.get("kpt_shape", (17, 3)))
+            def fn(feats, batch, cb):
+                out = pose_loss(feats, batch, self.args, nc=meta["nc"], reg_max=meta["reg_max"],
+                                strides=strides, kpt_shape=kpt_shape)
+                return out.total, out.items, cb
+            self.loss_names = ("box", "pose", "kobj", "cls", "dfl")
+            return fn
+        if self.task == "segment":
+            def fn(feats_proto, batch, cb):
+                out = segmentation_loss(feats_proto, batch, self.args, nc=meta["nc"],
+                                        reg_max=meta["reg_max"], strides=strides,
+                                        nm=meta.get("nm", 32))
+                return out.total, out.items, cb
+            self.loss_names = ("box", "seg", "cls", "dfl")
             return fn
         def fn(feats, batch, cb):
             out = detection_loss(feats, batch, self.args, nc=meta["nc"], reg_max=meta["reg_max"],
@@ -369,3 +391,25 @@ class JDETrainer(BaseTrainer):
         super().__init__(cfg, overrides, _callbacks)
         from sar_yolo_tpu.engine.validator import JDEValidator
         self.validator = JDEValidator()
+
+
+class PoseTrainer(BaseTrainer):
+    """Pose-task trainer: box + OKS keypoint + visibility loss."""
+
+    def __init__(self, cfg=DEFAULT_CFG, overrides=None, _callbacks=None):
+        overrides = dict(overrides or {})
+        overrides["task"] = "pose"
+        super().__init__(cfg, overrides, _callbacks)
+        from sar_yolo_tpu.engine.validator import PoseValidator
+        self.validator = PoseValidator()
+
+
+class SegmentTrainer(BaseTrainer):
+    """Segment-task trainer: box + prototype mask loss."""
+
+    def __init__(self, cfg=DEFAULT_CFG, overrides=None, _callbacks=None):
+        overrides = dict(overrides or {})
+        overrides["task"] = "segment"
+        super().__init__(cfg, overrides, _callbacks)
+        from sar_yolo_tpu.engine.validator import SegmentValidator
+        self.validator = SegmentValidator()

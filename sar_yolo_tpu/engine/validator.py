@@ -39,13 +39,22 @@ class BaseValidator:
         strides = tuple(meta["strides"])
         extra_sig = meta.get("state_classes") or 0
 
+        kpt_shape = tuple(meta["kpt_shape"]) if meta.get("kpt_shape") and \
+            meta.get("head") == "Pose" else None
+
         @jax.jit
         def predict(variables, img):
-            feats = model.apply(variables, img, train=False)
+            out = model.apply(variables, img, train=False)
+            protos = None
+            if isinstance(out, tuple):
+                feats, protos = out
+            else:
+                feats = out
             preds = decode_detect(feats, strides, nc, meta["reg_max"],
-                                  extra_sigmoid=extra_sig)
-            return non_max_suppression(preds, conf_thres=conf, iou_thres=args.iou,
+                                  extra_sigmoid=extra_sig, kpt_shape=kpt_shape)
+            dets = non_max_suppression(preds, conf_thres=conf, iou_thres=args.iou,
                                        max_det=max_det, nc=nc)
+            return (dets, protos) if protos is not None else dets
 
         loader = build_dataloader(dataset, batch_size=min(args.batch, len(dataset)),
                                   shuffle=False, workers=args.workers)
@@ -54,7 +63,11 @@ class BaseValidator:
         t0 = time.time()
         for batch in loader:
             img = jnp.asarray(batch["img"])
-            dets = np.asarray(predict(variables, img))
+            out = predict(variables, img)
+            if isinstance(out, tuple):
+                dets, self._protos = np.asarray(out[0]), np.asarray(out[1])
+            else:
+                dets, self._protos = np.asarray(out), None
             n_img += img.shape[0]
             self.update_metrics(dets, batch, img.shape[1:3])
         results = self.finalize_metrics()
@@ -153,4 +166,122 @@ class JDEValidator(BaseValidator):
                 results["metrics/reid_pos_cos"] = float(pos.mean())
                 results["metrics/reid_neg_cos"] = float(neg.mean())
                 results["metrics/reid_separation"] = float(pos.mean() - neg.mean())
+        return results
+
+
+def _oks_matrix(gt_kpts, gt_areas, pred_kpts, sigmas):
+    """OKS between gt (G, K, 3) and pred (P, K, >=2) keypoint sets."""
+    d = ((gt_kpts[:, None, :, 0] - pred_kpts[None, :, :, 0]) ** 2 +
+         (gt_kpts[:, None, :, 1] - pred_kpts[None, :, :, 1]) ** 2)  # (G, P, K)
+    vis = gt_kpts[:, None, :, 2] > 0
+    e = d / (2 * sigmas[None, None, :]) ** 2 / (gt_areas[:, None, None] + 1e-9) / 2
+    oks = (np.exp(-e) * vis).sum(-1) / np.maximum(vis.sum(-1), 1)
+    return oks
+
+
+class PoseValidator(BaseValidator):
+    """Box mAP + pose mAP (OKS-matched across 0.5:0.95 thresholds).
+
+    Capability parity: reference models/yolo/pose/val.py (OKS eval via kpt_iou).
+    """
+
+    def init_metrics(self):
+        super().init_metrics()
+        self.pose_metrics = DetMetrics(self.data.get("names"))
+        K = self.meta.get("kpt_shape", (17, 3))[0]
+        from sar_yolo_tpu.utils.loss import OKS_SIGMA
+        self.sigmas = np.asarray(OKS_SIGMA) if K == 17 else np.ones(K) / K
+
+    def _extra_update(self, d, gt_boxes, gt_cls, batch, bi):
+        if "keypoints" not in batch:
+            return
+        K, kd = self.meta.get("kpt_shape", (17, 3))
+        h, w = batch["img"].shape[1:3]
+        gt_mask = batch["mask"][bi] > 0
+        gt_kpts = batch["keypoints"][bi][gt_mask].copy()  # (G, K, 3) normalized
+        gt_kpts[..., 0] *= w
+        gt_kpts[..., 1] *= h
+        gt_areas = ((gt_boxes[:, 2] - gt_boxes[:, 0]) * (gt_boxes[:, 3] - gt_boxes[:, 1])) * 0.53
+        pred_kpts = d[:, 6:6 + K * kd].reshape(-1, K, kd)
+        n_pred, n_thr = len(d), len(IOU_THRESHOLDS)
+        tp = np.zeros((n_pred, n_thr), bool)
+        if len(gt_kpts) and n_pred:
+            oks = _oks_matrix(gt_kpts, gt_areas, pred_kpts, self.sigmas)
+            for t, thr in enumerate(IOU_THRESHOLDS):
+                gi, pi = np.nonzero(oks >= thr)
+                order = oks[gi, pi].argsort()[::-1]
+                seen_g, seen_p = set(), set()
+                for g, p in zip(gi[order], pi[order]):
+                    if g in seen_g or p in seen_p:
+                        continue
+                    seen_g.add(g)
+                    seen_p.add(p)
+                    tp[p, t] = True
+        self.pose_metrics.update(tp, d[:, 4], d[:, 5], gt_cls)
+
+    def finalize_metrics(self):
+        results = super().finalize_metrics()
+        pose = self.pose_metrics.process()
+        for k, v in pose.items():
+            if k.startswith("metrics/"):
+                results[k.replace("(B)", "(P)")] = v
+        return results
+
+
+class SegmentValidator(BaseValidator):
+    """Box mAP + mask mAP via prototype mask IoU matching.
+
+    Capability parity: reference models/yolo/segment/val.py.
+    """
+
+    def init_metrics(self):
+        super().init_metrics()
+        self.mask_metrics = DetMetrics(self.data.get("names"))
+
+    def _extra_update(self, d, gt_boxes, gt_cls, batch, bi):
+        if "masks" not in batch or self._protos is None or len(d) == 0:
+            return
+        from sar_yolo_tpu.ops.masks import process_mask
+        import jax.numpy as jnp
+        nm = self.meta.get("nm", 32)
+        h, w = batch["img"].shape[1:3]
+        coeffs = d[:, 6:6 + nm]
+        pred_masks = np.asarray(process_mask(
+            jnp.asarray(self._protos[bi]), jnp.asarray(coeffs),
+            jnp.asarray(d[:, :4]), (h, w)))  # (n, mh, mw) bool
+        gt_overlap = batch["masks"][bi]  # (mh', mw') instance ids
+        mh, mw = pred_masks.shape[1:]
+        if gt_overlap.shape != (mh, mw):
+            import cv2
+            gt_overlap = cv2.resize(gt_overlap, (mw, mh), interpolation=cv2.INTER_NEAREST)
+        gt_mask_flags = batch["mask"][bi] > 0
+        gt_ids = np.nonzero(gt_mask_flags)[0]
+        gt_masks = np.stack([(gt_overlap == gi + 1) for gi in gt_ids]) \
+            if len(gt_ids) else np.zeros((0, mh, mw), bool)
+        n_pred, n_thr = len(d), len(IOU_THRESHOLDS)
+        tp = np.zeros((n_pred, n_thr), bool)
+        if len(gt_masks) and n_pred:
+            inter = (gt_masks[:, None] & pred_masks[None]).sum((-1, -2)).astype(np.float64)
+            union = (gt_masks[:, None] | pred_masks[None]).sum((-1, -2)) + 1e-9
+            miou = inter / union
+            correct_cls = gt_cls[:, None] == d[None, :, 5]
+            miou = miou * correct_cls
+            for t, thr in enumerate(IOU_THRESHOLDS):
+                gi, pi = np.nonzero(miou >= thr)
+                order = miou[gi, pi].argsort()[::-1]
+                seen_g, seen_p = set(), set()
+                for g, p in zip(gi[order], pi[order]):
+                    if g in seen_g or p in seen_p:
+                        continue
+                    seen_g.add(g)
+                    seen_p.add(p)
+                    tp[p, t] = True
+        self.mask_metrics.update(tp, d[:, 4], d[:, 5], gt_cls)
+
+    def finalize_metrics(self):
+        results = super().finalize_metrics()
+        m = self.mask_metrics.process()
+        for k, v in m.items():
+            if k.startswith("metrics/"):
+                results[k.replace("(B)", "(M)")] = v
         return results

@@ -85,7 +85,7 @@ def parse_model(d: dict, ch: int = 3, verbose: bool = False):
             LOGGER.warning(f"WARNING: no model scale passed, assuming scale='{scale}'")
         depth, width, max_channels = scales[scale]
 
-    names = {"nc": nc}
+    names = {"nc": nc, "kpt_shape": d.get("kpt_shape"), "state_classes": d.get("state_classes")}
     chs = [ch]
     specs: list[LayerSpec] = []
     save: list[int] = []

@@ -23,7 +23,8 @@ def flatten_feats(feats):
     return flat, hw
 
 
-def decode_detect(feats, strides, nc: int, reg_max: int = 16, extra_sigmoid: int = 0):
+def decode_detect(feats, strides, nc: int, reg_max: int = 16, extra_sigmoid: int = 0,
+                  kpt_shape=None):
     """Decode detection head output.
 
     Args:
@@ -32,10 +33,12 @@ def decode_detect(feats, strides, nc: int, reg_max: int = 16, extra_sigmoid: int
         nc: class count.
         extra_sigmoid: number of trailing extra channels to sigmoid (JDE states);
             extra channels before those (embeddings) pass through raw.
+        kpt_shape: (K, D) when extras are pose keypoints — decoded to input
+            pixels with sigmoided visibility.
 
     Returns:
         (B, N, 4 + nc + E): xywh boxes in input pixels, sigmoided class scores,
-        extras (raw embeddings, sigmoided states).
+        extras (raw embeddings / decoded keypoints / mask coeffs, sigmoided states).
     """
     x, hw = flatten_feats(feats)
     anchors, stride_t = make_anchors(hw, strides)
@@ -47,9 +50,28 @@ def decode_detect(feats, strides, nc: int, reg_max: int = 16, extra_sigmoid: int
     dbox = dist2bbox(dist, anchors[None], xywh=True) * stride_t[None, :, :]
     parts = [dbox, jax.nn.sigmoid(cls)]
     if extras.shape[-1]:
-        if extra_sigmoid:
+        if kpt_shape is not None:
+            B, N = extras.shape[:2]
+            K, D = kpt_shape
+            kpts = kpts_decode(anchors, extras.reshape(B, N, K, D))
+            kxy = kpts[..., :2] * stride_t[None, :, None, :]
+            if D == 3:
+                kpts = jnp.concatenate([kxy, jax.nn.sigmoid(kpts[..., 2:])], -1)
+            else:
+                kpts = kxy
+            parts.append(kpts.reshape(B, N, K * D))
+        elif extra_sigmoid:
             parts.append(extras[..., :-extra_sigmoid])
             parts.append(jax.nn.sigmoid(extras[..., -extra_sigmoid:]))
         else:
             parts.append(extras)
     return jnp.concatenate(parts, axis=-1)
+
+
+def kpts_decode(anchor_points, pred_kpts):
+    """Decode keypoint offsets to grid coordinates (reference head.py:332 kpts_decode).
+
+    pred_kpts: (B, N, K, D) with D in {2, 3}; xy -> xy*2 + anchor - 0.5.
+    """
+    xy = pred_kpts[..., :2] * 2.0 + (anchor_points[None, :, None, :] - 0.5)
+    return jnp.concatenate([xy, pred_kpts[..., 2:]], axis=-1)

@@ -25,47 +25,59 @@ from .boxes import xywh2xyxy
 
 def _nms_single(boxes, scores, classes, extras, iou_thres: float, max_det: int,
                 agnostic: bool = False):
-    """Greedy NMS for one image.
+    """Exact greedy NMS for one image via fixed-point suppression iteration.
 
-    boxes: (N, 4) xyxy; scores: (N,); classes: (N,) float; extras: (N, E).
+    Candidates arrive sorted by score (descending). Greedy NMS is the unique
+    fixed point of: alive[i] = no alive higher-scored same-class box overlaps i.
+    Iterating that update converges in <= suppression-chain depth steps
+    (boxes suppressed by boxes that are themselves suppressed get revived) —
+    ~log-depth parallel sweeps over one (K, K) IoU matrix instead of max_det
+    sequential argmax steps. Matches torchvision NMS output exactly.
+
+    boxes: (K, 4) xyxy; scores: (K,) desc-sorted; classes: (K,); extras: (K, E).
     Returns (max_det, 6 + E) rows [x1, y1, x2, y2, conf, cls, *extras]; unused
     rows have conf == 0.
     """
-    N = boxes.shape[0]
-    # Class-offset trick: boxes of different classes never overlap.
+    K = boxes.shape[0]
     if agnostic:
         off_boxes = boxes
     else:
-        offset = classes[:, None] * 7680.0
-        off_boxes = boxes + offset
+        off_boxes = boxes + classes[:, None] * 7680.0  # class offset: no cross-class overlap
 
     x1, y1, x2, y2 = off_boxes[:, 0], off_boxes[:, 1], off_boxes[:, 2], off_boxes[:, 3]
     areas = (x2 - x1) * (y2 - y1)
+    xx1 = jnp.maximum(x1[:, None], x1[None, :])
+    yy1 = jnp.maximum(y1[:, None], y1[None, :])
+    xx2 = jnp.minimum(x2[:, None], x2[None, :])
+    yy2 = jnp.minimum(y2[:, None], y2[None, :])
+    inter = jnp.clip(xx2 - xx1, 0) * jnp.clip(yy2 - yy1, 0)
+    iou = inter / (areas[:, None] + areas[None, :] - inter + 1e-7)
+    # overlap[i, j]: higher-ranked j (j < i, valid) overlaps i beyond threshold
+    rank_i = jax.lax.broadcasted_iota(jnp.int32, (K, K), 0)
+    rank_j = jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)
+    valid = scores > 0.0
+    overlap = (iou > iou_thres) & (rank_j < rank_i) & valid[None, :]
 
-    def body(i, state):
-        alive_scores, out = state
-        j = jnp.argmax(alive_scores)
-        best = alive_scores[j]
-        row = jnp.concatenate([
-            boxes[j], jnp.array([best]), classes[j][None], extras[j]])
-        # conf<=0 rows are padding
-        row = jnp.where(best > 0.0, row, jnp.zeros_like(row))
-        out = out.at[i].set(row)
-        # Suppress overlapping boxes of the same class (offset space)
-        xx1 = jnp.maximum(x1[j], x1)
-        yy1 = jnp.maximum(y1[j], y1)
-        xx2 = jnp.minimum(x2[j], x2)
-        yy2 = jnp.minimum(y2[j], y2)
-        inter = jnp.clip(xx2 - xx1, 0) * jnp.clip(yy2 - yy1, 0)
-        iou = inter / (areas[j] + areas - inter + 1e-7)
-        suppress = iou > iou_thres
-        suppress = suppress.at[j].set(True)
-        alive_scores = jnp.where(suppress, -1.0, alive_scores)
-        return alive_scores, out
+    def cond(state):
+        alive, changed = state
+        return changed
 
-    out0 = jnp.zeros((max_det, 6 + extras.shape[1]), dtype=boxes.dtype)
-    _, out = jax.lax.fori_loop(0, max_det, body, (scores, out0))
-    return out
+    def body(state):
+        alive, _ = state
+        new_alive = ~jnp.any(overlap & alive[None, :], axis=1) & valid
+        return new_alive, jnp.any(new_alive != alive)
+
+    alive0 = valid
+    alive, _ = jax.lax.while_loop(cond, body, (alive0, jnp.array(True)))
+
+    # compact alive rows (stable order = score order) into max_det slots
+    keep_rank = jnp.where(alive, jnp.cumsum(alive) - 1, K + max_det)  # target slot per row
+    rows = jnp.concatenate([boxes, scores[:, None], classes[:, None], extras], axis=1)
+    out = jnp.zeros((max_det + 1, rows.shape[1]), dtype=boxes.dtype)
+    out = out.at[jnp.clip(keep_rank, 0, max_det)].set(
+        jnp.where(alive[:, None] & (keep_rank < max_det)[:, None], rows, 0.0),
+        mode="drop")
+    return out[:max_det]
 
 
 @partial(jax.jit, static_argnames=("conf_thres", "iou_thres", "max_det", "pre_topk",

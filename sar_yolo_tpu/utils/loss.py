@@ -269,3 +269,192 @@ def jde_loss(feats, batch, hyp, *, nc: int, reg_max: int, strides, embed_dim: in
     ])
     return JDELossOut(items.sum() * c["batch_size"], jax.lax.stop_gradient(items),
                       jax.lax.stop_gradient(c["cb_counts"]))
+
+
+# ---------------------------------------------------------------------------
+# Pose: detection + OKS keypoint regression + visibility
+# ---------------------------------------------------------------------------
+
+# COCO 17-keypoint OKS sigmas (public COCO eval constants)
+OKS_SIGMA = jnp.array([0.026, 0.025, 0.025, 0.035, 0.035, 0.079, 0.079, 0.072, 0.072,
+                       0.062, 0.062, 0.107, 0.107, 0.087, 0.087, 0.089, 0.089]) / 10.0
+
+
+class PoseLossOut(NamedTuple):
+    total: jnp.ndarray
+    items: jnp.ndarray  # (5,) box, pose, kobj, cls, dfl
+
+
+def pose_loss(feats, batch, hyp, *, nc: int, reg_max: int, strides, kpt_shape=(17, 3),
+              tal_topk: int = 10):
+    """v8 pose loss (reference v8PoseLoss:984): det loss + OKS kpt + visibility BCE.
+
+    batch adds 'keypoints' (B, M, K, 3) normalized xy + visibility.
+    """
+    from sar_yolo_tpu.ops.decode import kpts_decode
+
+    x, hw = flatten_feats(feats)
+    B, N, _ = x.shape
+    K, kdim = kpt_shape
+    nk = K * kdim
+    pred_distri = x[..., : 4 * reg_max].astype(jnp.float32)
+    pred_scores = x[..., 4 * reg_max: 4 * reg_max + nc].astype(jnp.float32)
+    pred_kpts_raw = x[..., 4 * reg_max + nc:].astype(jnp.float32).reshape(B, N, K, kdim)
+
+    anchor_points, stride_t = make_anchors(hw, strides)
+    imgsz_h = hw[0][0] * strides[0]
+    imgsz_w = hw[0][1] * strides[0]
+    scale = jnp.array([imgsz_w, imgsz_h, imgsz_w, imgsz_h], jnp.float32)
+
+    gt_labels = batch["cls"].astype(jnp.int32)
+    gt_bboxes = xywh2xyxy(batch["bboxes"].astype(jnp.float32) * scale)
+    mask_gt = batch["mask"].astype(jnp.float32) * (gt_bboxes.sum(-1) > 0)
+
+    pred_dist4 = pred_distri.reshape(B, N, 4, reg_max)
+    pred_bboxes = dist2bbox(dfl_decode(pred_distri, reg_max), anchor_points[None], xywh=False)
+    pred_kpts = kpts_decode(anchor_points, pred_kpts_raw)  # grid units
+
+    assign = task_aligned_assigner(
+        jax.lax.stop_gradient(jax.nn.sigmoid(pred_scores)),
+        jax.lax.stop_gradient(pred_bboxes) * stride_t[None],
+        anchor_points * stride_t,
+        gt_labels, gt_bboxes, mask_gt,
+        topk=tal_topk, num_classes=nc, alpha=0.5, beta=6.0)
+
+    target_scores = assign.target_scores
+    tss = jnp.maximum(target_scores.sum(), 1.0)
+    fg = assign.fg_mask.astype(jnp.float32)
+
+    loss_cls = _bce_logits(pred_scores, target_scores).sum() / tss
+    target_bboxes = assign.target_bboxes / stride_t[None]
+    weight = target_scores.sum(-1) * fg
+    iou = bbox_iou(pred_bboxes, target_bboxes, xywh=False, CIoU=True).squeeze(-1)
+    loss_box = ((1.0 - iou) * weight).sum() / tss
+    target_ltrb = bbox2dist(anchor_points[None], target_bboxes, reg_max - 1)
+    loss_dfl = (_df_loss(pred_dist4, target_ltrb, reg_max) * weight).sum() / tss
+
+    # ---- keypoints: gather per-anchor gt kpts, scale to grid units
+    gt_kpts = batch["keypoints"].astype(jnp.float32)  # (B, M, K, 3) normalized
+    gt_kpts = gt_kpts.at[..., 0].multiply(imgsz_w).at[..., 1].multiply(imgsz_h)
+    sel = jnp.take_along_axis(gt_kpts, assign.target_gt_idx[:, :, None, None], axis=1)
+    sel = sel.at[..., :2].divide(stride_t[None, :, :, None])  # (B, N, K, 3)
+
+    kpt_mask = (sel[..., 2] != 0).astype(jnp.float32) if kdim == 3 else jnp.ones(sel.shape[:3])
+    area = (target_bboxes[..., 2] - target_bboxes[..., 0]) * \
+           (target_bboxes[..., 3] - target_bboxes[..., 1])  # grid units (B, N)
+    sigmas = OKS_SIGMA if K == 17 else jnp.ones(K) / K
+    d = ((pred_kpts[..., 0] - sel[..., 0]) ** 2 + (pred_kpts[..., 1] - sel[..., 1]) ** 2)
+    e = d / ((2 * sigmas[None, None, :]) ** 2 * (area[..., None] + 1e-9) * 2)
+    kpt_loss_factor = K / (kpt_mask.sum(-1, keepdims=True) + 1e-9)  # (B, N, 1)
+    per_kpt = kpt_loss_factor * (1 - jnp.exp(-e)) * kpt_mask
+    n_fg_k = jnp.maximum(fg.sum() * K, 1.0)
+    loss_pose = (per_kpt * fg[..., None]).sum() / n_fg_k
+
+    if kdim == 3:
+        vis_bce = _bce_logits(pred_kpts[..., 2], kpt_mask)
+        loss_kobj = (vis_bce * fg[..., None]).sum() / n_fg_k
+    else:
+        loss_kobj = jnp.zeros(())
+
+    items = jnp.stack([
+        loss_box * hyp.box,
+        loss_pose * getattr(hyp, "pose", 12.0),
+        loss_kobj * getattr(hyp, "kobj", 1.0),
+        loss_cls * hyp.cls,
+        loss_dfl * hyp.dfl,
+    ])
+    return PoseLossOut(items.sum() * B, jax.lax.stop_gradient(items))
+
+
+# ---------------------------------------------------------------------------
+# Segmentation: detection + prototype mask BCE
+# ---------------------------------------------------------------------------
+
+
+class SegLossOut(NamedTuple):
+    total: jnp.ndarray
+    items: jnp.ndarray  # (4,) box, seg, cls, dfl
+
+
+def segmentation_loss(feats_and_proto, batch, hyp, *, nc: int, reg_max: int, strides,
+                      nm: int = 32, tal_topk: int = 10, mask_topk: int = 64):
+    """v8 segmentation loss (reference v8SegmentationLoss:801).
+
+    feats_and_proto: (list of level maps with nm coeff channels, protos NHWC).
+    batch adds 'masks' (B, mh, mw) overlap-encoded instance masks (0=bg, i+1=gt i).
+
+    Static-shape design: instead of looping over dynamic fg anchors per image
+    (reference :966-985), the top `mask_topk` anchors by assigned score compute
+    mask BCE, weighted by their fg validity — bounded compute, no host sync.
+    """
+    from sar_yolo_tpu.ops.masks import crop_mask
+
+    feats, protos = feats_and_proto
+    x, hw = flatten_feats(feats)
+    B, N, _ = x.shape
+    mh, mw = protos.shape[1:3]
+    pred_distri = x[..., : 4 * reg_max].astype(jnp.float32)
+    pred_scores = x[..., 4 * reg_max: 4 * reg_max + nc].astype(jnp.float32)
+    pred_coeffs = x[..., 4 * reg_max + nc:].astype(jnp.float32)  # (B, N, nm)
+
+    anchor_points, stride_t = make_anchors(hw, strides)
+    imgsz_h = hw[0][0] * strides[0]
+    imgsz_w = hw[0][1] * strides[0]
+    scale = jnp.array([imgsz_w, imgsz_h, imgsz_w, imgsz_h], jnp.float32)
+
+    gt_labels = batch["cls"].astype(jnp.int32)
+    gt_bboxes = xywh2xyxy(batch["bboxes"].astype(jnp.float32) * scale)
+    mask_gt = batch["mask"].astype(jnp.float32) * (gt_bboxes.sum(-1) > 0)
+
+    pred_dist4 = pred_distri.reshape(B, N, 4, reg_max)
+    pred_bboxes = dist2bbox(dfl_decode(pred_distri, reg_max), anchor_points[None], xywh=False)
+
+    assign = task_aligned_assigner(
+        jax.lax.stop_gradient(jax.nn.sigmoid(pred_scores)),
+        jax.lax.stop_gradient(pred_bboxes) * stride_t[None],
+        anchor_points * stride_t,
+        gt_labels, gt_bboxes, mask_gt,
+        topk=tal_topk, num_classes=nc, alpha=0.5, beta=6.0)
+
+    target_scores = assign.target_scores
+    tss = jnp.maximum(target_scores.sum(), 1.0)
+    fg = assign.fg_mask.astype(jnp.float32)
+
+    loss_cls = _bce_logits(pred_scores, target_scores).sum() / tss
+    target_bboxes_g = assign.target_bboxes / stride_t[None]
+    weight = target_scores.sum(-1) * fg
+    iou = bbox_iou(pred_bboxes, target_bboxes_g, xywh=False, CIoU=True).squeeze(-1)
+    loss_box = ((1.0 - iou) * weight).sum() / tss
+    target_ltrb = bbox2dist(anchor_points[None], target_bboxes_g, reg_max - 1)
+    loss_dfl = (_df_loss(pred_dist4, target_ltrb, reg_max) * weight).sum() / tss
+
+    # ---- mask loss on top-K anchors per image
+    K = min(mask_topk, N)
+    sel_w, sel_idx = jax.lax.top_k(weight, K)                     # (B, K)
+    sel_valid = (sel_w > 0).astype(jnp.float32)
+    coeffs = jnp.take_along_axis(pred_coeffs, sel_idx[..., None], axis=1)  # (B, K, nm)
+    gt_idx = jnp.take_along_axis(assign.target_gt_idx, sel_idx, axis=1)    # (B, K)
+    tb = jnp.take_along_axis(assign.target_bboxes, sel_idx[..., None], axis=1)  # pixels
+
+    gt_masks = batch["masks"].astype(jnp.float32)                 # (B, mh', mw')
+    if gt_masks.shape[1:] != (mh, mw):
+        gt_masks = jax.image.resize(gt_masks, (B, mh, mw), method="nearest")
+    inst = (gt_masks[:, None, :, :] == (gt_idx[..., None, None] + 1.0)).astype(jnp.float32)
+
+    pred_m = jnp.einsum("bkc,bhwc->bkhw", coeffs, protos.astype(jnp.float32))
+    bce = _bce_logits(pred_m, inst)                               # (B, K, mh, mw)
+    norm = jnp.array([imgsz_w, imgsz_h, imgsz_w, imgsz_h], jnp.float32)
+    tb_n = tb / norm
+    mxyxy = tb_n * jnp.array([mw, mh, mw, mh], jnp.float32)
+    area = jnp.maximum((tb_n[..., 2] - tb_n[..., 0]) * (tb_n[..., 3] - tb_n[..., 1]), 1e-4)
+    cropped = jax.vmap(crop_mask)(bce, mxyxy)
+    per_anchor = cropped.mean((-1, -2)) / area                    # (B, K)
+    loss_seg = (per_anchor * sel_valid).sum() / jnp.maximum(fg.sum(), 1.0)
+
+    items = jnp.stack([
+        loss_box * hyp.box,
+        loss_seg * hyp.box,
+        loss_cls * hyp.cls,
+        loss_dfl * hyp.dfl,
+    ])
+    return SegLossOut(items.sum() * B, jax.lax.stop_gradient(items))

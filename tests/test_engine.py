@@ -116,3 +116,27 @@ def test_graft_entry_single():
 def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
     ge.dryrun_multichip(4)
+
+
+@pytest.mark.slow
+def test_pose_train_and_predict(tmp_path):
+    m = YOLO("tinypose.yaml")
+    metrics = m.train(**_train_kwargs(tmp_path, epochs=1))
+    assert "train/pose" in metrics and "train/kobj" in metrics
+    assert all(np.isfinite(v) for v in metrics.values())
+    img = np.full((64, 64, 3), 30, np.uint8)
+    img[10:50, 10:50] = (220, 40, 40)
+    res = m.predict(img, imgsz=64)
+    assert res[0].keypoints is None or res[0].keypoints.shape[1:] == (5, 3)
+
+
+@pytest.mark.slow
+def test_segment_train_and_predict(tmp_path):
+    m = YOLO("tinyseg.yaml")
+    metrics = m.train(**_train_kwargs(tmp_path, epochs=1))
+    assert "train/seg" in metrics
+    assert all(np.isfinite(v) for v in metrics.values())
+    img = np.full((64, 64, 3), 30, np.uint8)
+    img[10:50, 10:50] = (220, 40, 40)
+    res = m.predict(img, imgsz=64)
+    assert res[0].masks is None or res[0].masks.ndim == 3
