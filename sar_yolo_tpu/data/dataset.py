@@ -283,6 +283,11 @@ class SyntheticDataset:
         rng = np.random.default_rng(self.seed * 100003 + i)
         s = self.imgsz
         img = (rng.uniform(0, 60, (s, s, 3))).astype(np.uint8)
+        if self.task == "classify":
+            c = int(rng.integers(0, self.nc))
+            colors = [(220, 40, 40), (40, 220, 40), (40, 40, 220)]
+            img[s // 4: 3 * s // 4, s // 4: 3 * s // 4] = colors[c % 3]
+            return {"img": img, "cls": np.float32(c)}
         M = self.max_labels
         n_obj = int(rng.integers(1, 6))
         cls = np.zeros(M, np.float32)

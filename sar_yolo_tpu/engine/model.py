@@ -63,13 +63,18 @@ class YOLO:
     # ------------------------------------------------------------------ modes
     @property
     def task_map(self) -> dict:
-        from sar_yolo_tpu.engine.predictor import (DetectionPredictor, JDEPredictor,
+        from sar_yolo_tpu.engine.predictor import (ClassificationPredictor,
+                                                   DetectionPredictor, JDEPredictor,
                                                    PosePredictor, SegmentPredictor)
-        from sar_yolo_tpu.engine.trainer import (DetectionTrainer, JDETrainer,
-                                                 PoseTrainer, SegmentTrainer)
-        from sar_yolo_tpu.engine.validator import (DetectionValidator, JDEValidator,
+        from sar_yolo_tpu.engine.trainer import (ClassificationTrainer, DetectionTrainer,
+                                                 JDETrainer, PoseTrainer, SegmentTrainer)
+        from sar_yolo_tpu.engine.validator import (ClassificationValidator,
+                                                   DetectionValidator, JDEValidator,
                                                    PoseValidator, SegmentValidator)
         return {
+            "classify": {"trainer": ClassificationTrainer,
+                         "validator": ClassificationValidator,
+                         "predictor": ClassificationPredictor},
             "detect": {"trainer": DetectionTrainer, "validator": DetectionValidator,
                        "predictor": DetectionPredictor},
             "jde": {"trainer": JDETrainer, "validator": JDEValidator,

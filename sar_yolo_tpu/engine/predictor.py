@@ -243,3 +243,21 @@ class SegmentPredictor(BasePredictor):
             res = Results(img, path, self.names, boxes=d[:, :6], masks=masks[0][keep],
                           speed=speed)
             yield res
+
+
+class ClassificationPredictor(BasePredictor):
+    """Image classification: returns Results.probs (reference classify/predict.py)."""
+
+    def _build(self):
+        model = self.model
+
+        @jax.jit
+        def run(variables, img_u8, scale_hw):
+            x = img_u8.astype(jnp.float32) / 255.0
+            return jax.nn.softmax(model.apply(variables, x, train=False), axis=-1)
+
+        return run
+
+    def postprocess(self, probs, path, orig_img, speed):
+        p = np.asarray(probs[0])
+        return Results(orig_img, path, self.names, probs=p, speed=speed)

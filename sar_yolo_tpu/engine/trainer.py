@@ -156,7 +156,7 @@ class BaseTrainer(HasCallbacks):
     def make_loss_fn(self) -> Callable:
         """Returns loss(feats, batch, cb_counts) -> (total, items, new_cb)."""
         meta = self.meta
-        strides = tuple(meta["strides"])
+        strides = tuple(meta.get("strides") or ())
         if self.task == "jde":
             def fn(feats, batch, cb):
                 out = jde_loss(feats, batch, self.args, nc=meta["nc"], reg_max=meta["reg_max"],
@@ -180,6 +180,14 @@ class BaseTrainer(HasCallbacks):
                                         nm=meta.get("nm", 32))
                 return out.total, out.items, cb
             self.loss_names = ("box", "seg", "cls", "dfl")
+            return fn
+        if self.task == "classify":
+            def fn(logits, batch, cb):
+                labels = batch["cls"].astype(jnp.int32).reshape(-1)
+                ce = optax.softmax_cross_entropy_with_integer_labels(
+                    logits.astype(jnp.float32), labels).mean()
+                return ce, jnp.stack([ce]), cb
+            self.loss_names = ("loss",)
             return fn
         def fn(feats, batch, cb):
             out = detection_loss(feats, batch, self.args, nc=meta["nc"], reg_max=meta["reg_max"],
@@ -413,3 +421,14 @@ class SegmentTrainer(BaseTrainer):
         super().__init__(cfg, overrides, _callbacks)
         from sar_yolo_tpu.engine.validator import SegmentValidator
         self.validator = SegmentValidator()
+
+
+class ClassificationTrainer(BaseTrainer):
+    """Classify-task trainer: cross-entropy over GAP logits."""
+
+    def __init__(self, cfg=DEFAULT_CFG, overrides=None, _callbacks=None):
+        overrides = dict(overrides or {})
+        overrides["task"] = "classify"
+        super().__init__(cfg, overrides, _callbacks)
+        from sar_yolo_tpu.engine.validator import ClassificationValidator
+        self.validator = ClassificationValidator()

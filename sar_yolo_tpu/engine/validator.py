@@ -285,3 +285,36 @@ class SegmentValidator(BaseValidator):
             if k.startswith("metrics/"):
                 results[k.replace("(B)", "(M)")] = v
         return results
+
+
+class ClassificationValidator(BaseValidator):
+    """Top-1 / top-5 accuracy (reference models/yolo/classify/val.py)."""
+
+    def __call__(self, model=None, variables=None, meta=None, dataset=None, args=None,
+                 data=None):
+        self.args = args
+        self.meta = meta
+        self.data = data or {}
+
+        @jax.jit
+        def predict(variables, img):
+            return model.apply(variables, img, train=False)
+
+        loader = build_dataloader(dataset, batch_size=min(args.batch, len(dataset)),
+                                  shuffle=False, workers=args.workers)
+        top1 = top5 = n = 0
+        t0 = time.time()
+        for batch in loader:
+            logits = np.asarray(predict(variables, jnp.asarray(batch["img"])))
+            labels = batch["cls"].astype(int).reshape(-1)
+            order = np.argsort(-logits, axis=1)
+            top1 += int((order[:, 0] == labels).sum())
+            top5 += int(sum(labels[i] in order[i, :5] for i in range(len(labels))))
+            n += len(labels)
+        results = {"metrics/accuracy_top1": top1 / max(n, 1),
+                   "metrics/accuracy_top5": top5 / max(n, 1),
+                   "fitness": top1 / max(n, 1)}
+        if n:
+            results["speed/ms_per_image"] = (time.time() - t0) / n * 1000
+        self.print_results(results, n)
+        return results

@@ -98,6 +98,9 @@ def parse_model(d: dict, ch: int = 3, verbose: bool = False):
 
         if m in _CH_SCALED:
             c1, c2 = chs[f], args[0]
+            if m == "Classify":
+                meta["head"] = "Classify"
+                meta["head_index"] = i
             if not (m == "Classify" and c2 == nc):
                 c2 = make_divisible(min(c2, max_channels) * width, 8)
             args = [c2, *args[1:]]

@@ -1,0 +1,72 @@
+"""Real on-disk YOLO dataset pipeline tests (txt labels incl. 6-col jde tags)."""
+
+import numpy as np
+import pytest
+import cv2
+
+from sar_yolo_tpu.data import YOLODataset, check_det_dataset
+from sar_yolo_tpu import YOLO
+
+
+def make_dataset(root, n=8, jde=False, imgsz=96):
+    """Write a tiny YOLO-format dataset: images/ + labels/ + data.yaml."""
+    (root / "images").mkdir(parents=True)
+    (root / "labels").mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for i in range(n):
+        img = rng.integers(0, 60, (imgsz, imgsz, 3), dtype=np.uint8)
+        rows = []
+        for j in range(2):
+            w, h = 0.25, 0.3
+            cx = float(rng.uniform(w / 2, 1 - w / 2))
+            cy = float(rng.uniform(h / 2, 1 - h / 2))
+            x1, y1 = int((cx - w / 2) * imgsz), int((cy - h / 2) * imgsz)
+            x2, y2 = int((cx + w / 2) * imgsz), int((cy + h / 2) * imgsz)
+            img[y1:y2, x1:x2] = (40, 220, 40)
+            row = f"0 {cx:.4f} {cy:.4f} {w} {h}"
+            if jde:
+                row += f" {j + 1}"  # person id
+            rows.append(row)
+        cv2.imwrite(str(root / "images" / f"{i:03d}.jpg"), img)
+        (root / "labels" / f"{i:03d}.txt").write_text("\n".join(rows))
+    yaml_text = f"path: {root}\ntrain: images\nval: images\nnc: 1\nnames: {{0: person}}\n"
+    (root / "data.yaml").write_text(yaml_text)
+    return root / "data.yaml"
+
+
+def test_yolo_dataset_loads(tmp_path):
+    yaml_path = make_dataset(tmp_path / "ds", jde=True)
+    info = check_det_dataset(yaml_path)
+    assert info["nc"] == 1
+    ds = YOLODataset(info["train"], imgsz=64, augment=False, use_tags=True, max_labels=8)
+    item = ds[0]
+    assert item["img"].shape == (64, 64, 3)
+    assert item["mask"].sum() == 2
+    assert set(item["tags"][:2]) == {1.0, 2.0}
+    # normalized xywh in range
+    b = item["bboxes"][item["mask"] > 0]
+    assert (b > 0).all() and (b < 1).all()
+
+
+def test_yolo_dataset_mosaic(tmp_path):
+    from sar_yolo_tpu.utils import IterableSimpleNamespace
+    yaml_path = make_dataset(tmp_path / "ds2")
+    info = check_det_dataset(yaml_path)
+    hyp = IterableSimpleNamespace(mosaic=1.0, degrees=0.0, translate=0.1, scale=0.5,
+                                  shear=0.0, perspective=0.0, hsv_h=0.015, hsv_s=0.7,
+                                  hsv_v=0.4, fliplr=0.5, flipud=0.0)
+    ds = YOLODataset(info["train"], imgsz=64, augment=True, hyp=hyp, max_labels=32)
+    item = ds[0]
+    # mosaic composes at 2x then the affine with mosaic border crops back to imgsz
+    assert item["img"].shape == (64, 64, 3)
+    assert item["mask"].sum() >= 1
+
+
+@pytest.mark.slow
+def test_train_on_disk_dataset(tmp_path):
+    yaml_path = make_dataset(tmp_path / "ds3")
+    m = YOLO("tinydet.yaml")
+    metrics = m.train(data=str(yaml_path), epochs=1, imgsz=64, batch=4, workers=1,
+                      project=str(tmp_path), name="t", exist_ok=True, max_labels=16,
+                      mesh_shape=[1], plots=False, mosaic=0.0)
+    assert np.isfinite(metrics["train/box"])

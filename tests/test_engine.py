@@ -140,3 +140,20 @@ def test_segment_train_and_predict(tmp_path):
     img[10:50, 10:50] = (220, 40, 40)
     res = m.predict(img, imgsz=64)
     assert res[0].masks is None or res[0].masks.ndim == 3
+
+
+@pytest.mark.slow
+def test_classify_train_and_predict(tmp_path):
+    m = YOLO("tinycls.yaml")
+    metrics = m.train(data="synthetic", epochs=2, imgsz=32, batch=8, workers=1,
+                      project=str(tmp_path), name="cls", exist_ok=True,
+                      mesh_shape=[1], plots=False)
+    assert "metrics/accuracy_top1" in metrics
+    img = np.full((32, 32, 3), 30, np.uint8)
+    res = m.predict(img, imgsz=32)
+    assert res[0].probs is not None and len(res[0].probs) == 3
+
+
+def test_cli_entrypoint_help(capsys):
+    from sar_yolo_tpu.cfg import entrypoint
+    entrypoint([])  # prints usage, no crash
