@@ -53,12 +53,19 @@ def main():
         img = jnp.asarray(rng.integers(0, 255, (B, imgsz, imgsz, 3), dtype=np.uint8))
         out = jax.device_get(e2e(variables, img))  # compile + settle
         n_iter = 20 if on_tpu else 2
+        # Sustained pipelined throughput: keep `depth` batches in flight and
+        # force a real device->host scalar fetch per result (block_until_ready
+        # does not synchronize through the remote-device tunnel, and a serving
+        # pipeline overlaps dispatch with execution anyway).
+        depth = 3 if on_tpu else 1
+        sums = []
         t0 = time.perf_counter()
-        for _ in range(n_iter):
-            # force a real device->host fetch each call: under the remote-device
-            # tunnel block_until_ready returns before execution completes, so a
-            # scalar fetch is the only reliable completion barrier
-            float(jnp.sum(e2e(variables, img)))
+        for i in range(n_iter):
+            sums.append(jnp.sum(e2e(variables, img)))
+            if len(sums) > depth:
+                float(sums.pop(0))
+        for s in sums:
+            float(s)
         dt = time.perf_counter() - t0
         ips = B * n_iter / dt
         best = max(best, ips)

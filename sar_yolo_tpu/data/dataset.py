@@ -291,6 +291,27 @@ class SyntheticDataset:
         M = self.max_labels
         n_obj = int(rng.integers(1, 6))
         cls = np.zeros(M, np.float32)
+        if self.task == "obb":
+            import cv2
+            boxes5 = np.zeros((M, 5), np.float32)
+            mask = np.zeros(M, np.float32)
+            colors = [(220, 40, 40), (40, 220, 40), (40, 40, 220)]
+            for j in range(n_obj):
+                c = int(rng.integers(0, self.nc))
+                w = rng.uniform(0.12, 0.3) * s
+                h = rng.uniform(0.12, 0.3) * s
+                cx = rng.uniform(0.25, 0.75) * s
+                cy = rng.uniform(0.25, 0.75) * s
+                r = rng.uniform(-np.pi / 4, 3 * np.pi / 4)
+                cos, sin = np.cos(r), np.sin(r)
+                pts = np.array([[-w/2, -h/2], [w/2, -h/2], [w/2, h/2], [-w/2, h/2]])
+                rot = pts @ np.array([[cos, sin], [-sin, cos]])
+                corners = (rot + [cx, cy]).astype(np.int32)
+                cv2.fillPoly(img, [corners], colors[c % 3])
+                boxes5[j] = [cx / s, cy / s, w / s, h / s, r]
+                cls[j] = c
+                mask[j] = 1.0
+            return {"img": img, "cls": cls, "bboxes": boxes5, "mask": mask}
         boxes = np.zeros((M, 4), np.float32)
         mask = np.zeros(M, np.float32)
         tags = np.zeros(M, np.float32)

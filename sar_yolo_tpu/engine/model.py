@@ -65,12 +65,15 @@ class YOLO:
     def task_map(self) -> dict:
         from sar_yolo_tpu.engine.predictor import (ClassificationPredictor,
                                                    DetectionPredictor, JDEPredictor,
-                                                   PosePredictor, SegmentPredictor)
+                                                   OBBPredictor, PosePredictor,
+                                                   SegmentPredictor)
         from sar_yolo_tpu.engine.trainer import (ClassificationTrainer, DetectionTrainer,
-                                                 JDETrainer, PoseTrainer, SegmentTrainer)
+                                                 JDETrainer, OBBTrainer, PoseTrainer,
+                                                 SegmentTrainer)
         from sar_yolo_tpu.engine.validator import (ClassificationValidator,
                                                    DetectionValidator, JDEValidator,
-                                                   PoseValidator, SegmentValidator)
+                                                   OBBValidator, PoseValidator,
+                                                   SegmentValidator)
         return {
             "classify": {"trainer": ClassificationTrainer,
                          "validator": ClassificationValidator,
@@ -83,9 +86,8 @@ class YOLO:
                      "predictor": PosePredictor},
             "segment": {"trainer": SegmentTrainer, "validator": SegmentValidator,
                         "predictor": SegmentPredictor},
-            # obb reuses the detection machinery until the rotated pipeline lands
-            "obb": {"trainer": DetectionTrainer, "validator": DetectionValidator,
-                    "predictor": DetectionPredictor},
+            "obb": {"trainer": OBBTrainer, "validator": OBBValidator,
+                    "predictor": OBBPredictor},
         }
 
     def _ensure_variables(self, imgsz=640):

@@ -261,3 +261,37 @@ class ClassificationPredictor(BasePredictor):
     def postprocess(self, probs, path, orig_img, speed):
         p = np.asarray(probs[0])
         return Results(orig_img, path, self.names, probs=p, speed=speed)
+
+
+class OBBPredictor(BasePredictor):
+    """Rotated-box inference: Results carry xywhr rows (reference obb/predict.py)."""
+
+    def _build(self):
+        model, meta, args = self.model, self.meta, self.args
+        nc = meta["nc"]
+        conf = args.conf if args.conf is not None else 0.25
+        strides = tuple(meta["strides"])
+        from sar_yolo_tpu.ops.decode import decode_obb
+        from sar_yolo_tpu.ops.nms import non_max_suppression_rotated
+
+        @jax.jit
+        def run(variables, img_u8, scale_hw):
+            x = img_u8.astype(jnp.float32) / 255.0
+            feats = model.apply(variables, x, train=False)
+            preds = decode_obb(feats, strides, nc, meta["reg_max"])
+            dets = non_max_suppression_rotated(preds, conf_thres=conf, iou_thres=args.iou,
+                                               max_det=args.max_det, nc=nc)
+            r = scale_hw[0]
+            pad = scale_hw[1:3]
+            xy = (dets[..., :2] - pad[None, None, :]) / r
+            wh = dets[..., 2:4] / r
+            return jnp.concatenate([xy, wh, dets[..., 4:]], -1)
+
+        return run
+
+    def postprocess(self, dets, path, orig_img, speed):
+        d = np.asarray(dets[0])
+        d = d[d[:, 5] > 0]
+        res = Results(orig_img, path, self.names, speed=speed)
+        res.obb = d  # rows [cx, cy, w, h, r, conf, cls]
+        return res

@@ -35,7 +35,8 @@ from sar_yolo_tpu.parallel import get_mesh, replicate, shard_batch
 from sar_yolo_tpu.utils import DEFAULT_CFG, LOGGER, colorstr
 from sar_yolo_tpu.utils.callbacks import HasCallbacks
 from sar_yolo_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
-from sar_yolo_tpu.utils.loss import detection_loss, jde_loss, pose_loss, segmentation_loss
+from sar_yolo_tpu.utils.loss import (detection_loss, jde_loss, obb_loss, pose_loss,
+                                     segmentation_loss)
 
 
 class TrainState(struct.PyTreeNode):
@@ -180,6 +181,13 @@ class BaseTrainer(HasCallbacks):
                                         nm=meta.get("nm", 32))
                 return out.total, out.items, cb
             self.loss_names = ("box", "seg", "cls", "dfl")
+            return fn
+        if self.task == "obb":
+            def fn(feats, batch, cb):
+                out = obb_loss(feats, batch, self.args, nc=meta["nc"],
+                               reg_max=meta["reg_max"], strides=strides)
+                return out.total, out.items, cb
+            self.loss_names = ("box", "cls", "dfl")
             return fn
         if self.task == "classify":
             def fn(logits, batch, cb):
@@ -432,3 +440,14 @@ class ClassificationTrainer(BaseTrainer):
         super().__init__(cfg, overrides, _callbacks)
         from sar_yolo_tpu.engine.validator import ClassificationValidator
         self.validator = ClassificationValidator()
+
+
+class OBBTrainer(BaseTrainer):
+    """OBB-task trainer: rotated assigner + probiou loss."""
+
+    def __init__(self, cfg=DEFAULT_CFG, overrides=None, _callbacks=None):
+        overrides = dict(overrides or {})
+        overrides["task"] = "obb"
+        super().__init__(cfg, overrides, _callbacks)
+        from sar_yolo_tpu.engine.validator import OBBValidator
+        self.validator = OBBValidator()

@@ -318,3 +318,67 @@ class ClassificationValidator(BaseValidator):
             results["speed/ms_per_image"] = (time.time() - t0) / n * 1000
         self.print_results(results, n)
         return results
+
+
+class OBBValidator(BaseValidator):
+    """Rotated-box mAP via probiou matching (reference models/yolo/obb/val.py)."""
+
+    def __call__(self, model=None, variables=None, meta=None, dataset=None, args=None,
+                 data=None):
+        self.args = args
+        self.meta = meta
+        self.data = data or {}
+        nc = meta["nc"]
+        conf = args.conf if args.conf is not None else 0.001
+        strides = tuple(meta["strides"])
+        from sar_yolo_tpu.ops.decode import decode_obb
+        from sar_yolo_tpu.ops.nms import non_max_suppression_rotated
+        from sar_yolo_tpu.ops.boxes import probiou as probiou_jnp
+
+        @jax.jit
+        def predict(variables, img):
+            feats = model.apply(variables, img, train=False)
+            preds = decode_obb(feats, strides, nc, meta["reg_max"])
+            return non_max_suppression_rotated(preds, conf_thres=conf, iou_thres=args.iou,
+                                               max_det=args.max_det, nc=nc)
+
+        loader = build_dataloader(dataset, batch_size=min(args.batch, len(dataset)),
+                                  shuffle=False, workers=args.workers)
+        self.det_metrics = DetMetrics(self.data.get("names"))
+        n_img = 0
+        t0 = time.time()
+        for batch in loader:
+            img = jnp.asarray(batch["img"])
+            dets = np.asarray(predict(variables, img))
+            h, w = img.shape[1:3]
+            for bi in range(dets.shape[0]):
+                d = dets[bi]
+                d = d[d[:, 5] > 0]  # conf col 5 for rotated rows
+                gt_mask = batch["mask"][bi] > 0
+                gt_cls = batch["cls"][bi][gt_mask]
+                gb = batch["bboxes"][bi][gt_mask]
+                gt5 = np.concatenate([gb[:, :4] * np.array([w, h, w, h]), gb[:, 4:5]], 1) \
+                    if len(gb) else np.zeros((0, 5), np.float32)
+                n_pred = len(d)
+                tp = np.zeros((n_pred, len(IOU_THRESHOLDS)), bool)
+                if n_pred and len(gt5):
+                    iou = np.asarray(probiou_jnp(
+                        jnp.asarray(gt5)[:, None, :], jnp.asarray(d[:, :5])[None, :, :])).squeeze(-1)
+                    iou = iou * (gt_cls[:, None] == d[None, :, 6])
+                    for t, thr in enumerate(IOU_THRESHOLDS):
+                        gi, pi = np.nonzero(iou >= thr)
+                        order = iou[gi, pi].argsort()[::-1]
+                        seen_g, seen_p = set(), set()
+                        for g, p in zip(gi[order], pi[order]):
+                            if g in seen_g or p in seen_p:
+                                continue
+                            seen_g.add(g)
+                            seen_p.add(p)
+                            tp[p, t] = True
+                self.det_metrics.update(tp, d[:, 5], d[:, 6], gt_cls)
+                n_img += 1
+        results = self.det_metrics.process()
+        if n_img:
+            results["speed/ms_per_image"] = (time.time() - t0) / n_img * 1000
+        self.print_results(results, n_img)
+        return results

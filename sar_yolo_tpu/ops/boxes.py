@@ -117,3 +117,67 @@ def box_iou_pairwise(boxes1, boxes2, eps: float = 1e-7):
     area1 = jnp.prod(boxes1[:, 2:] - boxes1[:, :2], axis=-1)
     area2 = jnp.prod(boxes2[:, 2:] - boxes2[:, :2], axis=-1)
     return inter / (area1[:, None] + area2[None, :] - inter + eps)
+
+
+# ---------------------------------------------------------------------------
+# Rotated (OBB) geometry
+# ---------------------------------------------------------------------------
+
+
+def _obb_covariance(boxes):
+    """Gaussian covariance terms (a, b, c) of xywhr boxes (reference metrics.py:181)."""
+    w, h, r = boxes[..., 2:3], boxes[..., 3:4], boxes[..., 4:5]
+    a = w ** 2 / 12.0
+    b = h ** 2 / 12.0
+    cos, sin = jnp.cos(r), jnp.sin(r)
+    cos2, sin2 = cos ** 2, sin ** 2
+    return a * cos2 + b * sin2, a * sin2 + b * cos2, (a - b) * cos * sin
+
+
+def probiou(obb1, obb2, CIoU: bool = False, eps: float = 1e-7):
+    """Probabilistic IoU between xywhr boxes (broadcastable), reference metrics.py:201."""
+    x1, y1 = obb1[..., 0:1], obb1[..., 1:2]
+    x2, y2 = obb2[..., 0:1], obb2[..., 1:2]
+    a1, b1, c1 = _obb_covariance(obb1)
+    a2, b2, c2 = _obb_covariance(obb2)
+    denom = (a1 + a2) * (b1 + b2) - (c1 + c2) ** 2 + eps
+    t1 = ((a1 + a2) * (y1 - y2) ** 2 + (b1 + b2) * (x1 - x2) ** 2) / denom * 0.25
+    t2 = ((c1 + c2) * (x2 - x1) * (y1 - y2)) / denom * 0.5
+    det1 = jnp.clip(a1 * b1 - c1 ** 2, 0)
+    det2 = jnp.clip(a2 * b2 - c2 ** 2, 0)
+    t3 = jnp.log(((a1 + a2) * (b1 + b2) - (c1 + c2) ** 2) /
+                 (4 * jnp.sqrt(det1 * det2) + eps) + eps) * 0.5
+    bd = jnp.clip(t1 + t2 + t3, eps, 100.0)
+    hd = jnp.sqrt(1.0 - jnp.exp(-bd) + eps)
+    iou = 1 - hd
+    if CIoU:
+        w1, h1 = obb1[..., 2:3], obb1[..., 3:4]
+        w2, h2 = obb2[..., 2:3], obb2[..., 3:4]
+        v = (4 / math.pi ** 2) * (jnp.arctan(w2 / (h2 + eps)) - jnp.arctan(w1 / (h1 + eps))) ** 2
+        alpha = jax.lax.stop_gradient(v / (v - iou + (1 + eps)))
+        return iou - v * alpha
+    return iou
+
+
+def dist2rbox(pred_dist, pred_angle, anchor_points):
+    """Decode rotated box: ltrb distances + angle -> (cx, cy, w, h), reference tal.py:399."""
+    lt, rb = jnp.split(pred_dist, 2, axis=-1)
+    cos, sin = jnp.cos(pred_angle), jnp.sin(pred_angle)
+    xf, yf = jnp.split((rb - lt) / 2, 2, axis=-1)
+    x = xf * cos - yf * sin
+    y = xf * sin + yf * cos
+    xy = jnp.concatenate([x, y], axis=-1) + anchor_points
+    return jnp.concatenate([xy, lt + rb], axis=-1)
+
+
+def xywhr2xyxyxyxy(boxes):
+    """xywhr -> 4 corner points (..., 4, 2)."""
+    cx, cy, w, h, r = (boxes[..., i] for i in range(5))
+    cos, sin = jnp.cos(r), jnp.sin(r)
+    dx1, dy1 = w / 2 * cos, w / 2 * sin
+    dx2, dy2 = -h / 2 * sin, h / 2 * cos
+    p1 = jnp.stack([cx + dx1 + dx2, cy + dy1 + dy2], -1)
+    p2 = jnp.stack([cx + dx1 - dx2, cy + dy1 - dy2], -1)
+    p3 = jnp.stack([cx - dx1 - dx2, cy - dy1 - dy2], -1)
+    p4 = jnp.stack([cx - dx1 + dx2, cy - dy1 + dy2], -1)
+    return jnp.stack([p1, p2, p3, p4], axis=-2)

@@ -75,3 +75,21 @@ def kpts_decode(anchor_points, pred_kpts):
     """
     xy = pred_kpts[..., :2] * 2.0 + (anchor_points[None, :, None, :] - 0.5)
     return jnp.concatenate([xy, pred_kpts[..., 2:]], axis=-1)
+
+
+def decode_obb(feats, strides, nc: int, reg_max: int = 16):
+    """Decode OBB head output -> (B, N, 4 + nc + 1): xywh px, sigmoid cls, angle rad.
+
+    Reference OBB.forward (head.py:289-301): angle = (sigmoid - 0.25) * pi,
+    box decoded via dist2rbox around anchors.
+    """
+    from .boxes import dist2rbox
+
+    x, hw = flatten_feats(feats)
+    anchors, stride_t = make_anchors(hw, strides)
+    box = x[..., : 4 * reg_max]
+    cls = x[..., 4 * reg_max: 4 * reg_max + nc]
+    angle = (jax.nn.sigmoid(x[..., 4 * reg_max + nc:]) - 0.25) * jnp.pi
+    dist = dfl_decode(box, reg_max)
+    rbox = dist2rbox(dist, angle[..., :1], anchors[None]) * stride_t[None]
+    return jnp.concatenate([rbox, jax.nn.sigmoid(cls), angle[..., :1]], axis=-1)

@@ -115,3 +115,53 @@ def non_max_suppression(preds, conf_thres: float = 0.25, iou_thres: float = 0.7,
 
     return jax.vmap(lambda b, s, c, e: _nms_single(b, s, c, e, iou_thres, max_det, agnostic))(
         top_boxes, top_conf, top_cls, top_extras)
+
+
+def _nms_single_rotated(boxes5, scores, classes, iou_thres: float, max_det: int):
+    """Fixed-point greedy NMS with probiou for rotated boxes (desc-sorted input)."""
+    from .boxes import probiou
+
+    K = boxes5.shape[0]
+    off = boxes5.at[:, :2].add(classes[:, None] * 7680.0)  # class offset on centers
+    iou = probiou(off[:, None, :], off[None, :, :]).squeeze(-1)
+    rank_i = jax.lax.broadcasted_iota(jnp.int32, (K, K), 0)
+    rank_j = jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)
+    valid = scores > 0.0
+    overlap = (iou > iou_thres) & (rank_j < rank_i) & valid[None, :]
+
+    def cond(state):
+        return state[1]
+
+    def body(state):
+        alive, _ = state
+        new_alive = ~jnp.any(overlap & alive[None, :], axis=1) & valid
+        return new_alive, jnp.any(new_alive != alive)
+
+    alive, _ = jax.lax.while_loop(cond, body, (valid, jnp.array(True)))
+    keep_rank = jnp.where(alive, jnp.cumsum(alive) - 1, K + max_det)
+    rows = jnp.concatenate([boxes5, scores[:, None], classes[:, None]], axis=1)
+    out = jnp.zeros((max_det + 1, rows.shape[1]), dtype=boxes5.dtype)
+    out = out.at[jnp.clip(keep_rank, 0, max_det)].set(
+        jnp.where(alive[:, None] & (keep_rank < max_det)[:, None], rows, 0.0), mode="drop")
+    return out[:max_det]
+
+
+@partial(jax.jit, static_argnames=("conf_thres", "iou_thres", "max_det", "pre_topk", "nc"))
+def non_max_suppression_rotated(preds, conf_thres: float = 0.25, iou_thres: float = 0.7,
+                                max_det: int = 300, pre_topk: int = 1024, nc: int = 80):
+    """Rotated NMS (reference utils/ops.py nms_rotated:146).
+
+    preds: (B, N, 4 + nc + 1) — xywh, class scores, angle (radians, last).
+    Returns (B, max_det, 7): [cx, cy, w, h, r, conf, cls].
+    """
+    B, N, _ = preds.shape
+    boxes5 = jnp.concatenate([preds[..., :4], preds[..., -1:]], -1)
+    cls_scores = preds[..., 4:4 + nc]
+    conf = jnp.max(cls_scores, axis=-1)
+    cls = jnp.argmax(cls_scores, axis=-1).astype(preds.dtype)
+    conf = jnp.where(conf >= conf_thres, conf, 0.0)
+    k = min(pre_topk, N)
+    top_conf, top_idx = jax.lax.top_k(conf, k)
+    gather = jax.vmap(lambda a, i: a[i])
+    return jax.vmap(lambda b, s, c: _nms_single_rotated(b, s, c, iou_thres, max_det))(
+        gather(boxes5, top_idx), top_conf, gather(cls, top_idx))

@@ -458,3 +458,75 @@ def segmentation_loss(feats_and_proto, batch, hyp, *, nc: int, reg_max: int, str
         loss_dfl * hyp.dfl,
     ])
     return SegLossOut(items.sum() * B, jax.lax.stop_gradient(items))
+
+
+# ---------------------------------------------------------------------------
+# OBB: rotated detection (probiou + DFL + angle via dist2rbox)
+# ---------------------------------------------------------------------------
+
+
+class OBBLossOut(NamedTuple):
+    total: jnp.ndarray
+    items: jnp.ndarray  # (3,) box, cls, dfl
+
+
+def obb_loss(feats, batch, hyp, *, nc: int, reg_max: int, strides, ne: int = 1,
+             tal_topk: int = 10):
+    """v8 OBB loss (reference v8OBBLoss:1150): rotated assigner + probiou box loss.
+
+    batch['bboxes'] is (B, M, 5) normalized xywhr (angle in radians, unnormalized).
+    Head extras carry ne angle logits; angle = (sigmoid - 0.25) * pi.
+    """
+    from sar_yolo_tpu.ops.boxes import dist2rbox, probiou
+
+    x, hw = flatten_feats(feats)
+    B, N, _ = x.shape
+    pred_distri = x[..., : 4 * reg_max].astype(jnp.float32)
+    pred_scores = x[..., 4 * reg_max: 4 * reg_max + nc].astype(jnp.float32)
+    angle_logits = x[..., 4 * reg_max + nc:].astype(jnp.float32)
+    pred_angle = (jax.nn.sigmoid(angle_logits) - 0.25) * jnp.pi  # (B, N, ne)
+
+    anchor_points, stride_t = make_anchors(hw, strides)
+    imgsz_h = hw[0][0] * strides[0]
+    imgsz_w = hw[0][1] * strides[0]
+    scale = jnp.array([imgsz_w, imgsz_h, imgsz_w, imgsz_h], jnp.float32)
+
+    gt_labels = batch["cls"].astype(jnp.int32)
+    gb = batch["bboxes"].astype(jnp.float32)
+    gt_bboxes = jnp.concatenate([gb[..., :4] * scale, gb[..., 4:5]], -1)  # xywhr pixels
+    # filter degenerate rboxes (reference: rw/rh >= 2px)
+    size_ok = (gt_bboxes[..., 2] >= 2) & (gt_bboxes[..., 3] >= 2)
+    mask_gt = batch["mask"].astype(jnp.float32) * size_ok
+
+    pred_dist4 = pred_distri.reshape(B, N, 4, reg_max)
+    dist = dfl_decode(pred_distri, reg_max)
+    pred_rbox = dist2rbox(dist, pred_angle[..., :1], anchor_points[None])  # grid units
+    pred_bboxes = jnp.concatenate([pred_rbox, pred_angle[..., :1]], -1)   # (B, N, 5)
+
+    assign_boxes = jax.lax.stop_gradient(
+        jnp.concatenate([pred_rbox * stride_t[None], pred_angle[..., :1]], -1))
+    assign = task_aligned_assigner(
+        jax.lax.stop_gradient(jax.nn.sigmoid(pred_scores)),
+        assign_boxes, anchor_points * stride_t,
+        gt_labels, gt_bboxes, mask_gt,
+        topk=tal_topk, num_classes=nc, alpha=0.5, beta=6.0, rotated=True)
+
+    target_scores = assign.target_scores
+    tss = jnp.maximum(target_scores.sum(), 1.0)
+    fg = assign.fg_mask.astype(jnp.float32)
+
+    loss_cls = _bce_logits(pred_scores, target_scores).sum() / tss
+
+    tb = assign.target_bboxes
+    tb = jnp.concatenate([tb[..., :4] / stride_t[None], tb[..., 4:5]], -1)
+    weight = target_scores.sum(-1) * fg
+    iou = probiou(pred_bboxes, tb).squeeze(-1)
+    loss_box = ((1.0 - iou) * weight).sum() / tss
+    # DFL on the axis-aligned hull of the rotated target (reference RotatedBboxLoss
+    # encodes xywh2xyxy(target[...,:4]))
+    target_xyxy = xywh2xyxy(tb[..., :4])
+    target_ltrb = bbox2dist(anchor_points[None], target_xyxy, reg_max - 1)
+    loss_dfl = (_df_loss(pred_dist4, target_ltrb, reg_max) * weight).sum() / tss
+
+    items = jnp.stack([loss_box * hyp.box, loss_cls * hyp.cls, loss_dfl * hyp.dfl])
+    return OBBLossOut(items.sum() * B, jax.lax.stop_gradient(items))

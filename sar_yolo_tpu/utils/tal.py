@@ -20,7 +20,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from sar_yolo_tpu.ops.boxes import bbox_iou
+from sar_yolo_tpu.ops.boxes import bbox_iou, probiou
 
 
 class AssignResult(NamedTuple):
@@ -34,7 +34,8 @@ class AssignResult(NamedTuple):
 
 def task_aligned_assigner(pd_scores, pd_bboxes, anc_points, gt_labels, gt_bboxes,
                           mask_gt, gt_tags=None, *, topk: int = 10, num_classes: int = 80,
-                          alpha: float = 0.5, beta: float = 6.0, eps: float = 1e-9):
+                          alpha: float = 0.5, beta: float = 6.0, eps: float = 1e-9,
+                          rotated: bool = False):
     """Assign GTs to anchors by the task-aligned metric.
 
     Args:
@@ -52,9 +53,21 @@ def task_aligned_assigner(pd_scores, pd_bboxes, anc_points, gt_labels, gt_bboxes
     mask_gt_f = mask_gt.astype(dtype)
 
     # ---- candidates whose center lies inside the gt box: (B, M, N)
-    lt = anc_points[None, None, :, :] - gt_bboxes[:, :, None, :2]
-    rb = gt_bboxes[:, :, None, 2:] - anc_points[None, None, :, :]
-    mask_in_gts = (jnp.minimum(lt.min(-1), rb.min(-1)) > eps).astype(dtype)
+    if rotated:
+        # rotate anchors into each gt frame: inside iff |d| < (w, h)/2
+        # (equivalent to the reference's corner cross-product test,
+        #  RotatedTaskAlignedAssigner.select_candidates_in_gts tal.py:340)
+        delta = anc_points[None, None, :, :] - gt_bboxes[:, :, None, :2]   # (B,M,N,2)
+        r = gt_bboxes[:, :, None, 4]
+        cos, sin = jnp.cos(r), jnp.sin(r)
+        dx = delta[..., 0] * cos + delta[..., 1] * sin
+        dy = -delta[..., 0] * sin + delta[..., 1] * cos
+        mask_in_gts = ((jnp.abs(dx) < gt_bboxes[:, :, None, 2] / 2 - eps) &
+                       (jnp.abs(dy) < gt_bboxes[:, :, None, 3] / 2 - eps)).astype(dtype)
+    else:
+        lt = anc_points[None, None, :, :] - gt_bboxes[:, :, None, :2]
+        rb = gt_bboxes[:, :, None, 2:] - anc_points[None, None, :, :]
+        mask_in_gts = (jnp.minimum(lt.min(-1), rb.min(-1)) > eps).astype(dtype)
 
     # ---- alignment metric: score of the gt class at each anchor x CIoU
     # gather per-gt-class scores: (B, M, N)
@@ -62,8 +75,11 @@ def task_aligned_assigner(pd_scores, pd_bboxes, anc_points, gt_labels, gt_bboxes
     bbox_scores = jnp.take_along_axis(
         pd_scores.transpose(0, 2, 1), gl[:, :, None], axis=1)
     valid = (mask_in_gts * mask_gt_f[:, :, None]).astype(bool)
-    overlaps = bbox_iou(gt_bboxes[:, :, None, :], pd_bboxes[:, None, :, :],
-                        xywh=False, CIoU=True).squeeze(-1)
+    if rotated:
+        overlaps = probiou(gt_bboxes[:, :, None, :], pd_bboxes[:, None, :, :]).squeeze(-1)
+    else:
+        overlaps = bbox_iou(gt_bboxes[:, :, None, :], pd_bboxes[:, None, :, :],
+                            xywh=False, CIoU=True).squeeze(-1)
     overlaps = jnp.where(valid, jnp.clip(overlaps, 0.0), 0.0).astype(dtype)
     bbox_scores = jnp.where(valid, bbox_scores, 0.0)
     align_metric = bbox_scores ** alpha * overlaps ** beta

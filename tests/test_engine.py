@@ -157,3 +157,14 @@ def test_classify_train_and_predict(tmp_path):
 def test_cli_entrypoint_help(capsys):
     from sar_yolo_tpu.cfg import entrypoint
     entrypoint([])  # prints usage, no crash
+
+
+@pytest.mark.slow
+def test_obb_train_and_predict(tmp_path):
+    m = YOLO("tinyobb.yaml")
+    metrics = m.train(**_train_kwargs(tmp_path, epochs=1))
+    assert all(np.isfinite(v) for v in metrics.values())
+    img = np.full((64, 64, 3), 30, np.uint8)
+    img[10:50, 20:40] = (220, 40, 40)
+    res = m.predict(img, imgsz=64)
+    assert hasattr(res[0], "obb") and res[0].obb.shape[1] == 7

@@ -128,3 +128,24 @@ def test_flash_area_attention_matches_einsum():
         ref = area_attention(q, k, v, H, area)
         got = flash_area_attention(q, k, v, H, area, interpret=True)
         assert float(jnp.abs(ref - got).max()) < 1e-4
+
+
+def test_probiou_identity_and_rotation():
+    from sar_yolo_tpu.ops.boxes import probiou
+    b = jnp.array([[50.0, 50.0, 20.0, 10.0, 0.3]])
+    assert float(probiou(b, b)[0, 0]) > 0.99
+    # same box rotated 90deg with swapped w/h is identical geometry
+    b2 = jnp.array([[50.0, 50.0, 10.0, 20.0, 0.3 + jnp.pi / 2]])
+    assert float(probiou(b, b2)[0, 0]) > 0.97
+    # disjoint boxes
+    b3 = jnp.array([[500.0, 500.0, 20.0, 10.0, 0.0]])
+    assert float(probiou(b, b3)[0, 0]) < 0.05
+
+
+def test_dist2rbox_zero_angle_matches_dist2bbox():
+    from sar_yolo_tpu.ops.boxes import dist2rbox
+    anchors = jnp.array([[10.0, 10.0]])
+    dist = jnp.array([[3.0, 2.0, 5.0, 6.0]])
+    out = dist2rbox(dist, jnp.zeros((1, 1)), anchors)
+    ref = dist2bbox(dist, anchors, xywh=True)
+    assert np.allclose(out, ref, atol=1e-5)
