@@ -63,6 +63,12 @@ class YOLO:
     # ------------------------------------------------------------------ modes
     @property
     def task_map(self) -> dict:
+        if self.meta.get("head") == "RTDETRDecoder":
+            from sar_yolo_tpu.engine.predictor import RTDETRPredictor
+            from sar_yolo_tpu.engine.trainer import RTDETRTrainer
+            from sar_yolo_tpu.engine.validator import RTDETRValidator
+            return {"detect": {"trainer": RTDETRTrainer, "validator": RTDETRValidator,
+                               "predictor": RTDETRPredictor}}
         from sar_yolo_tpu.engine.predictor import (ClassificationPredictor,
                                                    DetectionPredictor, JDEPredictor,
                                                    OBBPredictor, PosePredictor,

@@ -295,3 +295,31 @@ class OBBPredictor(BasePredictor):
         res = Results(orig_img, path, self.names, speed=speed)
         res.obb = d  # rows [cx, cy, w, h, r, conf, cls]
         return res
+
+
+class RTDETRPredictor(BasePredictor):
+    """RT-DETR inference: top decoder layer, conf filter only (rtdetr/predict.py)."""
+
+    def _build(self):
+        model, args = self.model, self.args
+        conf = args.conf if args.conf is not None else 0.25
+        imgsz = self.imgsz
+
+        @jax.jit
+        def run(variables, img_u8, scale_hw):
+            x = img_u8.astype(jnp.float32) / 255.0
+            dec_b, dec_s, _, _ = model.apply(variables, x, train=False)
+            boxes = dec_b[-1] * imgsz             # (B, nq, 4) pixels cxcywh
+            scores = jax.nn.sigmoid(dec_s[-1])
+            cls_conf = scores.max(-1)
+            cls = scores.argmax(-1).astype(boxes.dtype)
+            r = scale_hw[0]
+            pad = scale_hw[1:3]
+            xy = (boxes[..., :2] - pad[None, None, :]) / r
+            wh = boxes[..., 2:4] / r
+            x1y1 = xy - wh / 2
+            x2y2 = xy + wh / 2
+            conf_m = jnp.where(cls_conf >= conf, cls_conf, 0.0)
+            return jnp.concatenate([x1y1, x2y2, conf_m[..., None], cls[..., None]], -1)
+
+        return run

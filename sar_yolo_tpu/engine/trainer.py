@@ -158,6 +158,13 @@ class BaseTrainer(HasCallbacks):
         """Returns loss(feats, batch, cb_counts) -> (total, items, new_cb)."""
         meta = self.meta
         strides = tuple(meta.get("strides") or ())
+        if meta.get("head") == "RTDETRDecoder":
+            from sar_yolo_tpu.utils.detr_loss import detr_loss
+            def fn(outputs, batch, cb):
+                out = detr_loss(outputs, batch, self.args, nc=meta["nc"])
+                return out.total, out.items, cb
+            self.loss_names = ("cls", "bbox", "giou")
+            return fn
         if self.task == "jde":
             def fn(feats, batch, cb):
                 out = jde_loss(feats, batch, self.args, nc=meta["nc"], reg_max=meta["reg_max"],
@@ -451,3 +458,14 @@ class OBBTrainer(BaseTrainer):
         super().__init__(cfg, overrides, _callbacks)
         from sar_yolo_tpu.engine.validator import OBBValidator
         self.validator = OBBValidator()
+
+
+class RTDETRTrainer(BaseTrainer):
+    """RT-DETR trainer: Hungarian-matched DETR loss (models/rtdetr/train.py parity)."""
+
+    def __init__(self, cfg=DEFAULT_CFG, overrides=None, _callbacks=None):
+        overrides = dict(overrides or {})
+        overrides.setdefault("task", "detect")
+        super().__init__(cfg, overrides, _callbacks)
+        from sar_yolo_tpu.engine.validator import RTDETRValidator
+        self.validator = RTDETRValidator()

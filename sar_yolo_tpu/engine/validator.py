@@ -382,3 +382,59 @@ class OBBValidator(BaseValidator):
             results["speed/ms_per_image"] = (time.time() - t0) / n_img * 1000
         self.print_results(results, n_img)
         return results
+
+
+class RTDETRValidator(BaseValidator):
+    """RT-DETR eval: last decoder layer, conf filter, no NMS (rtdetr/val.py parity)."""
+
+    def __call__(self, model=None, variables=None, meta=None, dataset=None, args=None,
+                 data=None):
+        self.args = args
+        self.meta = meta
+        self.data = data or {}
+        nc = meta["nc"]
+        conf = args.conf if args.conf is not None else 0.001
+
+        @jax.jit
+        def predict(variables, img):
+            dec_b, dec_s, _, _ = model.apply(variables, img, train=False)
+            boxes = dec_b[-1]                     # (B, nq, 4) normalized cxcywh
+            scores = jax.nn.sigmoid(dec_s[-1])    # (B, nq, nc)
+            return boxes, scores
+
+        loader = build_dataloader(dataset, batch_size=min(args.batch, len(dataset)),
+                                  shuffle=False, workers=args.workers)
+        self.init_metrics()
+        n_img = 0
+        t0 = time.time()
+        for batch in loader:
+            img = jnp.asarray(batch["img"])
+            boxes, scores = (np.asarray(o) for o in predict(variables, img))
+            h, w = img.shape[1:3]
+            B = img.shape[0]
+            for bi in range(B):
+                s = scores[bi]
+                cls_conf = s.max(-1)
+                keep = cls_conf >= conf
+                b = boxes[bi][keep] * np.array([w, h, w, h])
+                d = np.concatenate([
+                    np.stack([b[:, 0] - b[:, 2] / 2, b[:, 1] - b[:, 3] / 2,
+                              b[:, 0] + b[:, 2] / 2, b[:, 1] + b[:, 3] / 2], 1),
+                    cls_conf[keep, None], s[keep].argmax(-1)[:, None]], 1) \
+                    if keep.any() else np.zeros((0, 6), np.float32)
+                order = np.argsort(-d[:, 4])
+                d = d[order][: args.max_det]
+                gt_mask = batch["mask"][bi] > 0
+                gt_cls = batch["cls"][bi][gt_mask]
+                gb = batch["bboxes"][bi][gt_mask] * np.array([w, h, w, h])
+                gt_boxes = np.stack([gb[:, 0] - gb[:, 2] / 2, gb[:, 1] - gb[:, 3] / 2,
+                                     gb[:, 0] + gb[:, 2] / 2, gb[:, 1] + gb[:, 3] / 2], 1) \
+                    if len(gb) else np.zeros((0, 4), np.float32)
+                tp = match_predictions(d[:, :4], d[:, 5], gt_boxes, gt_cls)
+                self.det_metrics.update(tp, d[:, 4], d[:, 5], gt_cls)
+                n_img += 1
+        results = self.finalize_metrics()
+        if n_img:
+            results["speed/ms_per_image"] = (time.time() - t0) / n_img * 1000
+        self.print_results(results, n_img)
+        return results

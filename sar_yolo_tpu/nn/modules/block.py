@@ -598,3 +598,79 @@ class FullPAD_Tunnel(nn.Module):
     def __call__(self, xs, train: bool = False):
         gate = self.param("gate", nn.initializers.zeros, (), jnp.float32)
         return xs[0] + gate.astype(xs[0].dtype) * xs[1]
+
+
+# ---------------------------------------------------------------------------
+# PPHGNetV2 backbone blocks + RepC3 (RT-DETR family; reference block.py:104-176,
+# RepC3 near :700)
+# ---------------------------------------------------------------------------
+
+from .conv import DWConv, LightConv, RepConv  # noqa: E402
+
+
+class HGStem(nn.Module):
+    """PPHGNetV2 stem: 5 convs + maxpool branch (reference block.py:104)."""
+
+    cm: int
+    c2: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        relu = nn.relu
+        x = Conv(self.cm, 3, 2, act=relu, dtype=self.dtype, name="stem1")(x, train)
+        xp = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+        x2 = Conv(self.cm // 2, 2, 1, p=0, act=relu, dtype=self.dtype, name="stem2a")(xp, train)
+        x2 = jnp.pad(x2, ((0, 0), (0, 1), (0, 1), (0, 0)))
+        x2 = Conv(self.cm, 2, 1, p=0, act=relu, dtype=self.dtype, name="stem2b")(x2, train)
+        x1 = nn.max_pool(xp, (2, 2), strides=(1, 1))  # ceil-mode pool on padded map
+        x = jnp.concatenate([x1, x2], -1)
+        x = Conv(self.cm, 3, 2, act=relu, dtype=self.dtype, name="stem3")(x, train)
+        return Conv(self.c2, 1, 1, act=relu, dtype=self.dtype, name="stem4")(x, train)
+
+
+class HGBlock(nn.Module):
+    """PPHGNetV2 block: n (Light)Convs, dense concat, squeeze+excitation convs."""
+
+    cm: int
+    c2: int
+    k: int = 3
+    n: int = 6
+    lightconv: bool = False
+    shortcut: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        relu = nn.relu
+        ys = [x]
+        for i in range(self.n):
+            if self.lightconv:
+                ys.append(LightConv(self.cm, self.k, dtype=self.dtype, name=f"m{i}")(ys[-1], train))
+            else:
+                ys.append(Conv(self.cm, self.k, act=relu, dtype=self.dtype, name=f"m{i}")(ys[-1], train))
+        y = Conv(self.c2 // 2, 1, 1, act=relu, dtype=self.dtype, name="sc")(
+            jnp.concatenate(ys, -1), train)
+        y = Conv(self.c2, 1, 1, act=relu, dtype=self.dtype, name="ec")(y, train)
+        return y + x if self.shortcut and x.shape[-1] == self.c2 else y
+
+
+class RepC3(nn.Module):
+    """CSP block with RepConv body (reference block.py RepC3)."""
+
+    c2: int
+    n: int = 3
+    e: float = 1.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        a = Conv(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        for i in range(self.n):
+            a = RepConv(c_, dtype=self.dtype, name=f"m{i}")(a, train)
+        b = Conv(c_, 1, 1, dtype=self.dtype, name="cv2")(x, train)
+        y = a + b
+        if c_ != self.c2:
+            y = Conv(self.c2, 1, dtype=self.dtype, name="cv3")(y, train)
+        return y

@@ -188,3 +188,34 @@ class Upsample(nn.Module):
         s = int(self.scale)
         x = jnp.repeat(x, s, axis=1)
         return jnp.repeat(x, s, axis=2)
+
+
+class LightConv(nn.Module):
+    """1x1 conv (no act) + depthwise kxk with ReLU (reference conv.py LightConv)."""
+
+    c2: int
+    k: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = Conv(self.c2, 1, act=False, dtype=self.dtype, name="conv1")(x, train)
+        return DWConv(self.c2, self.k, act=nn.relu, dtype=self.dtype, name="conv2")(x, train)
+
+
+class RepConv(nn.Module):
+    """RepVGG-style conv: parallel 3x3 + 1x1 branches at train time (reference conv.py:193).
+
+    Deploy-time fusion folds both into one 3x3 (a param transform, later pass).
+    """
+
+    c2: int
+    k: int = 3
+    s: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y1 = Conv(self.c2, self.k, self.s, act=False, dtype=self.dtype, name="conv1")(x, train)
+        y2 = Conv(self.c2, 1, self.s, act=False, dtype=self.dtype, name="conv2")(x, train)
+        return nn.silu(y1 + y2)

@@ -48,13 +48,15 @@ class LayerSpec:
 
 # set of modules whose first yaml arg is out-channels (width-scaled)
 _CH_SCALED = {"Conv", "DWConv", "DSConv", "Bottleneck", "SPPF", "C2f", "C3", "C3k",
-              "C3k2", "C3k2_CBAM", "A2C2f", "DSC3k2", "DSC3k2_CBAM", "Classify"}
+              "C3k2", "C3k2_CBAM", "A2C2f", "DSC3k2", "DSC3k2_CBAM", "Classify", "RepC3"}
 # subset that takes an inserted repeat count n
-_REPEAT_ARG = {"C2f", "C3", "C3k", "C3k2", "C3k2_CBAM", "A2C2f", "DSC3k2", "DSC3k2_CBAM"}
-_HEADS = {"Detect", "JDE", "Segment", "Pose", "OBB", "Classify"}
+_REPEAT_ARG = {"C2f", "C3", "C3k", "C3k2", "C3k2_CBAM", "A2C2f", "DSC3k2", "DSC3k2_CBAM",
+               "RepC3"}
+_HEADS = {"Detect", "JDE", "Segment", "Pose", "OBB", "Classify", "RTDETRDecoder"}
 
 TASK_BY_HEAD = {"Detect": "detect", "JDE": "jde", "Segment": "segment",
-                "Pose": "pose", "OBB": "obb", "Classify": "classify"}
+                "Pose": "pose", "OBB": "obb", "Classify": "classify",
+                "RTDETRDecoder": "detect"}
 
 
 def _resolve_arg(a, names: dict):
@@ -126,6 +128,15 @@ def parse_model(d: dict, ch: int = 3, verbose: bool = False):
             m = "Upsample"
             args = [int(args[1]), str(args[2])]
             c2 = chs[f]
+        elif m == "HGStem":
+            c2 = args[1]  # [cm, c2]
+        elif m == "HGBlock":
+            cm, c2 = args[0], args[1]
+            args = [cm, c2, *args[2:]]
+            args.insert(3, n)  # (cm, c2, k, n, lightconv, shortcut)
+            n = 1
+        elif m == "AIFI":
+            c2 = chs[f]  # args = [cm, num_heads]
         elif m == "Concat":
             c2 = sum(chs[x] for x in f)
             args = []
@@ -167,8 +178,11 @@ def parse_model(d: dict, ch: int = 3, verbose: bool = False):
         if n != 1:
             raise ValueError(f"module {m} at layer {i} has unhandled repeat n={n}")
 
-        specs.append(LayerSpec(i=i, f=tuple(f) if isinstance(f, list) else f,
-                               name=m, args=tuple(args), c2=c2,
+        # normalize relative 'from' indices (-2, -3, ...) to absolute; keep -1 = previous
+        def _norm(j):
+            return j if j == -1 else j % i
+        f_norm = tuple(_norm(j) for j in f) if isinstance(f, list) else _norm(f)
+        specs.append(LayerSpec(i=i, f=f_norm, name=m, args=tuple(args), c2=c2,
                                kwargs=tuple(sorted(kwargs.items()))))
         save.extend(x % i for x in ([f] if isinstance(f, int) else f) if x != -1)
         if i == 0:
@@ -243,6 +257,25 @@ def _build_module(spec: LayerSpec, nc: int, dtype):
                      ch=kw["ch"], legacy=kw["legacy"], dtype=dtype)
     if name == "Classify":
         return H.Classify(nc=a[0], dtype=dtype)
+    if name == "HGStem":
+        return B.HGStem(*a, dtype=dtype)
+    if name == "HGBlock":
+        return B.HGBlock(*a, dtype=dtype)
+    if name == "RepC3":
+        return B.RepC3(*a, dtype=dtype)
+    if name == "AIFI":
+        from sar_yolo_tpu.nn.modules import transformer as T
+        return T.AIFI(*a, dtype=dtype)
+    if name == "RTDETRDecoder":
+        from sar_yolo_tpu.nn.modules import transformer as T
+        extra = {}
+        if len(a) > 1:
+            extra["hd"] = a[1]
+        if len(a) > 2:
+            extra["nq"] = a[2]
+        if len(a) > 3:
+            extra["ndl"] = a[3]
+        return T.RTDETRDecoder(nc=a[0] if a else nc, ch=kw["ch"], dtype=dtype, **extra)
     raise KeyError(f"Unknown module '{name}' in model yaml")
 
 
@@ -341,6 +374,8 @@ def infer_strides(model: GraphModel, meta: dict, imgsz: int = 256):
     """Infer per-level strides via shape-only tracing (no FLOPs)."""
     if meta["task"] == "classify":
         return []
+    if meta.get("head") == "RTDETRDecoder":
+        return [8, 16, 32]  # nominal; the decoder regresses normalized boxes directly
     x = jnp.zeros((1, imgsz, imgsz, 3), jnp.float32)
     rng = jax.random.PRNGKey(0)
 

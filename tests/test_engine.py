@@ -168,3 +168,16 @@ def test_obb_train_and_predict(tmp_path):
     img[10:50, 20:40] = (220, 40, 40)
     res = m.predict(img, imgsz=64)
     assert hasattr(res[0], "obb") and res[0].obb.shape[1] == 7
+
+
+@pytest.mark.slow
+def test_rtdetr_train_and_predict(tmp_path):
+    from sar_yolo_tpu.models.rtdetr import RTDETR
+    m = RTDETR("tinyrtdetr.yaml")
+    metrics = m.train(**_train_kwargs(tmp_path, epochs=1, max_labels=8))
+    assert "train/giou" in metrics
+    assert all(np.isfinite(v) for v in metrics.values())
+    img = np.full((64, 64, 3), 30, np.uint8)
+    img[10:50, 20:50] = (220, 40, 40)
+    res = m.predict(img, imgsz=64)
+    assert res[0].boxes is not None
