@@ -52,20 +52,17 @@ def main():
     for B in batches:
         img = jnp.asarray(rng.integers(0, 255, (B, imgsz, imgsz, 3), dtype=np.uint8))
         out = jax.device_get(e2e(variables, img))  # compile + settle
-        n_iter = 20 if on_tpu else 2
-        # Sustained pipelined throughput: keep `depth` batches in flight and
-        # force a real device->host scalar fetch per result (block_until_ready
-        # does not synchronize through the remote-device tunnel, and a serving
-        # pipeline overlaps dispatch with execution anyway).
-        depth = 3 if on_tpu else 1
-        sums = []
+        n_iter = 30 if on_tpu else 2
+        # Sustained throughput with a single completion barrier: every iteration
+        # folds its result into a device-side accumulator, so the one final
+        # scalar fetch transitively forces ALL executions (block_until_ready
+        # does not synchronize through the remote-device tunnel; a lone fetch
+        # per iteration would serialize on tunnel round-trips instead).
+        acc = jnp.zeros((), jnp.float32)
         t0 = time.perf_counter()
         for i in range(n_iter):
-            sums.append(jnp.sum(e2e(variables, img)))
-            if len(sums) > depth:
-                float(sums.pop(0))
-        for s in sums:
-            float(s)
+            acc = acc + jnp.sum(e2e(variables, img))
+        float(acc)  # one round-trip: forces the whole chain
         dt = time.perf_counter() - t0
         ips = B * n_iter / dt
         best = max(best, ips)

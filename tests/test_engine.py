@@ -181,3 +181,27 @@ def test_rtdetr_train_and_predict(tmp_path):
     img[10:50, 20:50] = (220, 40, 40)
     res = m.predict(img, imgsz=64)
     assert res[0].boxes is not None
+
+
+@pytest.mark.slow
+def test_overfit_reaches_map(tmp_path):
+    """End-to-end correctness: overfit a tiny set, train-set mAP50 must rise.
+
+    (Full-scale verification on TPU: yolov8n, 150 epochs, 64 synthetic images
+    @128px reaches mAP50 0.979 / mAP50-95 0.891 — see round log.)
+    """
+    from sar_yolo_tpu.cfg import get_cfg
+    from sar_yolo_tpu.data import SyntheticDataset
+    from sar_yolo_tpu.engine.validator import DetectionValidator
+
+    m = YOLO("tinydet.yaml")
+    m.train(data="synthetic", epochs=60, imgsz=64, batch=8, workers=1,
+            project=str(tmp_path), name="of", exist_ok=True, max_labels=16,
+            mesh_shape=[1], plots=False, val=False, save=False, patience=10000,
+            lr0=0.01, optimizer="SGD", warmup_epochs=2.0)
+    train_ds = SyntheticDataset(n=64, imgsz=64, nc=3, max_labels=16)
+    args = get_cfg(overrides={"batch": 8, "imgsz": 64, "workers": 1, "task": "detect"})
+    v = DetectionValidator()
+    res = v(model=m.model, variables=m.variables, meta=m.meta, dataset=train_ds,
+            args=args, data={"nc": 3, "names": {0: "a", 1: "b", 2: "c"}})
+    assert res["metrics/mAP50(B)"] > 0.3, f"overfit mAP50 too low: {res}"
