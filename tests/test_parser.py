@@ -81,3 +81,21 @@ def test_yolov13n_jde_forward():
         variables, jnp.zeros((1, 64, 64, 3)))
     no = 16 * 4 + 1 + 256 + 6  # reg_max*4 + nc + embed + states
     assert [f.shape for f in feats] == [(1, 8, 8, no), (1, 4, 4, no), (1, 2, 2, no)]
+
+
+def test_v13_variant_yamls_parse():
+    for name in ["yolov13n-JDE_CBAM.yaml", "yolov13n-JDE_P24.yaml"]:
+        d = yaml_model_load(name)
+        specs, save, meta = parse_model(d)
+        assert meta["head"] == "JDE"
+    # P24 head covers 4 pyramid levels
+    d = yaml_model_load("yolov13n-JDE_P24.yaml")
+    specs, _, meta = parse_model(d)
+    assert meta["nl"] == 4
+
+
+def test_rtdetr_yaml_parses():
+    d = yaml_model_load("rtdetr-l.yaml")
+    specs, save, meta = parse_model(d)
+    assert meta["head"] == "RTDETRDecoder"
+    assert specs[0].name == "HGStem"
