@@ -223,6 +223,11 @@ class BaseTrainer(HasCallbacks):
         variables = init_model(self.model, self.meta, rng, imgsz=args.imgsz)
 
         self.mesh = get_mesh(args.mesh_shape)
+        if args.batch == -1:  # autobatch (reference utils/autobatch.py)
+            import numpy as _np
+            from sar_yolo_tpu.utils.autobatch import check_train_batch_size
+            n_params = int(sum(_np.prod(p.shape) for p in jax.tree.leaves(variables["params"])))
+            args.batch = check_train_batch_size(n_params, args.imgsz)
         self.train_loader = build_dataloader(self.train_set, args.batch, shuffle=True,
                                              workers=args.workers, seed=args.seed)
         nb = max(len(self.train_loader), 1)
@@ -291,6 +296,15 @@ class BaseTrainer(HasCallbacks):
             te = time.time()
             for i, batch in enumerate(self.train_loader):
                 self.run_callbacks("on_train_batch_start")
+                if epoch == 0 and i == 0 and args.plots:
+                    try:
+                        from sar_yolo_tpu.utils.plotting import plot_images
+                        self.save_dir.mkdir(parents=True, exist_ok=True)
+                        if "bboxes" in batch and batch["bboxes"].ndim == 3 and \
+                                batch["bboxes"].shape[-1] == 4:
+                            plot_images(batch, self.save_dir / "train_batch0.png")
+                    except Exception as e:  # noqa: BLE001 — plotting is best-effort
+                        LOGGER.warning(f"plot_images failed: {e}")
                 batch = shard_batch(self.mesh, batch)
                 rng, sub = jax.random.split(rng)
                 self.state, total, items = self._train_step(self.state, batch, sub)
@@ -334,6 +348,12 @@ class BaseTrainer(HasCallbacks):
             if stop:
                 break
 
+        if args.plots:
+            try:
+                from sar_yolo_tpu.utils.plotting import plot_results
+                plot_results(self.csv)
+            except Exception as e:  # noqa: BLE001
+                LOGGER.warning(f"plot_results failed: {e}")
         self.run_callbacks("on_train_end")
         LOGGER.info(f"Training complete in {(time.time() - t_start) / 3600:.3f} hours; "
                     f"results saved to {self.save_dir}")
