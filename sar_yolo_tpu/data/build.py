@@ -15,13 +15,12 @@ import numpy as np
 
 
 def collate(items: list[dict]) -> dict:
-    """Stack per-sample dicts into batch arrays (static shapes from max_labels)."""
-    out = {}
-    for k in items[0]:
-        out[k] = np.stack([it[k] for it in items])
-    if "img" in out:
-        out["img"] = out["img"].astype(np.float32) / 255.0
-    return out
+    """Stack per-sample dicts into batch arrays (static shapes from max_labels).
+
+    Images stay uint8: the host->device copy is 4x smaller and normalization
+    fuses into the consumer jit (north-star device-side preprocessing).
+    """
+    return {k: np.stack([it[k] for it in items]) for k in items[0]}
 
 
 class DataLoader:

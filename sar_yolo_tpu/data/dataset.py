@@ -266,7 +266,7 @@ class SyntheticDataset:
     """
 
     def __init__(self, n=64, imgsz=640, nc=3, max_labels=128, use_tags=False, seed=0,
-                 task="detect", kpt_shape=(5, 3)):
+                 task="detect", kpt_shape=(5, 3), min_size=0.1, max_size=0.3):
         self.n = n
         self.imgsz = imgsz
         self.nc = nc
@@ -275,6 +275,8 @@ class SyntheticDataset:
         self.seed = seed
         self.task = task
         self.kpt_shape = kpt_shape
+        self.min_size = min_size
+        self.max_size = max_size
 
     def __len__(self):
         return self.n
@@ -322,8 +324,8 @@ class SyntheticDataset:
         colors = [(220, 40, 40), (40, 220, 40), (40, 40, 220), (220, 220, 40), (220, 40, 220)]
         for j in range(n_obj):
             c = int(rng.integers(0, self.nc))
-            w = rng.uniform(0.1, 0.3) * s
-            h = rng.uniform(0.1, 0.3) * s
+            w = rng.uniform(self.min_size, self.max_size) * s
+            h = rng.uniform(self.min_size, self.max_size) * s
             cx = rng.uniform(w / 2, s - w / 2)
             cy = rng.uniform(h / 2, s - h / 2)
             x1, y1, x2, y2 = int(cx - w / 2), int(cy - h / 2), int(cx + w / 2), int(cy + h / 2)

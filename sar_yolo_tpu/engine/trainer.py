@@ -253,8 +253,11 @@ class BaseTrainer(HasCallbacks):
 
         def train_step(state: TrainState, batch, rng):
             def loss_fn(p):
+                img = batch["img"]
+                if img.dtype == jnp.uint8:  # device-side normalize (fused by XLA)
+                    img = img.astype(jnp.float32) / 255.0
                 feats, mut = model.apply(
-                    {"params": p, "batch_stats": state.batch_stats}, batch["img"],
+                    {"params": p, "batch_stats": state.batch_stats}, img,
                     train=True, mutable=["batch_stats"], rngs={"dropout": rng})
                 total, items, new_cb = loss_impl(feats, batch, state.cb_counts)
                 return total, (items, mut["batch_stats"], new_cb)

@@ -44,6 +44,8 @@ class BaseValidator:
 
         @jax.jit
         def predict(variables, img):
+            if img.dtype == jnp.uint8:
+                img = img.astype(jnp.float32) / 255.0
             out = model.apply(variables, img, train=False)
             protos = None
             if isinstance(out, tuple):
@@ -298,6 +300,8 @@ class ClassificationValidator(BaseValidator):
 
         @jax.jit
         def predict(variables, img):
+            if img.dtype == jnp.uint8:
+                img = img.astype(jnp.float32) / 255.0
             return model.apply(variables, img, train=False)
 
         loader = build_dataloader(dataset, batch_size=min(args.batch, len(dataset)),
@@ -337,6 +341,8 @@ class OBBValidator(BaseValidator):
 
         @jax.jit
         def predict(variables, img):
+            if img.dtype == jnp.uint8:
+                img = img.astype(jnp.float32) / 255.0
             feats = model.apply(variables, img, train=False)
             preds = decode_obb(feats, strides, nc, meta["reg_max"])
             return non_max_suppression_rotated(preds, conf_thres=conf, iou_thres=args.iou,
@@ -397,6 +403,8 @@ class RTDETRValidator(BaseValidator):
 
         @jax.jit
         def predict(variables, img):
+            if img.dtype == jnp.uint8:
+                img = img.astype(jnp.float32) / 255.0
             dec_b, dec_s, _, _ = model.apply(variables, img, train=False)
             boxes = dec_b[-1]                     # (B, nq, 4) normalized cxcywh
             scores = jax.nn.sigmoid(dec_s[-1])    # (B, nq, nc)

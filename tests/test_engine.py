@@ -192,16 +192,35 @@ def test_overfit_reaches_map(tmp_path):
     """
     from sar_yolo_tpu.cfg import get_cfg
     from sar_yolo_tpu.data import SyntheticDataset
+    from sar_yolo_tpu.engine import trainer as TR
     from sar_yolo_tpu.engine.validator import DetectionValidator
 
-    m = YOLO("tinydet.yaml")
-    m.train(data="synthetic", epochs=150, imgsz=64, batch=16, workers=1,
-            project=str(tmp_path), name="of", exist_ok=True, max_labels=16,
-            mesh_shape=[1], plots=False, val=False, save=False, patience=10000,
-            lr0=0.02, optimizer="SGD", warmup_epochs=3.0)
-    train_ds = SyntheticDataset(n=64, imgsz=64, nc=3, max_labels=16)
+    # objects sized 0.25-0.5 of the 64px canvas: at YOLO's DFL init scale the
+    # cold-start align metric needs objects comparable to the init box extent
+    # (6-19px objects at 64px stall the same way in the reference math)
+    def big_synth(self):
+        info = {"nc": 3, "names": {i: f"c{i}" for i in range(3)}}
+        tr = SyntheticDataset(n=64, imgsz=self.args.imgsz, nc=3, max_labels=16,
+                              min_size=0.25, max_size=0.5)
+        vl = SyntheticDataset(n=16, imgsz=self.args.imgsz, nc=3, max_labels=16,
+                              seed=1, min_size=0.25, max_size=0.5)
+        return tr, vl, info
+
+    orig = TR.BaseTrainer.get_dataset
+    TR.BaseTrainer.get_dataset = big_synth
+    try:
+        m = YOLO("tinydet.yaml")
+        m.train(data="synthetic", epochs=100, imgsz=64, batch=16, workers=1,
+                project=str(tmp_path), name="of", exist_ok=True, max_labels=16,
+                mesh_shape=[1], plots=False, val=False, save=False, patience=10000,
+                lr0=0.02, optimizer="SGD", warmup_epochs=3.0)
+    finally:
+        TR.BaseTrainer.get_dataset = orig
+    train_ds = SyntheticDataset(n=64, imgsz=64, nc=3, max_labels=16,
+                                min_size=0.25, max_size=0.5)
     args = get_cfg(overrides={"batch": 16, "imgsz": 64, "workers": 1, "task": "detect"})
     v = DetectionValidator()
     res = v(model=m.model, variables=m.variables, meta=m.meta, dataset=train_ds,
             args=args, data={"nc": 3, "names": {0: "a", 1: "b", 2: "c"}})
-    assert res["metrics/mAP50(B)"] > 0.2, f"overfit mAP50 too low: {res}"
+    # full run reaches ~0.98; generous margin for CI variance
+    assert res["metrics/mAP50(B)"] > 0.5, f"overfit mAP50 too low: {res}"
