@@ -69,3 +69,23 @@ def test_plotting(tmp_path):
     assert cm.matrix[0, 0] == 1
     cm.plot(tmp_path / "cm.png")
     assert (tmp_path / "cm.png").exists()
+
+
+def test_checks():
+    from sar_yolo_tpu.utils.checks import check_imgsz, check_version, parse_version
+    assert parse_version("1.2.3rc1") == (1, 2, 3)
+    assert check_version("1.2.0", ">=1.0")
+    assert not check_version("0.9", ">=1.0")
+    assert check_imgsz(100, stride=32) == 128
+    assert check_imgsz([640, 640]) == [640, 640]
+
+
+def test_instances():
+    from sar_yolo_tpu.utils.instance import Bboxes, Instances
+    b = Bboxes(np.array([[10, 10, 30, 50]]), "xyxy")
+    assert np.allclose(b.areas(), [800])
+    b.convert("xywh")
+    assert np.allclose(b.bboxes, [[20, 30, 20, 40]])
+    inst = Instances(np.array([[0.5, 0.5, 0.2, 0.2]]), bbox_format="xywh", normalized=True)
+    inst.denormalize(100, 100)
+    assert np.allclose(inst.bboxes, [[50, 50, 20, 20]])
