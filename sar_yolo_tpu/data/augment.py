@@ -181,3 +181,21 @@ def mosaic4(items: list[dict], imgsz: int, rng=None) -> dict:
     out["bboxes"][:, [0, 2]] = out["bboxes"][:, [0, 2]].clip(0, 2 * s)
     out["bboxes"][:, [1, 3]] = out["bboxes"][:, [1, 3]].clip(0, 2 * s)
     return out
+
+
+def mixup(item1: dict, item2: dict, rng=None) -> dict:
+    """MixUp two samples: beta(32,32) image blend, label concat (reference MixUp:879).
+
+    Fork behavior: tags concatenate alongside boxes (augment.py:961-962).
+    """
+    rng = rng or np.random.default_rng()
+    r = rng.beta(32.0, 32.0)
+    out = {
+        "img": (item1["img"].astype(np.float32) * r +
+                item2["img"].astype(np.float32) * (1 - r)).astype(np.uint8),
+        "cls": np.concatenate([item1["cls"], item2["cls"]]),
+        "bboxes": np.concatenate([item1["bboxes"], item2["bboxes"]]),
+    }
+    if "tags" in item1:
+        out["tags"] = np.concatenate([item1["tags"], item2.get("tags", np.zeros(len(item2["cls"])))])
+    return out

@@ -17,7 +17,7 @@ import cv2
 import numpy as np
 
 from sar_yolo_tpu.utils import LOGGER, yaml_load
-from .augment import augment_hsv, letterbox, mosaic4, random_flip, random_perspective
+from .augment import augment_hsv, letterbox, mixup, mosaic4, random_flip, random_perspective
 
 IMG_FORMATS = {"bmp", "dng", "jpeg", "jpg", "mpo", "png", "tif", "tiff", "webp", "pfm"}
 
@@ -184,12 +184,17 @@ class YOLODataset:
     def __getitem__(self, i):
         hyp = self.hyp
         if self.augment and self.mosaic_enabled and self.rng.random() < getattr(hyp, "mosaic", 1.0):
-            idxs = [i] + list(self.rng.integers(0, len(self), 3))
-            item = mosaic4([self._load_item(j) for j in idxs], self.imgsz, rng=self.rng)
-            border = item.pop("mosaic_border")
-            item = random_perspective(item, degrees=hyp.degrees, translate=hyp.translate,
-                                      scale=hyp.scale, shear=hyp.shear,
-                                      perspective=hyp.perspective, border=border, rng=self.rng)
+            def one_mosaic():
+                idxs = [i] + list(self.rng.integers(0, len(self), 3))
+                it = mosaic4([self._load_item(j) for j in idxs], self.imgsz, rng=self.rng)
+                border = it.pop("mosaic_border")
+                return random_perspective(it, degrees=hyp.degrees, translate=hyp.translate,
+                                          scale=hyp.scale, shear=hyp.shear,
+                                          perspective=hyp.perspective, border=border,
+                                          rng=self.rng)
+            item = one_mosaic()
+            if getattr(hyp, "mixup", 0) and self.rng.random() < hyp.mixup:
+                item = mixup(item, one_mosaic(), rng=self.rng)
         else:
             item = self._load_item(i)
             img, r, (padx, pady) = letterbox(item["img"], self.imgsz, scaleup=self.augment)
@@ -329,11 +334,14 @@ class SyntheticDataset:
             cx = rng.uniform(w / 2, s - w / 2)
             cy = rng.uniform(h / 2, s - h / 2)
             x1, y1, x2, y2 = int(cx - w / 2), int(cy - h / 2), int(cx + w / 2), int(cy + h / 2)
-            img[y1:y2, x1:x2] = colors[c % len(colors)]
+            tag = j % 4
+            # jde: appearance keyed by identity tag so ReID/state heads have signal
+            color_key = tag if self.task == "jde" else c
+            img[y1:y2, x1:x2] = colors[color_key % len(colors)]
             boxes[j] = [cx / s, cy / s, w / s, h / s]
             cls[j] = c
             mask[j] = 1.0
-            tags[j] = j % 4
+            tags[j] = tag
             if self.task == "pose":
                 pts = [(x1, y1), (x2, y1), (x2, y2), (x1, y2), (cx, cy)][:K]
                 for ki, (px, py) in enumerate(pts):

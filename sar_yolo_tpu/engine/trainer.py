@@ -293,6 +293,11 @@ class BaseTrainer(HasCallbacks):
         for epoch in range(self.epoch, args.epochs):
             self.epoch = epoch
             self.run_callbacks("on_train_epoch_start")
+            # close_mosaic: disable mosaic for the final N epochs (reference trainer)
+            if args.close_mosaic and epoch == max(args.epochs - args.close_mosaic, 0) \
+                    and getattr(self.train_set, "mosaic_enabled", False):
+                LOGGER.info("Closing dataloader mosaic")
+                self.train_set.mosaic_enabled = False
             self.train_loader.set_epoch(epoch)
             mloss = None
             n_seen = 0

@@ -69,11 +69,37 @@ def flash_area_attention(q, k, v, num_heads: int, area: int = 1,
                          interpret: bool | None = None):
     """Drop-in for ops used by AAttn: q, k, v are (B, N, C) with C = H*D.
 
-    Returns (B, N, C). Uses the Pallas kernel on TPU (or interpret mode in
-    tests); identical math to `area_attention` einsum fallback.
+    Returns (B, N, C). Pallas kernel forward; the backward pass recomputes
+    attention with the einsum formulation (custom_vjp) — exact gradients, and
+    the (Na, Na) score matrix only materializes during training where it is
+    needed for the standard attention VJP anyway.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    return _flash_area_attention_vjp(q, k, v, num_heads, area, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash_area_attention_vjp(q, k, v, num_heads, area, interpret):
+    return _flash_area_attention_impl(q, k, v, num_heads, area, interpret)
+
+
+def _flash_fwd(q, k, v, num_heads, area, interpret):
+    return _flash_area_attention_impl(q, k, v, num_heads, area, interpret), (q, k, v)
+
+
+def _flash_bwd(num_heads, area, interpret, res, g):
+    from sar_yolo_tpu.nn.modules.block import area_attention
+    q, k, v = res
+    _, vjp = jax.vjp(lambda qq, kk, vv: area_attention(qq, kk, vv, num_heads, area),
+                     q, k, v)
+    return vjp(g)
+
+
+_flash_area_attention_vjp.defvjp(_flash_fwd, _flash_bwd)
+
+
+def _flash_area_attention_impl(q, k, v, num_heads: int, area: int, interpret: bool):
     B, N, C = q.shape
     hd = C // num_heads
     scale = hd ** -0.5

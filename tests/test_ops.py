@@ -149,3 +149,22 @@ def test_dist2rbox_zero_angle_matches_dist2bbox():
     out = dist2rbox(dist, jnp.zeros((1, 1)), anchors)
     ref = dist2bbox(dist, anchors, xywh=True)
     assert np.allclose(out, ref, atol=1e-5)
+
+
+def test_flash_attention_gradients_match_einsum():
+    """custom_vjp backward (einsum recompute) matches direct einsum grads."""
+    import jax
+    from sar_yolo_tpu.nn.modules.block import area_attention
+    from sar_yolo_tpu.ops.pallas import flash_area_attention
+
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 3)
+    q = jax.random.normal(ks[0], (2, 64, 64))
+    k = jax.random.normal(ks[1], (2, 64, 64))
+    v = jax.random.normal(ks[2], (2, 64, 64))
+    gf = jax.grad(lambda *a: jnp.sum(flash_area_attention(*a, 2, 4, interpret=True) ** 2),
+                  argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(lambda *a: jnp.sum(area_attention(*a, 2, 4) ** 2),
+                  argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        assert float(jnp.abs(a - b).max()) < 1e-4
