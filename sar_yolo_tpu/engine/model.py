@@ -126,12 +126,16 @@ class YOLO:
         if args.data in (None, "synthetic"):
             data = {"nc": self.meta["nc"], "names": {i: f"c{i}" for i in range(self.meta["nc"])}}
             dataset = SyntheticDataset(n=16, imgsz=args.imgsz, nc=min(self.meta["nc"], 3),
-                                       max_labels=args.max_labels, use_tags=use_tags)
+                                       max_labels=args.max_labels, use_tags=use_tags,
+                                       task=self.task,
+                                       kpt_shape=tuple(self.meta.get("kpt_shape", (5, 3))))
         else:
             data = check_det_dataset(args.data)
             split = data.get(args.split) or data.get("val") or data["train"]
             dataset = YOLODataset(split, imgsz=args.imgsz, augment=False, hyp=args,
-                                  use_tags=use_tags, max_labels=args.max_labels)
+                                  use_tags=use_tags, max_labels=args.max_labels,
+                                  task=self.task,
+                                  kpt_shape=tuple(data.get("kpt_shape", (17, 3))))
         self.metrics = validator(model=self.model, variables=self.variables, meta=self.meta,
                                  dataset=dataset, args=args, data=data)
         return self.metrics
@@ -179,3 +183,43 @@ class YOLO:
         if verbose:
             LOGGER.info(s)
         return s
+
+
+def _profile_model(model_obj, imgsz: int = 640, batch: int = 1, n_iter: int = 10):
+    """Compiled cost analysis + measured forward latency (reference
+    BaseModel._profile_one_layer / torch_utils.model_info analog)."""
+    import time
+
+    import numpy as np
+
+    model_obj._ensure_variables(imgsz)
+    model, variables = model_obj.model, model_obj.variables
+    x = jnp.zeros((batch, imgsz, imgsz, 3), jnp.float32)
+    fn = jax.jit(lambda v, xx: model.apply(v, xx, train=False))
+    lowered = fn.lower(variables, x)
+    compiled = lowered.compile()
+    cost = compiled.cost_analysis() or {}
+    n_params = int(sum(np.prod(p.shape) for p in jax.tree.leaves(variables["params"])))
+    out = jax.device_get(fn(variables, x))
+    t0 = time.perf_counter()
+    acc = None
+    for _ in range(n_iter):
+        res = fn(variables, x)
+        leaf = jax.tree.leaves(res)[0]
+        acc = leaf.sum() if acc is None else acc + leaf.sum()
+    float(acc)
+    dt = (time.perf_counter() - t0) / n_iter
+    info = {
+        "params": n_params,
+        "gflops": round(cost.get("flops", 0) / 1e9, 2),
+        "bytes_accessed_gb": round(cost.get("bytes accessed", 0) / 1e9, 3),
+        "latency_ms": round(dt * 1e3, 2),
+        "imgs_per_sec": round(batch / dt, 1),
+        "imgsz": imgsz,
+        "batch": batch,
+    }
+    LOGGER.info(str(info))
+    return info
+
+
+YOLO.profile = _profile_model

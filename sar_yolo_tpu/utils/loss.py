@@ -237,8 +237,14 @@ def jde_loss_components(feats, batch, hyp, *, nc: int, reg_max: int, strides,
         # 1 - beta^n computed as -expm1(n*log(beta)): exact for tiny n, and immune
         # to the XLA reassociation (1.0 + eps) - pow(...) that collapses to 0 in f32
         one_minus_beta_n = -jnp.expm1(new_counts * jnp.log(cb_beta))
-        cb_w = (1.0 - cb_beta) / jnp.maximum(one_minus_beta_n, eps)
-        cb_w = cb_w / (cb_w.mean() + eps)
+        cb_raw = (1.0 - cb_beta) / jnp.maximum(one_minus_beta_n, eps)
+        # normalize over OBSERVED classes only: a never-seen state has weight
+        # ~1/eps, and including it in the mean crushes the weights of classes
+        # that actually occur to ~1e-3 x CE (latent bug in the reference
+        # loss.py:541-546 whenever some posture states are absent from data)
+        seen = (new_counts > 1e-6).astype(jnp.float32)
+        seen_mean = (cb_raw * seen).sum() / jnp.maximum(seen.sum(), 1.0)
+        cb_w = jnp.where(seen > 0, cb_raw / (seen_mean + eps), 1.0)
         sample_w = (onehot * cb_w[None, None, :]).sum(-1)
     else:
         sample_w = jnp.ones_like(ce)
