@@ -129,7 +129,8 @@ class C3k2(nn.Module):
     def inner(self, i: int):
         if self.c3k:
             return C3k(self.c, 2, self.shortcut, self.g, dtype=self.dtype, name=f"m{i}")
-        return Bottleneck(self.c, self.shortcut, self.g, (3, 3), 1.0, dtype=self.dtype, name=f"m{i}")
+        # NOTE: e=0.5 (torch Bottleneck default) — unlike C2f which passes e=1.0
+        return Bottleneck(self.c, self.shortcut, self.g, (3, 3), 0.5, dtype=self.dtype, name=f"m{i}")
 
     @property
     def c(self):
@@ -674,3 +675,103 @@ class RepC3(nn.Module):
         if c_ != self.c2:
             y = Conv(self.c2, 1, dtype=self.dtype, name="cv3")(y, train)
         return y
+
+
+# ---------------------------------------------------------------------------
+# YOLO11/YOLOv10 attention blocks (reference block.py:905-1140)
+# ---------------------------------------------------------------------------
+
+
+class YoloAttention(nn.Module):
+    """Conv-qkv multi-head self-attention with depthwise positional bias
+    (reference Attention:905). key_dim = head_dim * attn_ratio."""
+
+    dim: int
+    num_heads: int = 8
+    attn_ratio: float = 0.5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        B, H, W, C = x.shape
+        N = H * W
+        hd = C // self.num_heads
+        kd = int(hd * self.attn_ratio)
+        nh_kd = kd * self.num_heads
+        qkv = Conv(C + 2 * nh_kd, 1, act=False, dtype=self.dtype, name="qkv")(x, train)
+        t = qkv.reshape(B, N, self.num_heads, 2 * kd + hd)
+        q, k, v = t[..., :kd], t[..., kd:2 * kd], t[..., 2 * kd:]
+        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) * (kd ** -0.5)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), -1).astype(v.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, H, W, C)
+        pe = Conv(C, 3, 1, g=C, act=False, dtype=self.dtype, name="pe")(
+            v.reshape(B, H, W, C), train)
+        return Conv(C, 1, act=False, dtype=self.dtype, name="proj")(out + pe, train)
+
+
+class PSABlock(nn.Module):
+    """Attention + FFN with shortcuts (reference PSABlock:962)."""
+
+    c: int
+    attn_ratio: float = 0.5
+    num_heads: int = 4
+    shortcut: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        a = YoloAttention(self.c, self.num_heads, self.attn_ratio,
+                          dtype=self.dtype, name="attn")(x, train)
+        x = x + a if self.shortcut else a
+        f = Conv(self.c * 2, 1, dtype=self.dtype, name="ffn1")(x, train)
+        f = Conv(self.c, 1, act=False, dtype=self.dtype, name="ffn2")(f, train)
+        return x + f if self.shortcut else f
+
+
+class PSA(nn.Module):
+    """Position-sensitive attention CSP block (reference PSA:998)."""
+
+    c2: int
+    e: float = 0.5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = int(self.c2 * self.e)
+        y = Conv(2 * c, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        a, b = y[..., :c], y[..., c:]
+        b = PSABlock(c, 0.5, max(c // 64, 1), dtype=self.dtype, name="m")(b, train)
+        return Conv(self.c2, 1, dtype=self.dtype, name="cv2")(jnp.concatenate([a, b], -1), train)
+
+
+class C2PSA(nn.Module):
+    """Stacked PSABlocks in a CSP wrapper (reference C2PSA:1041)."""
+
+    c2: int
+    n: int = 1
+    e: float = 0.5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = int(self.c2 * self.e)
+        y = Conv(2 * c, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        a, b = y[..., :c], y[..., c:]
+        for i in range(self.n):
+            b = PSABlock(c, 0.5, max(c // 64, 1), dtype=self.dtype, name=f"m{i}")(b, train)
+        return Conv(self.c2, 1, dtype=self.dtype, name="cv2")(jnp.concatenate([a, b], -1), train)
+
+
+class SCDown(nn.Module):
+    """Separable-conv downsample (reference SCDown:1115, v10)."""
+
+    c2: int
+    k: int = 3
+    s: int = 2
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = Conv(self.c2, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        return Conv(self.c2, self.k, self.s, g=self.c2, act=False,
+                    dtype=self.dtype, name="cv2")(x, train)

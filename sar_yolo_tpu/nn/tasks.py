@@ -48,10 +48,11 @@ class LayerSpec:
 
 # set of modules whose first yaml arg is out-channels (width-scaled)
 _CH_SCALED = {"Conv", "DWConv", "DSConv", "Bottleneck", "SPPF", "C2f", "C3", "C3k",
-              "C3k2", "C3k2_CBAM", "A2C2f", "DSC3k2", "DSC3k2_CBAM", "Classify", "RepC3"}
+              "C3k2", "C3k2_CBAM", "A2C2f", "DSC3k2", "DSC3k2_CBAM", "Classify", "RepC3",
+              "PSA", "C2PSA", "SCDown"}
 # subset that takes an inserted repeat count n
 _REPEAT_ARG = {"C2f", "C3", "C3k", "C3k2", "C3k2_CBAM", "A2C2f", "DSC3k2", "DSC3k2_CBAM",
-               "RepC3"}
+               "RepC3", "C2PSA"}
 _HEADS = {"Detect", "JDE", "Segment", "Pose", "OBB", "Classify", "RTDETRDecoder"}
 
 TASK_BY_HEAD = {"Detect": "detect", "JDE": "jde", "Segment": "segment",
@@ -266,6 +267,12 @@ def _build_module(spec: LayerSpec, nc: int, dtype):
     if name == "AIFI":
         from sar_yolo_tpu.nn.modules import transformer as T
         return T.AIFI(*a, dtype=dtype)
+    if name == "PSA":
+        return B.PSA(*a, dtype=dtype)
+    if name == "C2PSA":
+        return B.C2PSA(*a, dtype=dtype)
+    if name == "SCDown":
+        return B.SCDown(*a, dtype=dtype)
     if name == "RTDETRDecoder":
         from sar_yolo_tpu.nn.modules import transformer as T
         extra = {}
@@ -320,7 +327,7 @@ def yaml_model_load(path) -> dict:
     """
     path = Path(path)
     stem = path.stem
-    m = re.match(r"(.*yolov\d+)([nslmx])(.*)", stem)
+    m = re.match(r"(.*yolov?\d+)([nslmx])(.*)", stem)
     scale = ""
     if m:
         scale = m.group(2)

@@ -99,3 +99,13 @@ def test_rtdetr_yaml_parses():
     specs, save, meta = parse_model(d)
     assert meta["head"] == "RTDETRDecoder"
     assert specs[0].name == "HGStem"
+
+
+@pytest.mark.slow
+def test_yolo11_yolo12_param_parity():
+    """Exact trainable-param parity with reference yolo11n/yolov12n
+    (reference counts minus the 16 frozen DFL projection weights)."""
+    for name, exp in [("yolo11n.yaml", 2_624_064), ("yolov12n.yaml", 2_553_888)]:
+        model, meta = build_model(name)
+        variables = init_model(model, meta, jax.random.PRNGKey(0), imgsz=64)
+        assert n_params(variables) == exp, name
