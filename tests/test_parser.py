@@ -109,3 +109,13 @@ def test_yolo11_yolo12_param_parity():
         model, meta = build_model(name)
         variables = init_model(model, meta, jax.random.PRNGKey(0), imgsz=64)
         assert n_params(variables) == exp, name
+
+
+@pytest.mark.slow
+def test_yolov13_jde_param_parity():
+    """Exact trainable-param parity with the reference yolov13n-JDE build
+    (verified per-layer against the reference parse_model: every DSC3k2, A2C2f,
+    HyperACE, hypergraph and FullPAD layer matches to the parameter)."""
+    model, meta = build_model("yolov13n-JDE.yaml")
+    variables = init_model(model, meta, jax.random.PRNGKey(0), imgsz=64)
+    assert n_params(variables) == 5_495_872
