@@ -1,0 +1,53 @@
+"""Numerical parity vs the reference torch model with converted weights.
+
+SURVEY §7 hard-part 8: checkpoint-compat verification. Skips when the
+reference tree or its import stubs are unavailable.
+"""
+
+import contextlib
+import io
+import os
+import sys
+
+import numpy as np
+import pytest
+
+
+def _load_reference_model(name):
+    sys.path.insert(0, "/root/reference")
+    os.environ["YOLO_VERBOSE"] = "false"
+    try:
+        with contextlib.redirect_stdout(io.StringIO()), \
+                contextlib.redirect_stderr(io.StringIO()):
+            from ultralytics.nn.tasks import DetectionModel
+            return DetectionModel(name, verbose=False)
+    except Exception as e:  # noqa: BLE001
+        pytest.skip(f"reference not importable: {e}")
+
+
+@pytest.mark.slow
+def test_yolov8n_forward_parity_with_reference_weights():
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from sar_yolo_tpu.nn.tasks import build_model
+    from sar_yolo_tpu.utils.torch_convert import translate_torch_state_dict
+
+    ref = _load_reference_model("yolov8n.yaml")
+    ref.eval()
+    model, meta = build_model("yolov8n.yaml")
+    conv, skipped = translate_torch_state_dict(ref.state_dict())
+    assert not skipped, f"unmapped torch keys: {skipped[:5]}"
+    variables = {"params": conv["params"], "batch_stats": conv["batch_stats"]}
+
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)
+    ref.model[-1].training = True  # raw per-level maps
+    with torch.no_grad():
+        feats_ref = ref._predict_once(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    feats_mine = model.apply(variables, jnp.asarray(x), train=False)
+    for fr, fm in zip(feats_ref, feats_mine):
+        fr = fr.numpy().transpose(0, 2, 3, 1)
+        err = float(np.abs(fr - np.asarray(fm)).max())
+        assert err < 1e-4, f"forward mismatch: {err}"
