@@ -44,26 +44,62 @@ def translate_torch_state_dict(state_dict, verbose: bool = False):
 
         # path translation
         out: list[str] = [layer]
+        is_head = any(p.startswith("cv") and i + 2 < len(mid) and mid[i + 1].isdigit()
+                      and mid[i + 2].isdigit()
+                      for i, p in enumerate(mid) if p in ("cv2", "cv3", "cv4"))
         i = 0
         while i < len(mid):
             p = mid[i]
             if p == "m" and i + 1 < len(mid) and mid[i + 1].isdigit():
+                # A2C2f stacks pairs of ABlocks per slot: m.{i}.{j} -> m{i}_{j}
+                if i + 2 < len(mid) and mid[i + 2].isdigit() and \
+                        i + 3 < len(mid) and mid[i + 3] in ("attn", "mlp"):
+                    out.append(f"m{mid[i + 1]}_{mid[i + 2]}")
+                    i += 3
+                    continue
                 out.append(f"m{mid[i + 1]}")
                 i += 2
                 continue
-            if p in ("cv2", "cv3", "cv4") and i + 2 < len(mid) and mid[i + 1].isdigit():
+            if p in ("cv2", "cv3", "cv4") and is_head and i + 2 < len(mid) and \
+                    mid[i + 1].isdigit() and mid[i + 2].isdigit():
                 # Detect branches: cv2.{level}.{stage}
                 level, stage = mid[i + 1], mid[i + 2]
                 if stage == "2":
                     out.append(f"{p}_{level}_pred")
-                else:
-                    out.append(f"{p}_{level}_{stage}")
+                    i += 3
+                    continue
+                # non-legacy cls branch: cv3.{l}.{s}.{0|1} = Sequential(DWConv, Conv)
+                if p == "cv3" and i + 3 < len(mid) and mid[i + 3] in ("0", "1"):
+                    sub = mid[i + 3]
+                    if sub == "0":
+                        out.append(f"{p}_{level}_{stage}dw")
+                        out.append("conv")  # DWConv wraps an inner Conv block
+                    else:
+                        out.append(f"{p}_{level}_{stage}pw")
+                    i += 4
+                    continue
+                out.append(f"{p}_{level}_{stage}")
                 i += 3
+                continue
+            if p == "mlp" and i + 1 < len(mid) and mid[i + 1].isdigit():
+                out.append(f"mlp{int(mid[i + 1]) + 1}")  # mlp.0/mlp.1 -> mlp1/mlp2
+                i += 2
+                continue
+            if p in ("edge_proj", "node_proj", "enc_output") and i + 1 < len(mid) \
+                    and mid[i + 1] == "0":
+                out.append(p)  # Sequential(Linear, GELU) -> single Dense
+                i += 2
+                continue
+            if p == "state_predictor" and i + 1 < len(mid) and mid[i + 1].isdigit():
+                out.append({"0": "state_fc1", "3": "state_fc2"}[mid[i + 1]])
+                i += 2
                 continue
             out.append(p)
             i += 1
 
-        if leaf == "weight" and mid and mid[-1] == "conv":
+        if leaf in ("gamma", "gate", "prototype_base"):
+            _set(params, out + [leaf], t)
+        elif leaf == "weight" and mid and mid[-1] in ("conv", "dw", "pw"):
             out.append("kernel")
             _set(params, out, np.transpose(t, (2, 3, 1, 0)))
         elif mid and mid[-1] == "bn":

@@ -51,3 +51,38 @@ def test_yolov8n_forward_parity_with_reference_weights():
         fr = fr.numpy().transpose(0, 2, 3, 1)
         err = float(np.abs(fr - np.asarray(fm)).max())
         assert err < 1e-4, f"forward mismatch: {err}"
+
+
+@pytest.mark.slow
+def test_yolov13_jde_forward_parity_with_reference_weights():
+    """Entire v13 stack (DSC3k2, area attention, HyperACE hypergraph, FullPAD,
+    JDE head + state MLP) matches the reference forward to float tolerance."""
+    import jax.numpy as jnp
+    import torch
+
+    from sar_yolo_tpu.nn.tasks import build_model
+    from sar_yolo_tpu.utils.torch_convert import translate_torch_state_dict
+
+    sys.path.insert(0, "/root/reference")
+    try:
+        with contextlib.redirect_stdout(io.StringIO()), \
+                contextlib.redirect_stderr(io.StringIO()):
+            from ultralytics.nn.tasks import JDEModel
+            ref = JDEModel("/root/reference/ultralytics/cfg/models/v13/yolov13-JDE.yaml",
+                           verbose=False)
+    except Exception as e:  # noqa: BLE001
+        pytest.skip(f"reference not importable: {e}")
+    ref.eval()
+    model, meta = build_model("yolov13n-JDE.yaml")
+    conv, skipped = translate_torch_state_dict(ref.state_dict())
+    assert not skipped
+    variables = {"params": conv["params"], "batch_stats": conv["batch_stats"]}
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)
+    ref.model[-1].training = True
+    with torch.no_grad():
+        feats_ref = ref._predict_once(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    feats_mine = model.apply(variables, jnp.asarray(x), train=False)
+    for fr, fm in zip(feats_ref, feats_mine):
+        fr = fr.numpy().transpose(0, 2, 3, 1)
+        assert float(np.abs(fr - np.asarray(fm)).max()) < 1e-4
