@@ -10,13 +10,12 @@ static shapes (reference pads dynamically per-batch via list collate).
 
 from __future__ import annotations
 
-import hashlib
 from pathlib import Path
 
 import cv2
 import numpy as np
 
-from sar_yolo_tpu.utils import LOGGER, yaml_load
+from sar_yolo_tpu.utils import yaml_load
 from .augment import augment_hsv, letterbox, mixup, mosaic4, random_flip, random_perspective
 
 IMG_FORMATS = {"bmp", "dng", "jpeg", "jpg", "mpo", "png", "tif", "tiff", "webp", "pfm"}

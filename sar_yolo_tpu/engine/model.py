@@ -7,8 +7,6 @@ Capability parity with reference Model (engine/model.py:31-1175) and YOLO
 
 from __future__ import annotations
 
-from pathlib import Path
-
 import jax
 import jax.numpy as jnp
 

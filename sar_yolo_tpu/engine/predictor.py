@@ -12,7 +12,6 @@ loop note, BASELINE.json north star).
 from __future__ import annotations
 
 import time
-from functools import partial
 from pathlib import Path
 
 import cv2
@@ -23,7 +22,6 @@ import numpy as np
 from sar_yolo_tpu.engine.results import Results
 from sar_yolo_tpu.ops.decode import decode_detect
 from sar_yolo_tpu.ops.nms import non_max_suppression
-from sar_yolo_tpu.utils import LOGGER
 
 IMG_FORMATS = {"bmp", "jpeg", "jpg", "png", "tif", "tiff", "webp"}
 VID_FORMATS = {"mp4", "avi", "mov", "mkv", "m4v", "wmv"}

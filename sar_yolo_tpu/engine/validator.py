@@ -12,8 +12,6 @@ fixed-size (B, max_det, 6+E) array crosses to host for metric accounting.
 from __future__ import annotations
 
 import time
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

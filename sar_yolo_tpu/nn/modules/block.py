@@ -26,7 +26,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .conv import CBAM, Conv, DSConv, conv_init
+from .conv import CBAM, Conv, DSConv
 
 Dtype = Any
 
@@ -606,7 +606,7 @@ class FullPAD_Tunnel(nn.Module):
 # RepC3 near :700)
 # ---------------------------------------------------------------------------
 
-from .conv import DWConv, LightConv, RepConv  # noqa: E402
+from .conv import LightConv, RepConv  # noqa: E402
 
 
 class HGStem(nn.Module):

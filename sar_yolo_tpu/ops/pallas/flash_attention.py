@@ -17,7 +17,6 @@ Falls back to einsum attention off-TPU (interpret mode is used in tests).
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp

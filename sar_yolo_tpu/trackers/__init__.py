@@ -9,11 +9,9 @@ from __future__ import annotations
 
 from pathlib import Path
 
-import numpy as np
-
 from sar_yolo_tpu.utils import ROOT, yaml_load
-from .bot_sort import BOTSORT, BOTrack
-from .byte_tracker import BYTETracker, STrack
+from .bot_sort import BOTSORT
+from .byte_tracker import BYTETracker
 
 TRACKER_MAP = {"bytetrack": BYTETracker, "botsort": BOTSORT}
 

@@ -10,7 +10,7 @@ import numpy as np
 
 from .byte_tracker import BYTETracker, STrack
 from .kalman_filter import KalmanFilterXYWH
-from .matching import embedding_distance, iou_distance, linear_assignment
+from .matching import embedding_distance, iou_distance
 
 
 class BOTrack(STrack):

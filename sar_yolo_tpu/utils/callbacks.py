@@ -2,9 +2,6 @@
 
 from __future__ import annotations
 
-from collections import defaultdict
-from copy import deepcopy
-
 _DEFAULT_EVENTS = [
     # trainer
     "on_pretrain_routine_start", "on_pretrain_routine_end", "on_train_start",

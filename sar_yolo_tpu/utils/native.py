@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import ctypes
 import subprocess
-from pathlib import Path
+from pathlib import Path  # noqa: F401 — used in _LIB_PATH
 
 import numpy as np
 

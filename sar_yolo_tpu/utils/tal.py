@@ -14,7 +14,6 @@ here it compiles into batched matmul-shaped ops on the MXU/VPU).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax
