@@ -47,7 +47,7 @@ def main():
                                    max_det=300, pre_topk=1024, nc=nc)
 
     best = 0.0
-    batches = [32, 64, 128] if on_tpu else [2]
+    batches = [64, 128] if on_tpu else [2]  # two compiles keep total runtime bounded
     rng = np.random.default_rng(0)
     for B in batches:
         img = jnp.asarray(rng.integers(0, 255, (B, imgsz, imgsz, 3), dtype=np.uint8))
