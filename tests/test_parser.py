@@ -119,3 +119,14 @@ def test_yolov13_jde_param_parity():
     model, meta = build_model("yolov13n-JDE.yaml")
     variables = init_model(model, meta, jax.random.PRNGKey(0), imgsz=64)
     assert n_params(variables) == 5_495_872
+
+
+@pytest.mark.slow
+def test_yolov13_jde_p24_builds_and_runs():
+    """P24 variant: 4-scale HyperACE fuse + P2..P5 JDE head builds and runs."""
+    model, meta = build_model("yolov13n-JDE_P24.yaml")
+    variables = init_model(model, meta, jax.random.PRNGKey(0), imgsz=64)
+    assert meta["strides"] == [4, 8, 16, 32]
+    feats = jax.jit(lambda v, x: model.apply(v, x, train=False))(
+        variables, jnp.zeros((1, 64, 64, 3)))
+    assert len(feats) == 4
