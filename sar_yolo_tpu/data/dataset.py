@@ -62,7 +62,7 @@ class YOLODataset:
 
     def __init__(self, img_path, imgsz=640, augment=False, hyp=None, use_tags=False,
                  max_labels=128, single_cls=False, fraction=1.0, rect=False,
-                 task="detect", kpt_shape=(17, 3)):
+                 task="detect", kpt_shape=(17, 3), cache=False):
         self.imgsz = imgsz
         self.augment = augment
         self.hyp = hyp
@@ -81,6 +81,9 @@ class YOLODataset:
         self.label_files = img2label_paths(self.im_files)
         self.labels = [self._load_label(lf) for lf in self.label_files]
         self.rng = np.random.default_rng(0)
+        # RAM cache of decoded images (reference BaseDataset cache='ram')
+        self.cache = bool(cache) and str(cache).lower() != "disk"
+        self._im_cache: dict[int, np.ndarray] = {}
 
     @staticmethod
     def _scan_images(img_path):
@@ -152,9 +155,14 @@ class YOLODataset:
 
     def _load_item(self, i, target_size=None):
         """Load image i resized so the long side == target (keeps ratio), labels in pixels xyxy."""
-        img = cv2.imread(self.im_files[i])
+        img = self._im_cache.get(i) if self.cache else None
         if img is None:
-            raise FileNotFoundError(self.im_files[i])
+            img = cv2.imread(self.im_files[i])
+            if img is None:
+                raise FileNotFoundError(self.im_files[i])
+            if self.cache:
+                self._im_cache[i] = img
+        img = img.copy() if self.cache else img
         h0, w0 = img.shape[:2]
         size = target_size or self.imgsz
         r = size / max(h0, w0)

@@ -148,7 +148,7 @@ class BaseTrainer(HasCallbacks):
         train = YOLODataset(info["train"], imgsz=self.args.imgsz, augment=True, hyp=self.args,
                             use_tags=use_tags, max_labels=self.args.max_labels,
                             single_cls=self.args.single_cls, fraction=self.args.fraction,
-                            task=self.task, kpt_shape=kpt_shape)
+                            task=self.task, kpt_shape=kpt_shape, cache=self.args.cache)
         val = YOLODataset(info.get("val") or info["train"], imgsz=self.args.imgsz, augment=False,
                           hyp=self.args, use_tags=use_tags, max_labels=self.args.max_labels,
                           single_cls=self.args.single_cls, task=self.task, kpt_shape=kpt_shape)

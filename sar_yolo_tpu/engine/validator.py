@@ -59,6 +59,7 @@ class BaseValidator:
         loader = build_dataloader(dataset, batch_size=min(args.batch, len(dataset)),
                                   shuffle=False, workers=args.workers)
         self.init_metrics()
+        self.jdict = []  # COCO-style prediction rows when save_json
         n_img = 0
         t0 = time.time()
         for batch in loader:
@@ -68,9 +69,26 @@ class BaseValidator:
                 dets, self._protos = np.asarray(out[0]), np.asarray(out[1])
             else:
                 dets, self._protos = np.asarray(out), None
+            if args.save_json:
+                for bi in range(dets.shape[0]):
+                    d = dets[bi]
+                    for row in d[d[:, 4] > 0]:
+                        x1, y1, x2, y2 = (float(v) for v in row[:4])
+                        self.jdict.append({
+                            "image_id": n_img + bi,
+                            "category_id": int(row[5]),
+                            "bbox": [x1, y1, x2 - x1, y2 - y1],
+                            "score": round(float(row[4]), 5),
+                        })
             n_img += img.shape[0]
             self.update_metrics(dets, batch, img.shape[1:3])
         results = self.finalize_metrics()
+        if args.save_json and self.jdict:
+            import json
+            from pathlib import Path
+            out_path = Path("predictions.json")
+            out_path.write_text(json.dumps(self.jdict))
+            LOGGER.info(f"saved {len(self.jdict)} predictions to {out_path}")
         dt = time.time() - t0
         if n_img:
             results["speed/ms_per_image"] = dt / n_img * 1000
@@ -126,6 +144,8 @@ class JDEValidator(BaseValidator):
         self.state_total = 0
         self.embeds = []
         self.embed_tags = []
+        sc = self.meta.get("state_classes") or 0
+        self.state_confusion = np.zeros((sc, sc), np.int64) if sc else None
 
     def _extra_update(self, d, gt_boxes, gt_cls, batch, bi):
         if len(d) == 0 or len(gt_boxes) == 0 or "tags" not in batch:
@@ -148,11 +168,27 @@ class JDEValidator(BaseValidator):
                     state_gt = int(gt_tags[g]) % sc
                     self.state_correct += int(state_pred == state_gt)
                     self.state_total += 1
+                    self.state_confusion[state_pred, state_gt] += 1
 
     def finalize_metrics(self) -> dict:
         results = super().finalize_metrics()
         if self.state_total:
             results["metrics/state_acc"] = self.state_correct / self.state_total
+            # per-state P/R/F1 + macro averages (fork StateMetrics, loss.py:562-800)
+            cm = self.state_confusion
+            tp = np.diag(cm).astype(np.float64)
+            pred_n = cm.sum(1)
+            gt_n = cm.sum(0)
+            prec = np.where(pred_n > 0, tp / np.maximum(pred_n, 1), 0.0)
+            rec = np.where(gt_n > 0, tp / np.maximum(gt_n, 1), 0.0)
+            f1 = np.where(prec + rec > 0, 2 * prec * rec / np.maximum(prec + rec, 1e-9), 0.0)
+            seen = gt_n > 0
+            if seen.any():
+                results["metrics/state_macro_precision"] = float(prec[seen].mean())
+                results["metrics/state_macro_recall"] = float(rec[seen].mean())
+                results["metrics/state_macro_f1"] = float(f1[seen].mean())
+            self.state_table = {"precision": prec, "recall": rec, "f1": f1,
+                                "support": gt_n}
         if len(self.embeds) >= 2:
             E = np.stack(self.embeds)
             E = E / (np.linalg.norm(E, axis=1, keepdims=True) + 1e-9)
