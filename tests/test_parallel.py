@@ -1,0 +1,95 @@
+"""Multi-chip SPMD coverage on the 8-device virtual CPU mesh.
+
+Replaces the reference's skipped-without-2-GPUs DDP tests
+(reference tests/test_cli.py:108-122, tests/test_cuda.py:61-64): every CI run
+exercises 1-D dp and 2-D (dp, tp) meshes, shard_map collectives, and the
+per-process data sharding helpers (reference utils/dist.py, data/build.py:135-153).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from sar_yolo_tpu.parallel import (
+    get_mesh, shard_batch, replicate, process_shard, sync_flag,
+    host_local_batch_to_global, get_global_mesh,
+)
+
+
+def test_2d_mesh_shard_map_psum():
+    """(dp=4, tp=2) mesh: per-shard partial matmul + psum over tp must equal
+    the unsharded product (the core TP contraction pattern)."""
+    from jax.experimental.shard_map import shard_map
+
+    mesh = get_mesh((4, 2), axis_names=("dp", "tp"))
+    B, K, N = 8, 16, 12
+    x = np.random.default_rng(0).normal(size=(B, K)).astype(np.float32)
+    w = np.random.default_rng(1).normal(size=(K, N)).astype(np.float32)
+
+    def matmul_tp(xb, wk):
+        # xb: (B/dp, K/tp) local, wk: (K/tp, N) local → psum over tp
+        return jax.lax.psum(xb @ wk, "tp")
+
+    f = shard_map(matmul_tp, mesh=mesh, in_specs=(P("dp", "tp"), P("tp", None)),
+                  out_specs=P("dp", None))
+    got = jax.jit(f)(x, w)
+    np.testing.assert_allclose(np.asarray(got), x @ w, rtol=1e-4, atol=1e-4)
+
+
+def test_2d_mesh_weight_sharded_grad():
+    """Params sharded over tp, batch over dp: value_and_grad under jit gives
+    the same gradients as the single-device computation."""
+    mesh = get_mesh((4, 2), axis_names=("dp", "tp"))
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(8, 16)).astype(np.float32)
+    w = rng.normal(size=(16, 8)).astype(np.float32)
+
+    def loss(w, x):
+        return jnp.mean((x @ w) ** 2)
+
+    ref_val, ref_grad = jax.value_and_grad(loss)(w, x)
+
+    xs = jax.device_put(x, NamedSharding(mesh, P("dp", None)))
+    ws = jax.device_put(w, NamedSharding(mesh, P(None, "tp")))
+    with mesh:
+        val, grad = jax.jit(jax.value_and_grad(loss))(ws, xs)
+    np.testing.assert_allclose(float(val), float(ref_val), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(grad), np.asarray(ref_grad), rtol=1e-4, atol=1e-5)
+
+
+def test_global_mesh_tp_layout():
+    mesh = get_global_mesh(tp=2)
+    assert mesh.axis_names == ("dp", "tp")
+    assert mesh.devices.shape == (jax.device_count() // 2, 2)
+
+
+def test_process_shard_single_process_covers_all():
+    idx = process_shard(10)
+    assert sorted(idx) == list(range(10))
+    # deterministic shuffle
+    a = process_shard(10, shuffle_seed=3)
+    b = process_shard(10, shuffle_seed=3)
+    assert list(a) == list(b) and sorted(a) == list(range(10))
+
+
+def test_host_local_batch_to_global_matches_shard_batch():
+    mesh = get_mesh((8,), axis_names=("dp",))
+    batch = {"img": np.arange(8 * 4, dtype=np.float32).reshape(8, 4)}
+    g = host_local_batch_to_global(mesh, batch)
+    s = shard_batch(mesh, batch)
+    np.testing.assert_array_equal(np.asarray(g["img"]), np.asarray(s["img"]))
+    assert g["img"].sharding.spec == s["img"].sharding.spec
+
+
+def test_sync_flag():
+    mesh = get_mesh((8,), axis_names=("dp",))
+    assert sync_flag(True, mesh) is True
+    assert sync_flag(False, mesh) is False
+
+
+def test_dryrun_multichip_2d():
+    """The driver's multi-chip gate, in-process on the virtual CPU mesh."""
+    import __graft_entry__
+    __graft_entry__.dryrun_multichip(8)
