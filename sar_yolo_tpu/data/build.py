@@ -27,7 +27,7 @@ class DataLoader:
     """Epoch-based loader with background worker threads and prefetch queue."""
 
     def __init__(self, dataset, batch_size=16, shuffle=True, workers=4, seed=0,
-                 drop_last=True, prefetch=4):
+                 drop_last=True, prefetch=4, pad_last=False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -35,6 +35,7 @@ class DataLoader:
         self.seed = seed
         self.drop_last = drop_last
         self.prefetch = prefetch
+        self.pad_last = pad_last  # pad the tail batch to full size (one jit executable)
         self.epoch = 0
 
     def __len__(self):
@@ -62,8 +63,15 @@ class DataLoader:
                 for b in batches:
                     if stop.is_set():
                         break
+                    npad = 0
+                    if self.pad_last and len(b) < self.batch_size:
+                        npad = self.batch_size - len(b)
+                        b = np.concatenate([b, np.repeat(b[-1:], npad)])
                     items = [self.dataset[int(j)] for j in b]
-                    q.put(collate(items))
+                    out = collate(items)
+                    if self.pad_last:
+                        out["_pad"] = npad  # trailing samples are duplicates, skip in metrics
+                    q.put(out)
             finally:
                 q.put(None)
 
@@ -81,5 +89,7 @@ class DataLoader:
             stop.set()
 
 
-def build_dataloader(dataset, batch_size=16, shuffle=True, workers=4, seed=0):
-    return DataLoader(dataset, batch_size=batch_size, shuffle=shuffle, workers=workers, seed=seed)
+def build_dataloader(dataset, batch_size=16, shuffle=True, workers=4, seed=0,
+                     drop_last=True, pad_last=False):
+    return DataLoader(dataset, batch_size=batch_size, shuffle=shuffle, workers=workers,
+                      seed=seed, drop_last=drop_last, pad_last=pad_last)

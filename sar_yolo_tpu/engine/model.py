@@ -117,6 +117,9 @@ class YOLO:
     def val(self, **kwargs):
         overrides = {**self.overrides, **kwargs, "mode": "val"}
         args = get_cfg(overrides=overrides)
+        if not getattr(args, "save_dir", None):
+            from sar_yolo_tpu.cfg import get_save_dir
+            args.save_dir = str(get_save_dir(args))
         self._ensure_variables(args.imgsz)
         validator = self.task_map[self.task]["validator"]()
         from sar_yolo_tpu.data import SyntheticDataset, YOLODataset, check_det_dataset
@@ -168,6 +171,13 @@ class YOLO:
     def benchmark(self, **kwargs):
         from sar_yolo_tpu.utils.benchmarks import benchmark
         return benchmark(self, **kwargs)
+
+    def tune(self, iterations: int = 10, **kwargs):
+        """Mutation-evolution hyperparameter search (reference Model.tune
+        engine/model.py:817 -> Tuner engine/tuner.py:33)."""
+        from sar_yolo_tpu.engine.tuner import Tuner
+        overrides = {**self.overrides, **kwargs, "mode": "train"}
+        return Tuner(overrides)(iterations=iterations)
 
     @property
     def names(self):

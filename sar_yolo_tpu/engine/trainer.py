@@ -118,6 +118,7 @@ class BaseTrainer(HasCallbacks):
         self.task = self.args.task
         self.init_callbacks()
         self.save_dir = get_save_dir(self.args)
+        self.args.save_dir = str(self.save_dir)  # downstream consumers (validator json/csv)
         self.wdir = self.save_dir / "weights"
         self.csv = self.save_dir / "results.csv"
         self.best_fitness = -1.0

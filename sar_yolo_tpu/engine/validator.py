@@ -23,6 +23,12 @@ from sar_yolo_tpu.utils import LOGGER
 from sar_yolo_tpu.utils.metrics import DetMetrics, IOU_THRESHOLDS, box_iou_np, match_predictions
 
 
+def _trim_batch(batch: dict, n: int) -> dict:
+    """Drop trailing pad rows from every batch-dim leaf."""
+    return {k: (v[:n] if isinstance(v, np.ndarray) and v.ndim >= 1 and
+                len(v) >= n else v) for k, v in batch.items()}
+
+
 class BaseValidator:
     """Shared eval-loop machinery; subclasses specialize postprocess/metrics."""
 
@@ -57,20 +63,26 @@ class BaseValidator:
             return (dets, protos) if protos is not None else dets
 
         loader = build_dataloader(dataset, batch_size=min(args.batch, len(dataset)),
-                                  shuffle=False, workers=args.workers)
+                                  shuffle=False, workers=args.workers,
+                                  drop_last=False, pad_last=True)
         self.init_metrics()
-        self.jdict = []  # COCO-style prediction rows when save_json
+        self.jdict = []   # COCO-style prediction rows when save_json
+        self.gt_anns = [] # COCO-style GT rows (for the no-pycocotools CocoEval)
         n_img = 0
         t0 = time.time()
         for batch in loader:
+            npad = int(batch.pop("_pad", 0))
             img = jnp.asarray(batch["img"])
             out = predict(variables, img)
             if isinstance(out, tuple):
                 dets, self._protos = np.asarray(out[0]), np.asarray(out[1])
             else:
                 dets, self._protos = np.asarray(out), None
+            n_eff = img.shape[0] - npad  # trailing pad rows are duplicate samples
             if args.save_json:
-                for bi in range(dets.shape[0]):
+                h, w = img.shape[1:3]
+                scale = np.array([w, h, w, h], np.float32)
+                for bi in range(n_eff):
                     d = dets[bi]
                     for row in d[d[:, 4] > 0]:
                         x1, y1, x2, y2 = (float(v) for v in row[:4])
@@ -80,15 +92,33 @@ class BaseValidator:
                             "bbox": [x1, y1, x2 - x1, y2 - y1],
                             "score": round(float(row[4]), 5),
                         })
-            n_img += img.shape[0]
-            self.update_metrics(dets, batch, img.shape[1:3])
+                    gmask = batch["mask"][bi] > 0
+                    gb = batch["bboxes"][bi][gmask] * scale  # xywh center, pixels
+                    gc = batch["cls"][bi][gmask]
+                    for (cx, cy, bw, bh), c in zip(gb, gc):
+                        self.gt_anns.append({
+                            "image_id": n_img + bi,
+                            "category_id": int(c),
+                            "bbox": [float(cx - bw / 2), float(cy - bh / 2),
+                                     float(bw), float(bh)],
+                        })
+            self.update_metrics(dets[:n_eff], _trim_batch(batch, n_eff), img.shape[1:3])
+            n_img += n_eff
         results = self.finalize_metrics()
         if args.save_json and self.jdict:
             import json
             from pathlib import Path
-            out_path = Path("predictions.json")
+            save_dir = Path(getattr(args, "save_dir", None) or ".")
+            save_dir.mkdir(parents=True, exist_ok=True)
+            out_path = save_dir / "predictions.json"
             out_path.write_text(json.dumps(self.jdict))
             LOGGER.info(f"saved {len(self.jdict)} predictions to {out_path}")
+            # COCO-protocol eval (reference eval_json -> pycocotools COCOeval)
+            from sar_yolo_tpu.utils.coco_eval import eval_json
+            try:
+                results.update(eval_json(self.jdict, {"annotations": self.gt_anns}))
+            except Exception as e:  # never fail a val run on the audit pass
+                LOGGER.warning(f"COCO eval failed: {e}")
         dt = time.time() - t0
         if n_img:
             results["speed/ms_per_image"] = dt / n_img * 1000
@@ -131,11 +161,19 @@ class DetectionValidator(BaseValidator):
 
 
 class JDEValidator(BaseValidator):
-    """Adds posture-state accuracy and ReID embedding separation metrics.
+    """Posture-state + ReID evaluation to full fork parity.
 
-    Detections carry extras: [x1,y1,x2,y2,conf,cls, emb(256), state(6)].
-    State/ReID stats follow the fork's JDEValidator (jde/val.py:244-330 state
-    detection stats; metrics.py:1314 ReIDMetrics cosine separation).
+    Detections carry extras: [x1,y1,x2,y2,conf,cls, emb(E), state(S)].
+    Covers the reference JDEValidator's whole metric set:
+      * state accuracy + per-state P/R/F1 table (jde/val.py:244-330, :796),
+      * state-DETECTION mAP second pass — argmax state treated as the class
+        (jde/val.py:577-579),
+      * ReID cosine AND euclidean pos/neg separation, silhouette,
+        Davies-Bouldin (jde/val.py:524-526, utils/metrics.py:1314-1580),
+      * consolidated results row appended across runs (jde/val.py:935 —
+        CSV here instead of Excel; same capability).
+    State ground truth = clamp(tag, 0, state_classes-1), matching the loss
+    (utils/loss.py and ref loss.py:512) — NOT tag % sc.
     """
 
     def init_metrics(self):
@@ -146,15 +184,32 @@ class JDEValidator(BaseValidator):
         self.embed_tags = []
         sc = self.meta.get("state_classes") or 0
         self.state_confusion = np.zeros((sc, sc), np.int64) if sc else None
+        # second pass: detection mAP with state as the class label
+        self.state_det_metrics = DetMetrics(
+            {i: f"state{i}" for i in range(sc)}) if sc else None
+
+    @staticmethod
+    def _state_gt(tags, sc):
+        """Clamp person-id tags into the state label range (ref loss.py:512)."""
+        return np.clip(tags.astype(int), 0, sc - 1)
 
     def _extra_update(self, d, gt_boxes, gt_cls, batch, bi):
-        if len(d) == 0 or len(gt_boxes) == 0 or "tags" not in batch:
+        if "tags" not in batch:
             return
         embed_dim = self.meta["embed_dim"]
         sc = self.meta["state_classes"] or 0
-        iou = box_iou_np(gt_boxes, d[:, :4])
         gt_mask = batch["mask"][bi] > 0
         gt_tags = batch["tags"][bi][gt_mask].astype(int)
+        # --- state-detection mAP second pass (argmax state as the class) ---
+        if sc and self.state_det_metrics is not None:
+            ps = d[:, 6 + embed_dim:6 + embed_dim + sc].argmax(1) if len(d) \
+                else np.zeros(0)
+            gs = self._state_gt(gt_tags, sc).astype(np.float32)
+            tp = match_predictions(d[:, :4], ps.astype(np.float32), gt_boxes, gs)
+            self.state_det_metrics.update(tp, d[:, 4], ps.astype(np.float32), gs)
+        if len(d) == 0 or len(gt_boxes) == 0:
+            return
+        iou = box_iou_np(gt_boxes, d[:, :4])
         # match each gt to best pred at IoU>=0.5
         for g in range(len(gt_boxes)):
             p = iou[g].argmax()
@@ -164,8 +219,7 @@ class JDEValidator(BaseValidator):
                 self.embed_tags.append(gt_tags[g])
                 if sc:
                     state_pred = int(d[p, 6 + embed_dim:6 + embed_dim + sc].argmax())
-                    # synthetic/person-search convention: tag doubles as state id
-                    state_gt = int(gt_tags[g]) % sc
+                    state_gt = int(self._state_gt(gt_tags[g:g + 1], sc)[0])
                     self.state_correct += int(state_pred == state_gt)
                     self.state_total += 1
                     self.state_confusion[state_pred, state_gt] += 1
@@ -189,20 +243,74 @@ class JDEValidator(BaseValidator):
                 results["metrics/state_macro_f1"] = float(f1[seen].mean())
             self.state_table = {"precision": prec, "recall": rec, "f1": f1,
                                 "support": gt_n}
+        # state-detection mAP (ref jde/val.py:577-579 second ap_per_class pass)
+        if self.state_det_metrics is not None:
+            sd = self.state_det_metrics.process()
+            for k in ("metrics/mAP50(B)", "metrics/mAP50-95(B)"):
+                if k in sd:
+                    results[k.replace("(B)", "(S)")] = sd[k]
         if len(self.embeds) >= 2:
             E = np.stack(self.embeds)
-            E = E / (np.linalg.norm(E, axis=1, keepdims=True) + 1e-9)
+            En = E / (np.linalg.norm(E, axis=1, keepdims=True) + 1e-9)
             tags = np.asarray(self.embed_tags)
-            sim = E @ E.T
+            sim = En @ En.T
             same = tags[:, None] == tags[None, :]
             off = ~np.eye(len(E), dtype=bool)
-            pos = sim[same & off]
-            neg = sim[~same]
+            pos, neg = sim[same & off], sim[~same]
             if len(pos) and len(neg):
                 results["metrics/reid_pos_cos"] = float(pos.mean())
                 results["metrics/reid_neg_cos"] = float(neg.mean())
                 results["metrics/reid_separation"] = float(pos.mean() - neg.mean())
+                # euclidean distances on the raw embeddings (ref jde/val.py:524-526)
+                d2 = ((E[:, None, :] - E[None, :, :]) ** 2).sum(-1) ** 0.5
+                results["metrics/reid_pos_euc"] = float(d2[same & off].mean())
+                results["metrics/reid_neg_euc"] = float(d2[~same].mean())
+            # clustering-quality stats (ref utils/metrics.py:1558-1580, sklearn)
+            if len(np.unique(tags)) >= 2 and all(
+                    (tags == t).sum() >= 1 for t in np.unique(tags)):
+                try:
+                    from sklearn.metrics import silhouette_score, davies_bouldin_score
+                    if len(E) > len(np.unique(tags)):
+                        results["metrics/reid_silhouette"] = float(
+                            silhouette_score(En, tags, metric="cosine"))
+                        results["metrics/reid_davies_bouldin"] = float(
+                            davies_bouldin_score(En, tags))
+                except Exception:
+                    pass
+        self._export_consolidated(results)
         return results
+
+    def _export_consolidated(self, results):
+        """Append one row per run to a cumulative CSV (ref jde/val.py:935 Excel)."""
+        import csv
+        from datetime import datetime
+        from pathlib import Path
+        save_dir = Path(getattr(self.args, "save_dir", None) or ".")
+        save_dir.mkdir(parents=True, exist_ok=True)
+        path = save_dir / "jde_results.csv"
+        row = {"timestamp": datetime.now().isoformat(timespec="seconds"),
+               "model": str(getattr(self.args, "model", ""))}
+        row.update({k.split("/")[-1]: f"{v:.5f}" for k, v in results.items()
+                    if isinstance(v, float)})
+        exists = path.exists()
+        with path.open("a", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=list(row))
+            if not exists:
+                w.writeheader()
+            w.writerow(row)
+
+    def print_results(self, results, n_img):
+        super().print_results(results, n_img)
+        # per-state table (ref jde/val.py:796)
+        table = getattr(self, "state_table", None)
+        if table is not None:
+            names = self.data.get("person_states") or {}
+            LOGGER.info(f"{'State':>12} {'Support':>8} {'Prec':>7} {'Rec':>7} {'F1':>7}")
+            for i in range(len(table["precision"])):
+                name = names.get(i, f"state{i}") if isinstance(names, dict) else f"state{i}"
+                LOGGER.info(f"{name:>12} {int(table['support'][i]):>8} "
+                            f"{table['precision'][i]:>7.3f} {table['recall'][i]:>7.3f} "
+                            f"{table['f1'][i]:>7.3f}")
 
 
 def _oks_matrix(gt_kpts, gt_areas, pred_kpts, sigmas):
@@ -339,12 +447,16 @@ class ClassificationValidator(BaseValidator):
             return model.apply(variables, img, train=False)
 
         loader = build_dataloader(dataset, batch_size=min(args.batch, len(dataset)),
-                                  shuffle=False, workers=args.workers)
+                                  shuffle=False, workers=args.workers,
+                                  drop_last=False, pad_last=True)
         top1 = top5 = n = 0
         t0 = time.time()
         for batch in loader:
+            npad = int(batch.pop("_pad", 0))
             logits = np.asarray(predict(variables, jnp.asarray(batch["img"])))
             labels = batch["cls"].astype(int).reshape(-1)
+            if npad:
+                logits, labels = logits[:-npad], labels[:-npad]
             order = np.argsort(-logits, axis=1)
             top1 += int((order[:, 0] == labels).sum())
             top5 += int(sum(labels[i] in order[i, :5] for i in range(len(labels))))
@@ -383,15 +495,17 @@ class OBBValidator(BaseValidator):
                                                max_det=args.max_det, nc=nc)
 
         loader = build_dataloader(dataset, batch_size=min(args.batch, len(dataset)),
-                                  shuffle=False, workers=args.workers)
+                                  shuffle=False, workers=args.workers,
+                                  drop_last=False, pad_last=True)
         self.det_metrics = DetMetrics(self.data.get("names"))
         n_img = 0
         t0 = time.time()
         for batch in loader:
+            npad = int(batch.pop("_pad", 0))
             img = jnp.asarray(batch["img"])
             dets = np.asarray(predict(variables, img))
             h, w = img.shape[1:3]
-            for bi in range(dets.shape[0]):
+            for bi in range(dets.shape[0] - npad):
                 d = dets[bi]
                 d = d[d[:, 5] > 0]  # conf col 5 for rotated rows
                 gt_mask = batch["mask"][bi] > 0
@@ -445,16 +559,18 @@ class RTDETRValidator(BaseValidator):
             return boxes, scores
 
         loader = build_dataloader(dataset, batch_size=min(args.batch, len(dataset)),
-                                  shuffle=False, workers=args.workers)
+                                  shuffle=False, workers=args.workers,
+                                  drop_last=False, pad_last=True)
         self.init_metrics()
         n_img = 0
         t0 = time.time()
         for batch in loader:
+            npad = int(batch.pop("_pad", 0))
             img = jnp.asarray(batch["img"])
             boxes, scores = (np.asarray(o) for o in predict(variables, img))
             h, w = img.shape[1:3]
             B = img.shape[0]
-            for bi in range(B):
+            for bi in range(B - npad):
                 s = scores[bi]
                 cls_conf = s.max(-1)
                 keep = cls_conf >= conf

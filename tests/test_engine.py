@@ -224,3 +224,19 @@ def test_overfit_reaches_map(tmp_path):
             args=args, data={"nc": 3, "names": {0: "a", 1: "b", 2: "c"}})
     # full run reaches ~0.98; generous margin for CI variance
     assert res["metrics/mAP50(B)"] > 0.5, f"overfit mAP50 too low: {res}"
+
+
+def test_yolo_tune_wired(monkeypatch):
+    """YOLO.tune() reaches the Tuner (reference Model.tune engine/model.py:817)."""
+    from sar_yolo_tpu.engine import tuner as tuner_mod
+
+    called = {}
+
+    def fake_call(self, model=None, iterations=10, **kw):
+        called["iterations"] = iterations
+        return (0.5, {"lr0": 0.01})
+
+    monkeypatch.setattr(tuner_mod.Tuner, "__call__", fake_call)
+    m = YOLO("tinydet.yaml")
+    best = m.tune(iterations=3, data="synthetic")
+    assert called["iterations"] == 3 and best[0] == 0.5

@@ -21,7 +21,7 @@ from sar_yolo_tpu.parallel import (
 def test_2d_mesh_shard_map_psum():
     """(dp=4, tp=2) mesh: per-shard partial matmul + psum over tp must equal
     the unsharded product (the core TP contraction pattern)."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     mesh = get_mesh((4, 2), axis_names=("dp", "tp"))
     B, K, N = 8, 16, 12
