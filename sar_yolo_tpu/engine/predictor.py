@@ -72,38 +72,43 @@ class BasePredictor:
         self.imgsz = args.imgsz if isinstance(args.imgsz, int) else args.imgsz[0]
         self._predict = self._build()
 
+    def _preprocess_jit(self, frame_u8):
+        """Device-side BGR->RGB + letterbox + normalize, INSIDE the jit.
+
+        frame_u8 is the raw (H, W, 3) uint8 frame; one executable is compiled
+        per source geometry (shapes static per trace) and the scale constants
+        (r, dw, dh) are baked in. Replaces the reference's host cv2 LetterBox
+        (engine/predictor.py:116-162, data/augment.py:1493) — HBM receives a
+        single uint8 copy of the frame, the whole pixel path runs on-device.
+        """
+        from sar_yolo_tpu.ops.preprocess import letterbox_device
+        rgb = frame_u8[..., ::-1]
+        lb, r, (dw, dh) = letterbox_device(rgb, self.imgsz, scaleup=False)
+        x = lb[None] / 255.0
+        pad = jnp.asarray([dw, dh], x.dtype)
+        return x, r, pad
+
     def _build(self):
         model, meta, args = self.model, self.meta, self.args
         nc = meta["nc"]
         conf = args.conf if args.conf is not None else 0.25
         strides = tuple(meta["strides"])
         extra_sig = meta.get("state_classes") or 0
-        imgsz = self.imgsz
 
         @jax.jit
-        def run(variables, img_u8, scale_hw):
-            """img_u8: (1, imgsz, imgsz, 3) uint8 letterboxed RGB."""
-            x = img_u8.astype(jnp.float32) / 255.0
+        def run(variables, frame_u8):
+            """frame_u8: raw (H, W, 3) uint8 BGR frame."""
+            x, r, pad = self._preprocess_jit(frame_u8)
             feats = model.apply(variables, x, train=False)
             preds = decode_detect(feats, strides, nc, meta["reg_max"], extra_sigmoid=extra_sig)
             dets = non_max_suppression(preds, conf_thres=conf, iou_thres=args.iou,
                                        max_det=args.max_det, nc=nc,
                                        agnostic=args.agnostic_nms)
             # rescale boxes from letterbox space back to original image space
-            r = scale_hw[0]
-            pad = scale_hw[1:3]
-            boxes = dets[..., :4]
-            boxes = (boxes - jnp.concatenate([pad, pad])[None, None, :]) / r
+            boxes = (dets[..., :4] - jnp.concatenate([pad, pad])[None, None, :]) / r
             return jnp.concatenate([boxes, dets[..., 4:]], -1)
 
         return run
-
-    def preprocess(self, img):
-        """Host letterbox to the static network size (uint8)."""
-        from sar_yolo_tpu.data.augment import letterbox
-        lb, r, (dw, dh) = letterbox(img, self.imgsz, scaleup=False)
-        rgb = np.ascontiguousarray(lb[..., ::-1])
-        return rgb[None], np.array([r, dw, dh], np.float32)
 
     def postprocess(self, dets, path, orig_img, speed):
         d = np.asarray(dets[0])
@@ -120,9 +125,9 @@ class BasePredictor:
     def stream_inference(self, source):
         for path, img in load_sources(source):
             t0 = time.perf_counter()
-            inp, scale = self.preprocess(img)
+            inp = jnp.asarray(img)  # raw uint8 upload; letterbox runs on device
             t1 = time.perf_counter()
-            dets = self._predict(self.variables, jnp.asarray(inp), jnp.asarray(scale))
+            dets = self._predict(self.variables, inp)
             dets = jax.block_until_ready(dets)
             t2 = time.perf_counter()
             speed = {"preprocess": (t1 - t0) * 1e3, "inference": (t2 - t1) * 1e3}
@@ -165,18 +170,16 @@ class PosePredictor(BasePredictor):
         kpt_shape = tuple(meta.get("kpt_shape", (17, 3)))
 
         @jax.jit
-        def run(variables, img_u8, scale_hw):
-            x = img_u8.astype(jnp.float32) / 255.0
+        def run(variables, frame_u8):
+            x, r, pad = self._preprocess_jit(frame_u8)
             feats = model.apply(variables, x, train=False)
             preds = decode_detect(feats, strides, nc, meta["reg_max"], kpt_shape=kpt_shape)
             dets = non_max_suppression(preds, conf_thres=conf, iou_thres=args.iou,
                                        max_det=args.max_det, nc=nc)
-            r = scale_hw[0]
-            pad = scale_hw[1:3]
             boxes = (dets[..., :4] - jnp.concatenate([pad, pad])[None, None, :]) / r
             K, D = kpt_shape
             kpts = dets[..., 6:6 + K * D].reshape(*dets.shape[:2], K, D)
-            kxy = (kpts[..., :2] - pad[None, None, None, :]) / r
+            kxy = (kpts[..., :2] - pad[None, None, None, :]) / r  # pad: (2,) consts
             kpts = jnp.concatenate([kxy, kpts[..., 2:]], -1).reshape(*dets.shape[:2], K * D)
             return jnp.concatenate([boxes, dets[..., 4:6], kpts], -1)
 
@@ -204,18 +207,16 @@ class SegmentPredictor(BasePredictor):
         strides = tuple(meta["strides"])
 
         @jax.jit
-        def run(variables, img_u8, scale_hw):
-            x = img_u8.astype(jnp.float32) / 255.0
+        def run(variables, frame_u8):
+            x, r, pad = self._preprocess_jit(frame_u8)
             feats, protos = model.apply(variables, x, train=False)
             preds = decode_detect(feats, strides, nc, meta["reg_max"])
             dets = non_max_suppression(preds, conf_thres=conf, iou_thres=args.iou,
                                        max_det=args.max_det, nc=nc)
             from sar_yolo_tpu.ops.masks import process_mask
-            H = img_u8.shape[1]
+            H = x.shape[1]
             masks = jax.vmap(lambda p, dd: process_mask(p, dd[:, 6:], dd[:, :4], (H, H)))(
                 protos, dets)
-            r = scale_hw[0]
-            pad = scale_hw[1:3]
             boxes = (dets[..., :4] - jnp.concatenate([pad, pad])[None, None, :]) / r
             return jnp.concatenate([boxes, dets[..., 4:6]], -1), masks
 
@@ -225,9 +226,9 @@ class SegmentPredictor(BasePredictor):
         import time as _t
         for path, img in load_sources(source):
             t0 = _t.perf_counter()
-            inp, scale = self.preprocess(img)
+            inp = jnp.asarray(img)
             t1 = _t.perf_counter()
-            dets, masks = self._predict(self.variables, jnp.asarray(inp), jnp.asarray(scale))
+            dets, masks = self._predict(self.variables, inp)
             dets = np.asarray(dets)
             masks = np.asarray(masks)
             t2 = _t.perf_counter()
@@ -250,8 +251,8 @@ class ClassificationPredictor(BasePredictor):
         model = self.model
 
         @jax.jit
-        def run(variables, img_u8, scale_hw):
-            x = img_u8.astype(jnp.float32) / 255.0
+        def run(variables, frame_u8):
+            x, _, _ = self._preprocess_jit(frame_u8)
             return jax.nn.softmax(model.apply(variables, x, train=False), axis=-1)
 
         return run
@@ -273,14 +274,12 @@ class OBBPredictor(BasePredictor):
         from sar_yolo_tpu.ops.nms import non_max_suppression_rotated
 
         @jax.jit
-        def run(variables, img_u8, scale_hw):
-            x = img_u8.astype(jnp.float32) / 255.0
+        def run(variables, frame_u8):
+            x, r, pad = self._preprocess_jit(frame_u8)
             feats = model.apply(variables, x, train=False)
             preds = decode_obb(feats, strides, nc, meta["reg_max"])
             dets = non_max_suppression_rotated(preds, conf_thres=conf, iou_thres=args.iou,
                                                max_det=args.max_det, nc=nc)
-            r = scale_hw[0]
-            pad = scale_hw[1:3]
             xy = (dets[..., :2] - pad[None, None, :]) / r
             wh = dets[..., 2:4] / r
             return jnp.concatenate([xy, wh, dets[..., 4:]], -1)
@@ -304,15 +303,13 @@ class RTDETRPredictor(BasePredictor):
         imgsz = self.imgsz
 
         @jax.jit
-        def run(variables, img_u8, scale_hw):
-            x = img_u8.astype(jnp.float32) / 255.0
+        def run(variables, frame_u8):
+            x, r, pad = self._preprocess_jit(frame_u8)
             dec_b, dec_s, _, _ = model.apply(variables, x, train=False)
             boxes = dec_b[-1] * imgsz             # (B, nq, 4) pixels cxcywh
             scores = jax.nn.sigmoid(dec_s[-1])
             cls_conf = scores.max(-1)
             cls = scores.argmax(-1).astype(boxes.dtype)
-            r = scale_hw[0]
-            pad = scale_hw[1:3]
             xy = (boxes[..., :2] - pad[None, None, :]) / r
             wh = boxes[..., 2:4] / r
             x1y1 = xy - wh / 2

@@ -27,6 +27,12 @@ def decode_detect(feats, strides, nc: int, reg_max: int = 16, extra_sigmoid: int
                   kpt_shape=None):
     """Decode detection head output.
 
+    TPU layout note: all math happens PER LEVEL on the NHWC maps (channel axis
+    stays the minor/lane dimension), and the (B, H*W, no) flatten+concat runs
+    LAST on the already-decoded 4+nc+E channels — flattening the 144-channel
+    raw maps first forces an expensive retiling relayout on TPU (~40% of the
+    whole decode cost, measured).
+
     Args:
         feats: list of per-level (B, H, W, 4*reg_max + nc + E) maps.
         strides: per-level stride ints.
@@ -40,32 +46,38 @@ def decode_detect(feats, strides, nc: int, reg_max: int = 16, extra_sigmoid: int
         (B, N, 4 + nc + E): xywh boxes in input pixels, sigmoided class scores,
         extras (raw embeddings / decoded keypoints / mask coeffs, sigmoided states).
     """
-    x, hw = flatten_feats(feats)
-    anchors, stride_t = make_anchors(hw, strides)
-    box = x[..., : 4 * reg_max]
-    cls = x[..., 4 * reg_max: 4 * reg_max + nc]
-    extras = x[..., 4 * reg_max + nc:]
+    outs = []
+    for f, s in zip(feats, strides):
+        B, H, W, _ = f.shape
+        box = f[..., : 4 * reg_max]
+        cls = f[..., 4 * reg_max: 4 * reg_max + nc]
+        extras = f[..., 4 * reg_max + nc:]
 
-    dist = dfl_decode(box, reg_max)
-    dbox = dist2bbox(dist, anchors[None], xywh=True) * stride_t[None, :, :]
-    parts = [dbox, jax.nn.sigmoid(cls)]
-    if extras.shape[-1]:
-        if kpt_shape is not None:
-            B, N = extras.shape[:2]
-            K, D = kpt_shape
-            kpts = kpts_decode(anchors, extras.reshape(B, N, K, D))
-            kxy = kpts[..., :2] * stride_t[None, :, None, :]
-            if D == 3:
-                kpts = jnp.concatenate([kxy, jax.nn.sigmoid(kpts[..., 2:])], -1)
+        sx = jnp.arange(W, dtype=jnp.float32) + 0.5
+        sy = jnp.arange(H, dtype=jnp.float32) + 0.5
+        anchors = jnp.stack(jnp.meshgrid(sx, sy, indexing="xy"), -1)  # (H, W, 2)
+
+        dist = dfl_decode(box, reg_max)                      # (B, H, W, 4)
+        dbox = dist2bbox(dist, anchors[None], xywh=True) * float(s)
+        parts = [dbox, jax.nn.sigmoid(cls)]
+        if extras.shape[-1]:
+            if kpt_shape is not None:
+                K, D = kpt_shape
+                k = extras.reshape(B, H, W, K, D)
+                kxy = (k[..., :2] * 2.0 + (anchors[None, :, :, None, :] - 0.5)) * float(s)
+                if D == 3:
+                    k = jnp.concatenate([kxy, jax.nn.sigmoid(k[..., 2:])], -1)
+                else:
+                    k = kxy
+                parts.append(k.reshape(B, H, W, K * D))
+            elif extra_sigmoid:
+                parts.append(extras[..., :-extra_sigmoid])
+                parts.append(jax.nn.sigmoid(extras[..., -extra_sigmoid:]))
             else:
-                kpts = kxy
-            parts.append(kpts.reshape(B, N, K * D))
-        elif extra_sigmoid:
-            parts.append(extras[..., :-extra_sigmoid])
-            parts.append(jax.nn.sigmoid(extras[..., -extra_sigmoid:]))
-        else:
-            parts.append(extras)
-    return jnp.concatenate(parts, axis=-1)
+                parts.append(extras)
+        no = sum(p.shape[-1] for p in parts)
+        outs.append(jnp.concatenate(parts, -1).reshape(B, H * W, no))
+    return jnp.concatenate(outs, axis=1)
 
 
 def kpts_decode(anchor_points, pred_kpts):

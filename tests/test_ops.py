@@ -168,3 +168,27 @@ def test_flash_attention_gradients_match_einsum():
                   argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(gf, gr):
         assert float(jnp.abs(a - b).max()) < 1e-4
+
+
+def test_letterbox_device_matches_host():
+    """Device-side letterbox (inside the predict jit) must agree with the host
+    cv2 letterbox on geometry (r, pads) and pixels within bilinear tolerance."""
+    import numpy as np
+    import jax.numpy as jnp
+    from sar_yolo_tpu.data.augment import letterbox
+    from sar_yolo_tpu.ops.preprocess import letterbox_device
+
+    rng = np.random.default_rng(0)
+    for H, W in [(97, 211), (640, 480), (64, 64), (31, 333)]:
+        img = rng.integers(0, 255, (H, W, 3), dtype=np.uint8)
+        host, r_h, (dw_h, dh_h) = letterbox(img, 64, scaleup=False)
+        dev, r_d, (dw_d, dh_d) = letterbox_device(jnp.asarray(img), 64, scaleup=False)
+        assert abs(r_h - r_d) < 1e-9
+        assert (dw_h, dh_h) == (dw_d, dh_d)
+        dev_np = np.asarray(dev)
+        assert dev_np.shape == host.shape
+        # cv2 INTER_LINEAR uses 5-bit fixed-point weights; our float path
+        # agrees to within ~1 LSB everywhere
+        diff = np.abs(dev_np.astype(np.float32) - host.astype(np.float32))
+        assert diff.mean() < 0.5 and diff.max() < 1.5, \
+            f"diff mean {diff.mean()} max {diff.max()} at {(H, W)}"
