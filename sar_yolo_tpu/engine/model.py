@@ -141,25 +141,52 @@ class YOLO:
                                  dataset=dataset, args=args, data=data)
         return self.metrics
 
-    def predict(self, source, stream: bool = False, **kwargs):
+    def _get_predictor(self, kwargs: dict):
+        """Build (or reuse) the jitted predictor. Reuse keeps XLA executables
+        warm across predict()/track() calls (reference caches self.predictor,
+        engine/model.py:501-545)."""
         overrides = {**self.overrides, **kwargs, "mode": "predict"}
         if "conf" not in overrides:
             overrides["conf"] = 0.25
+        # method default: no file output unless the caller asks (reference
+        # Model.predict sets save=False when invoked from Python, model.py:528)
+        overrides.setdefault("save", False)
+        key = tuple(sorted((k, str(v)) for k, v in overrides.items()))
+        cached = getattr(self, "_predictor_cache", None)
+        if cached is not None and cached[0] == key:
+            cached[1].variables = self.variables  # weights may have been updated
+            return cached[1]
         args = get_cfg(overrides=overrides)
         self._ensure_variables(args.imgsz if isinstance(args.imgsz, int) else args.imgsz[0])
         predictor_cls = self.task_map[self.task]["predictor"]
         names = self.meta.get("names") or {i: f"c{i}" for i in range(self.meta["nc"])}
         predictor = predictor_cls(self.model, self.variables, self.meta, args, names)
-        return predictor(source, stream=stream)
+        self._predictor_cache = (key, predictor)
+        return predictor
+
+    def predict(self, source, stream: bool = False, **kwargs):
+        return self._get_predictor(kwargs)(source, stream=stream)
 
     def __call__(self, source, **kwargs):
         return self.predict(source, **kwargs)
 
-    def track(self, source, **kwargs):
-        """Predict + multi-object tracking (ByteTrack/BoT-SORT)."""
-        from sar_yolo_tpu.trackers import track_results
-        results = self.predict(source, stream=False, **kwargs)
-        return track_results(results, tracker=kwargs.get("tracker", "bytetrack.yaml"))
+    def track(self, source, stream: bool = False, persist: bool = False, **kwargs):
+        """Predict + multi-object tracking with per-frame callback updates.
+
+        Reference Model.track (engine/model.py:562) -> trackers/track.py:18-90:
+        tracker instances attach to the predictor's callback bus and update on
+        every frame; `persist=True` keeps track identities across calls.
+        """
+        from sar_yolo_tpu.trackers import register_tracker
+        tracker = kwargs.pop("tracker", "bytetrack.yaml")
+        if "conf" not in kwargs:
+            kwargs["conf"] = 0.1  # tracking keeps low-conf dets for 2nd association
+        predictor = self._get_predictor(kwargs)
+        predictor._tracker_persist = persist
+        if not getattr(predictor, "_tracking_registered", False):
+            register_tracker(predictor, tracker=tracker, persist=persist)
+            predictor._tracking_registered = True
+        return predictor(source, stream=stream)
 
     def export(self, **kwargs):
         from sar_yolo_tpu.engine.exporter import Exporter

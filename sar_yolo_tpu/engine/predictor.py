@@ -23,41 +23,46 @@ from sar_yolo_tpu.engine.results import Results
 from sar_yolo_tpu.ops.decode import decode_detect
 from sar_yolo_tpu.ops.nms import non_max_suppression
 
-IMG_FORMATS = {"bmp", "jpeg", "jpg", "png", "tif", "tiff", "webp"}
-VID_FORMATS = {"mp4", "avi", "mov", "mkv", "m4v", "wmv"}
+from sar_yolo_tpu.data.loaders import IMG_FORMATS, VID_FORMATS, load_inference_source
 
 
 def load_sources(source):
-    """Yield (path, BGR image) pairs from path/dir/array/list (video: frames)."""
-    if isinstance(source, np.ndarray):
-        yield "array.jpg", source
-        return
-    if isinstance(source, (list, tuple)):
-        for s in source:
-            yield from load_sources(s)
-        return
-    p = Path(source)
-    if p.is_dir():
-        for f in sorted(p.rglob("*")):
-            if f.suffix[1:].lower() in IMG_FORMATS:
-                img = cv2.imread(str(f))
-                if img is not None:
-                    yield str(f), img
-    elif p.suffix[1:].lower() in VID_FORMATS:
-        cap = cv2.VideoCapture(str(p))
-        i = 0
-        while True:
-            ok, frame = cap.read()
-            if not ok:
-                break
-            yield f"{p}#{i}", frame
-            i += 1
-        cap.release()
-    else:
-        img = cv2.imread(str(p))
-        if img is None:
-            raise FileNotFoundError(f"cannot read {source}")
-        yield str(p), img
+    """Yield (path, BGR image) pairs (back-compat shim over data/loaders.py)."""
+    loader, _ = load_inference_source(source)
+    for path, img, _meta in loader:
+        yield path, img
+
+
+class _MediaWriter:
+    """Writes annotated outputs: images via imwrite, video/stream frames through
+    one cv2.VideoWriter per source (reference BasePredictor save_preds /
+    setup vid_writer, engine/predictor.py:330-380)."""
+
+    def __init__(self, args):
+        from sar_yolo_tpu.cfg import get_save_dir
+        self.dir = Path(getattr(args, "save_dir", None) or get_save_dir(args))
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self.writers = {}
+
+    def write(self, res, meta):
+        img = res.plot()
+        path = Path(str(res.path))
+        if meta.get("video") or meta.get("stream"):
+            key = str(res.path)
+            if key not in self.writers:
+                fps = meta.get("fps") or 30
+                h, w = img.shape[:2]
+                out = self.dir / (path.stem + ".avi")  # MJPG: codec always available
+                self.writers[key] = cv2.VideoWriter(
+                    str(out), cv2.VideoWriter_fourcc(*"MJPG"), fps, (w, h))
+            self.writers[key].write(img)
+        else:
+            cv2.imwrite(str(self.dir / path.name), img)
+
+    def close(self):
+        for w in self.writers.values():
+            w.release()
+        self.writers.clear()
 
 
 class BasePredictor:
@@ -70,7 +75,22 @@ class BasePredictor:
         self.args = args
         self.names = names or {i: str(i) for i in range(meta["nc"])}
         self.imgsz = args.imgsz if isinstance(args.imgsz, int) else args.imgsz[0]
+        # event hook bus (reference utils/callbacks/base.py predict events;
+        # trackers/track.py:90 registers through these)
+        self.callbacks = {"on_predict_start": [], "on_predict_batch_start": [],
+                          "on_predict_postprocess_end": [], "on_predict_end": []}
+        self.batch = None       # (path, orig_img, meta) of the current frame
+        self.results = None     # [Results] of the current frame (callbacks may edit)
+        self.source_types = None
+        self.trackers = {}      # populated by register_tracker
         self._predict = self._build()
+
+    def add_callback(self, event: str, fn):
+        self.callbacks[event].append(fn)
+
+    def run_callbacks(self, event: str):
+        for fn in self.callbacks.get(event, []):
+            fn(self)
 
     def _preprocess_jit(self, frame_u8):
         """Device-side BGR->RGB + letterbox + normalize, INSIDE the jit.
@@ -123,18 +143,40 @@ class BasePredictor:
         return gen if stream else list(gen)
 
     def stream_inference(self, source):
-        for path, img in load_sources(source):
-            t0 = time.perf_counter()
-            inp = jnp.asarray(img)  # raw uint8 upload; letterbox runs on device
-            t1 = time.perf_counter()
-            dets = self._predict(self.variables, inp)
-            dets = jax.block_until_ready(dets)
-            t2 = time.perf_counter()
-            speed = {"preprocess": (t1 - t0) * 1e3, "inference": (t2 - t1) * 1e3}
-            res = self.postprocess(dets, path, img, speed)
-            t3 = time.perf_counter()
-            speed["postprocess"] = (t3 - t2) * 1e3
-            yield res
+        loader, self.source_types = load_inference_source(source)
+        self.run_callbacks("on_predict_start")
+        writer = _MediaWriter(self.args) if getattr(self.args, "save", False) else None
+        try:
+            for path, img, meta in loader:
+                self.batch = (path, img, meta)
+                self.run_callbacks("on_predict_batch_start")
+                t0 = time.perf_counter()
+                inp = jnp.asarray(img)  # raw uint8 upload; letterbox runs on device
+                t1 = time.perf_counter()
+                dets = self._predict(self.variables, inp)
+                dets = jax.block_until_ready(dets)
+                t2 = time.perf_counter()
+                speed = {"preprocess": (t1 - t0) * 1e3, "inference": (t2 - t1) * 1e3}
+                res = self.postprocess(dets, path, img, speed)
+                res.frame = meta.get("frame")
+                self.results = [res]
+                self.run_callbacks("on_predict_postprocess_end")
+                res = self.results[0]
+                t3 = time.perf_counter()
+                speed["postprocess"] = (t3 - t2) * 1e3
+                if writer is not None:
+                    writer.write(res, meta)
+                if getattr(self.args, "save_txt", False):
+                    from sar_yolo_tpu.cfg import get_save_dir
+                    d = Path(getattr(self.args, "save_dir", None) or get_save_dir(self.args))
+                    stem = Path(str(path)).stem
+                    n = f"_{meta['frame']}" if meta.get("frame") is not None else ""
+                    res.save_txt(d / "labels" / f"{stem}{n}.txt")
+                yield res
+        finally:
+            if writer is not None:
+                writer.close()
+            self.run_callbacks("on_predict_end")
 
 
 class DetectionPredictor(BasePredictor):

@@ -52,3 +52,39 @@ def track_results(results, tracker="bytetrack.yaml"):
         if len(tracks):
             res.boxes.data = tracks  # [x1,y1,x2,y2,conf,cls,track_id]
     return results
+
+
+def register_tracker(predictor, tracker="bytetrack.yaml", persist: bool = False):
+    """Attach per-frame tracking to a predictor via its callback bus.
+
+    Capability parity with reference trackers/track.py:18 (on_predict_start:
+    tracker instances per source), :53 (on_predict_postprocess_end: Kalman
+    update each frame), :90 (register_tracker). One tracker per source (video
+    path / stream index); `persist=False` resets trackers at the start of each
+    predict call, `persist=True` keeps identities across calls.
+    """
+
+    def on_predict_start(pred):
+        # persist can be toggled per call via predictor._tracker_persist
+        if not getattr(pred, "_tracker_persist", persist):
+            pred.trackers.clear()
+
+    def on_predict_postprocess_end(pred):
+        path, _img, meta = pred.batch
+        key = meta.get("source_i", str(path))
+        trk = pred.trackers.get(key)
+        if trk is None:
+            trk = make_tracker(tracker, frame_rate=int(meta.get("fps") or 30))
+            pred.trackers[key] = trk
+        res = pred.results[0]
+        if res.boxes is None:
+            return
+        import numpy as np
+        dets = res.boxes.data[:, :6]
+        extras = res.embeds if getattr(res, "embeds", None) is not None else None
+        tracks = trk.update(dets, extras)
+        res.boxes.data = tracks if len(tracks) else np.zeros((0, 7), dets.dtype)
+
+    predictor.add_callback("on_predict_start", on_predict_start)
+    predictor.add_callback("on_predict_postprocess_end", on_predict_postprocess_end)
+    return predictor

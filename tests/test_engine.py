@@ -127,7 +127,7 @@ def test_pose_train_and_predict(tmp_path):
     img = np.full((64, 64, 3), 30, np.uint8)
     img[10:50, 10:50] = (220, 40, 40)
     res = m.predict(img, imgsz=64)
-    assert res[0].keypoints is None or res[0].keypoints.shape[1:] == (5, 3)
+    assert res[0].keypoints is None or res[0].keypoints.data.shape[1:] == (5, 3)
 
 
 @pytest.mark.slow
@@ -139,7 +139,7 @@ def test_segment_train_and_predict(tmp_path):
     img = np.full((64, 64, 3), 30, np.uint8)
     img[10:50, 10:50] = (220, 40, 40)
     res = m.predict(img, imgsz=64)
-    assert res[0].masks is None or res[0].masks.ndim == 3
+    assert res[0].masks is None or res[0].masks.data.ndim == 3
 
 
 @pytest.mark.slow
@@ -167,7 +167,7 @@ def test_obb_train_and_predict(tmp_path):
     img = np.full((64, 64, 3), 30, np.uint8)
     img[10:50, 20:40] = (220, 40, 40)
     res = m.predict(img, imgsz=64)
-    assert hasattr(res[0], "obb") and res[0].obb.shape[1] == 7
+    assert hasattr(res[0], "obb") and res[0].obb.data.shape[1] == 7
 
 
 @pytest.mark.slow
