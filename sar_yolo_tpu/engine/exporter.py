@@ -59,24 +59,30 @@ class Exporter:
         fmt = self.args.format
         imgsz = self.args.imgsz if isinstance(self.args.imgsz, int) else self.args.imgsz[0]
         batch = 1 if not self.args.dynamic else None
-        out_dir = Path("exports")
-        out_dir.mkdir(exist_ok=True)
+        out_dir = Path(getattr(self.args, "save_dir", None) or
+                       getattr(self.args, "project", None) or "exports")
+        out_dir.mkdir(parents=True, exist_ok=True)
         stem = Path(str(self.args.model or "model")).stem
         infer = self._build_infer_fn(model, variables, meta, with_nms=self.args.nms)
         spec_shape = (batch or 1, imgsz, imgsz, 3)
         t0 = time.time()
+
+        # metadata sidecar: the analog of the reference's embedded metadata.yaml
+        # (exporter.py:~300); AutoBackend reads it back on load
+        sidecar = {
+            "input_shape": list(spec_shape), "input_dtype": "uint8",
+            "imgsz": imgsz, "nc": meta["nc"], "task": meta.get("task"),
+            "names": meta.get("names") or {i: f"c{i}" for i in range(meta["nc"])},
+            "with_nms": bool(self.args.nms),
+            "output": "(B, max_det, 6+E) dets" if self.args.nms else "(B, N, 4+nc+E) raw preds",
+        }
 
         if fmt == "stablehlo":
             exported = jax.export.export(jax.jit(infer))(
                 jax.ShapeDtypeStruct(spec_shape, jnp.uint8))
             path = out_dir / f"{stem}.stablehlo"
             path.write_bytes(exported.serialize())
-            (out_dir / f"{stem}.stablehlo.json").write_text(json.dumps({
-                "input_shape": list(spec_shape), "input_dtype": "uint8",
-                "imgsz": imgsz, "nc": meta["nc"], "task": meta.get("task"),
-                "with_nms": bool(self.args.nms),
-                "output": "(B, max_det, 6+E) dets" if self.args.nms else "(B, N, 4+nc+E) raw preds",
-            }))
+            (out_dir / f"{stem}.stablehlo.json").write_text(json.dumps(sidecar))
         elif fmt in {"saved_model", "tflite"}:
             import tensorflow as tf
             from jax.experimental import jax2tf
@@ -88,6 +94,7 @@ class Exporter:
             module.f = tf_fn
             sm_path = out_dir / f"{stem}_saved_model"
             tf.saved_model.save(module, str(sm_path))
+            (sm_path / "metadata.json").write_text(json.dumps(sidecar))
             path = sm_path
             if fmt == "tflite":
                 converter = tf.lite.TFLiteConverter.from_saved_model(str(sm_path))
@@ -96,6 +103,7 @@ class Exporter:
                 tfl = converter.convert()
                 path = out_dir / f"{stem}.tflite"
                 path.write_bytes(tfl)
+                (out_dir / f"{stem}.tflite.json").write_text(json.dumps(sidecar))
         else:
             raise ValueError(f"Unsupported export format '{fmt}'. "
                              f"Available: {EXPORT_FORMATS}")

@@ -31,10 +31,26 @@ class YOLO:
         self.variables = None
         self.trainer = None
         self.metrics = None
-        if is_checkpoint(model):
+        self.backend = None  # AutoBackend when loading an exported artifact
+        from sar_yolo_tpu.nn.autobackend import AutoBackend
+        if AutoBackend.is_exported_artifact(model):
+            self._load_backend(model, task)
+        elif is_checkpoint(model):
             self._load(model, task)
         else:
             self._new(model, task)
+
+    def _load_backend(self, artifact, task):
+        """Exported artifact (.stablehlo / saved_model / .tflite) -> AutoBackend
+        inference path (reference AutoBackend nn/autobackend.py:159)."""
+        from sar_yolo_tpu.nn.autobackend import AutoBackend
+        self.backend = AutoBackend(artifact)
+        self.task = task or self.backend.meta.get("task") or "detect"
+        self.meta = {"nc": int(self.backend.meta.get("nc", 80)),
+                     "names": self.backend.meta.get("names")}
+        self.model = None
+        self.ckpt_dir = str(artifact)
+        self.overrides["task"] = self.task
 
     def _new(self, cfg, task):
         self.model, self.meta = build_model(cfg)
@@ -154,9 +170,15 @@ class YOLO:
         key = tuple(sorted((k, str(v)) for k, v in overrides.items()))
         cached = getattr(self, "_predictor_cache", None)
         if cached is not None and cached[0] == key:
-            cached[1].variables = self.variables  # weights may have been updated
+            if self.backend is None:
+                cached[1].variables = self.variables  # weights may have been updated
             return cached[1]
         args = get_cfg(overrides=overrides)
+        if self.backend is not None:
+            from sar_yolo_tpu.nn.autobackend import BackendPredictor
+            predictor = BackendPredictor(self.backend, args)
+            self._predictor_cache = (key, predictor)
+            return predictor
         self._ensure_variables(args.imgsz if isinstance(args.imgsz, int) else args.imgsz[0])
         predictor_cls = self.task_map[self.task]["predictor"]
         names = self.meta.get("names") or {i: f"c{i}" for i in range(self.meta["nc"])}

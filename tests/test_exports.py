@@ -1,0 +1,83 @@
+"""Export round-trips: export -> AutoBackend reload -> same boxes.
+
+Mirrors reference tests/test_exports.py:52-117 (every format reloads through
+AutoBackend and must reproduce predictions).
+"""
+
+import numpy as np
+import pytest
+
+from sar_yolo_tpu import YOLO
+
+
+def _image():
+    img = np.full((72, 96, 3), 30, np.uint8)
+    img[20:50, 30:70] = (210, 60, 40)
+    return img
+
+
+def _boxes(results):
+    r = results[0]
+    return r.boxes.data[:, :6] if r.boxes is not None else np.zeros((0, 6))
+
+
+@pytest.fixture(scope="module")
+def native():
+    m = YOLO("tinydet.yaml")
+    img = _image()
+    res = m.predict(img, imgsz=64, conf=0.01)
+    return m, img, _boxes(res)
+
+
+def _roundtrip(native, fmt, tmp_path, **export_kw):
+    m, img, ref_boxes = native
+    path = m.export(format=fmt, imgsz=64, project=str(tmp_path), **export_kw)
+    m2 = YOLO(path)
+    res = m2.predict(img, conf=0.01)
+    got = _boxes(res)
+    assert got.shape[0] == ref_boxes.shape[0], \
+        f"{fmt}: {got.shape[0]} boxes vs native {ref_boxes.shape[0]}"
+    if len(got):
+        # sort both by conf desc for a stable comparison
+        a = ref_boxes[np.argsort(-ref_boxes[:, 4])]
+        b = got[np.argsort(-got[:, 4])]
+        np.testing.assert_allclose(a[:, :4], b[:, :4], atol=1.5)  # px
+        np.testing.assert_allclose(a[:, 4], b[:, 4], atol=5e-3)   # conf
+        np.testing.assert_array_equal(a[:, 5], b[:, 5])           # cls
+    return path
+
+
+def test_stablehlo_roundtrip(native, tmp_path):
+    path = _roundtrip(native, "stablehlo", tmp_path)
+    assert path.endswith(".stablehlo")
+
+
+@pytest.mark.slow
+def test_saved_model_roundtrip(native, tmp_path):
+    path = _roundtrip(native, "saved_model", tmp_path)
+    assert path.endswith("_saved_model")
+
+
+@pytest.mark.slow
+def test_tflite_roundtrip(native, tmp_path):
+    path = _roundtrip(native, "tflite", tmp_path)
+    assert path.endswith(".tflite")
+
+
+def test_stablehlo_with_embedded_nms(native, tmp_path):
+    m, img, ref_boxes = native
+    path = m.export(format="stablehlo", imgsz=64, nms=True, project=str(tmp_path))
+    m2 = YOLO(path)
+    assert m2.backend.with_nms
+    res = m2.predict(img, conf=0.25)
+    assert res[0].boxes is not None  # artifact runs end-to-end incl. NMS
+
+
+def test_autobackend_warmup_and_meta(native, tmp_path):
+    from sar_yolo_tpu.nn.autobackend import AutoBackend
+    m, img, _ = native
+    path = m.export(format="stablehlo", imgsz=64, project=str(tmp_path))
+    ab = AutoBackend(path).warmup()
+    assert ab.meta["imgsz"] == 64 and not ab.with_nms
+    out = ab(np.zeros((1, 64, 64, 3), np.uint8))
+    assert out.ndim == 3 and out.shape[0] == 1
