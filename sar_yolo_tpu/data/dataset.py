@@ -16,7 +16,8 @@ import cv2
 import numpy as np
 
 from sar_yolo_tpu.utils import yaml_load
-from .augment import augment_hsv, letterbox, mixup, mosaic4, random_flip, random_perspective
+from .augment import (augment_hsv, copy_paste, letterbox, mixup, mosaic4, mosaic9,
+                      random_flip, random_perspective)
 
 IMG_FORMATS = {"bmp", "dng", "jpeg", "jpg", "mpo", "png", "tif", "tiff", "webp", "pfm"}
 
@@ -62,7 +63,7 @@ class YOLODataset:
 
     def __init__(self, img_path, imgsz=640, augment=False, hyp=None, use_tags=False,
                  max_labels=128, single_cls=False, fraction=1.0, rect=False,
-                 task="detect", kpt_shape=(17, 3), cache=False):
+                 task="detect", kpt_shape=(17, 3), cache=False, flip_idx=None):
         self.imgsz = imgsz
         self.augment = augment
         self.hyp = hyp
@@ -71,10 +72,10 @@ class YOLODataset:
         self.single_cls = single_cls
         self.task = task
         self.kpt_shape = tuple(kpt_shape)
-        # pose/segment geometry augments need kpt/polygon transforms — letterbox-only
-        # until those land (mosaic stays on for detect/jde)
-        self.mosaic_enabled = bool(augment and hyp is not None and getattr(hyp, "mosaic", 0) > 0
-                                   and task in ("detect", "jde"))
+        self.flip_idx = flip_idx  # keypoint lr-symmetry permutation (pose yaml)
+        # full geometric augmentation for every task: mosaic/affine/flip carry
+        # boxes, tags, keypoints AND polygons (reference augment.py:966-1318)
+        self.mosaic_enabled = bool(augment and hyp is not None and getattr(hyp, "mosaic", 0) > 0)
         self.im_files = self._scan_images(img_path)
         if fraction < 1.0:
             self.im_files = self.im_files[: max(1, int(len(self.im_files) * fraction))]
@@ -192,9 +193,14 @@ class YOLODataset:
         hyp = self.hyp
         if self.augment and self.mosaic_enabled and self.rng.random() < getattr(hyp, "mosaic", 1.0):
             def one_mosaic():
-                idxs = [i] + list(self.rng.integers(0, len(self), 3))
-                it = mosaic4([self._load_item(j) for j in idxs], self.imgsz, rng=self.rng)
+                use9 = getattr(hyp, "mosaic9", 0) and self.rng.random() < hyp.mosaic9
+                n_extra = 8 if use9 else 3
+                idxs = [i] + list(self.rng.integers(0, len(self), n_extra))
+                items = [self._load_item(j) for j in idxs]
+                it = (mosaic9 if use9 else mosaic4)(items, self.imgsz, rng=self.rng)
                 border = it.pop("mosaic_border")
+                if getattr(hyp, "copy_paste", 0):
+                    it = copy_paste(it, p=hyp.copy_paste, rng=self.rng)
                 return random_perspective(it, degrees=hyp.degrees, translate=hyp.translate,
                                           scale=hyp.scale, shear=hyp.shear,
                                           perspective=hyp.perspective, border=border,
@@ -216,14 +222,16 @@ class YOLODataset:
                 item["polygons"] = [p * r + np.array([padx, pady], np.float32)
                                     for p in item["polygons"]]
             item["img"] = img
-            if self.augment and self.task in ("detect", "jde"):
+            if self.augment:
+                if getattr(hyp, "copy_paste", 0):
+                    item = copy_paste(item, p=hyp.copy_paste, rng=self.rng)
                 item = random_perspective(item, degrees=hyp.degrees, translate=hyp.translate,
                                           scale=hyp.scale, shear=hyp.shear,
                                           perspective=hyp.perspective, rng=self.rng)
         if self.augment:
             augment_hsv(item["img"], hyp.hsv_h, hyp.hsv_s, hyp.hsv_v, rng=self.rng)
-            if self.task in ("detect", "jde"):  # kpt/polygon flip transforms land later
-                item = random_flip(item, fliplr=hyp.fliplr, flipud=hyp.flipud, rng=self.rng)
+            item = random_flip(item, fliplr=hyp.fliplr, flipud=hyp.flipud, rng=self.rng,
+                               flip_idx=self.flip_idx)
         return self._format(item)
 
     def _format(self, item):
