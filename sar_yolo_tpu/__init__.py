@@ -5,13 +5,25 @@ Brand-new implementation with capability parity to the reference SAR-YOLO stack
 joint detection/embedding/posture, pose, segment, OBB, tracking, export).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
-__all__ = ["YOLO", "__version__"]
+__all__ = ["YOLO", "YOLOWorld", "RTDETR", "FastSAM", "NAS", "__version__"]
 
 
 def __getattr__(name):  # lazy import keeps `import sar_yolo_tpu` light
     if name == "YOLO":
         from sar_yolo_tpu.engine.model import YOLO
         return YOLO
+    if name == "YOLOWorld":
+        from sar_yolo_tpu.models.yolo.world import YOLOWorld
+        return YOLOWorld
+    if name == "RTDETR":
+        from sar_yolo_tpu.models.rtdetr import RTDETR
+        return RTDETR
+    if name == "FastSAM":
+        from sar_yolo_tpu.models.fastsam import FastSAM
+        return FastSAM
+    if name == "NAS":
+        from sar_yolo_tpu.models.nas import NAS
+        return NAS
     raise AttributeError(name)

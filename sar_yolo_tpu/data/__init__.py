@@ -1,5 +1,6 @@
-from .dataset import SyntheticDataset, YOLODataset, check_det_dataset
+from .dataset import (ClassificationDataset, SyntheticDataset, YOLODataset,
+                      check_det_dataset)
 from .build import DataLoader, build_dataloader, collate
 
-__all__ = ["SyntheticDataset", "YOLODataset", "check_det_dataset", "DataLoader",
-           "build_dataloader", "collate"]
+__all__ = ["ClassificationDataset", "SyntheticDataset", "YOLODataset",
+           "check_det_dataset", "DataLoader", "build_dataloader", "collate"]

@@ -371,3 +371,70 @@ class SyntheticDataset:
         if self.task == "segment":
             out["masks"] = seg_masks
         return out
+
+
+class ClassificationDataset:
+    """ImageNet-folder-style classification dataset (reference data/dataset.py:412
+    ClassificationDataset): root/<class_name>/*.jpg, class ids are the sorted
+    folder order.
+
+    Train augment: random-resized-crop + lr-flip + HSV jitter; val: resize
+    shorter side then center crop (torchvision-classic semantics).
+    """
+
+    def __init__(self, root, imgsz=224, augment=False, hyp=None, seed=0):
+        self.root = Path(root)
+        self.imgsz = imgsz
+        self.augment = augment
+        self.hyp = hyp
+        classes = sorted(d.name for d in self.root.iterdir() if d.is_dir())
+        if not classes:
+            raise FileNotFoundError(f"no class folders under {root}")
+        self.names = dict(enumerate(classes))
+        self.samples = []
+        for ci, cname in enumerate(classes):
+            for f in sorted((self.root / cname).rglob("*")):
+                if f.suffix[1:].lower() in IMG_FORMATS:
+                    self.samples.append((str(f), ci))
+        if not self.samples:
+            raise FileNotFoundError(f"no images under {root}")
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        return len(self.samples)
+
+    def __getitem__(self, i):
+        path, ci = self.samples[i]
+        img = cv2.imread(path)
+        if img is None:
+            raise FileNotFoundError(path)
+        s = self.imgsz
+        h, w = img.shape[:2]
+        if self.augment:
+            # random resized crop: area 0.25-1.0, ratio 3/4-4/3
+            for _ in range(10):
+                area = self.rng.uniform(0.25, 1.0) * h * w
+                ratio = np.exp(self.rng.uniform(np.log(3 / 4), np.log(4 / 3)))
+                cw = int(round(np.sqrt(area * ratio)))
+                ch = int(round(np.sqrt(area / ratio)))
+                if cw <= w and ch <= h:
+                    x0 = int(self.rng.integers(0, w - cw + 1))
+                    y0 = int(self.rng.integers(0, h - ch + 1))
+                    img = img[y0:y0 + ch, x0:x0 + cw]
+                    break
+            img = cv2.resize(img, (s, s), interpolation=cv2.INTER_LINEAR)
+            if self.rng.random() < 0.5:
+                img = np.fliplr(img).copy()
+            if self.hyp is not None:
+                augment_hsv(img, getattr(self.hyp, "hsv_h", 0.015),
+                            getattr(self.hyp, "hsv_s", 0.7),
+                            getattr(self.hyp, "hsv_v", 0.4), rng=self.rng)
+        else:
+            r = s / min(h, w)
+            img = cv2.resize(img, (round(w * r), round(h * r)),
+                             interpolation=cv2.INTER_LINEAR)
+            hh, ww = img.shape[:2]
+            y0 = (hh - s) // 2
+            x0 = (ww - s) // 2
+            img = img[y0:y0 + s, x0:x0 + s]
+        return {"img": np.ascontiguousarray(img[..., ::-1]), "cls": np.float32(ci)}

@@ -138,9 +138,18 @@ class YOLO:
             args.save_dir = str(get_save_dir(args))
         self._ensure_variables(args.imgsz)
         validator = self.task_map[self.task]["validator"]()
-        from sar_yolo_tpu.data import SyntheticDataset, YOLODataset, check_det_dataset
+        from pathlib import Path as _P
+
+        from sar_yolo_tpu.data import (ClassificationDataset, SyntheticDataset,
+                                       YOLODataset, check_det_dataset)
         use_tags = self.task == "jde"
-        if args.data in (None, "synthetic"):
+        if self.task == "classify" and args.data and _P(str(args.data)).is_dir():
+            root = _P(str(args.data))
+            split_dir = next((root / s for s in (args.split or "val", "val", "test",
+                                                 "train") if (root / s).is_dir()), root)
+            dataset = ClassificationDataset(split_dir, imgsz=args.imgsz, augment=False)
+            data = {"nc": len(dataset.names), "names": dataset.names}
+        elif args.data in (None, "synthetic"):
             data = {"nc": self.meta["nc"], "names": {i: f"c{i}" for i in range(self.meta["nc"])}}
             dataset = SyntheticDataset(n=16, imgsz=args.imgsz, nc=min(self.meta["nc"], 3),
                                        max_labels=args.max_labels, use_tags=use_tags,

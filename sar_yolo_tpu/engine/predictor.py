@@ -115,15 +115,22 @@ class BasePredictor:
         strides = tuple(meta["strides"])
         extra_sig = meta.get("state_classes") or 0
 
+        end2end = meta.get("head") == "v10Detect"
+
         @jax.jit
         def run(variables, frame_u8):
             """frame_u8: raw (H, W, 3) uint8 BGR frame."""
             x, r, pad = self._preprocess_jit(frame_u8)
             feats = model.apply(variables, x, train=False)
             preds = decode_detect(feats, strides, nc, meta["reg_max"], extra_sigmoid=extra_sig)
-            dets = non_max_suppression(preds, conf_thres=conf, iou_thres=args.iou,
-                                       max_det=args.max_det, nc=nc,
-                                       agnostic=args.agnostic_nms)
+            if end2end:  # NMS-free (v10) serve path
+                from sar_yolo_tpu.ops.nms import postprocess_end2end
+                dets = postprocess_end2end(preds, max_det=args.max_det,
+                                           conf_thres=conf, nc=nc)
+            else:
+                dets = non_max_suppression(preds, conf_thres=conf, iou_thres=args.iou,
+                                           max_det=args.max_det, nc=nc,
+                                           agnostic=args.agnostic_nms)
             # rescale boxes from letterbox space back to original image space
             boxes = (dets[..., :4] - jnp.concatenate([pad, pad])[None, None, :]) / r
             return jnp.concatenate([boxes, dets[..., 4:]], -1)

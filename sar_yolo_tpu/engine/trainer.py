@@ -205,6 +205,17 @@ class BaseTrainer(HasCallbacks):
                 return ce, jnp.stack([ce]), cb
             self.loss_names = ("loss",)
             return fn
+        if meta.get("head") == "v10Detect":
+            # E2E dual-assignment loss (reference E2EDetectLoss loss.py:1266):
+            # one2many branch topk=10 + one2one branch topk=1
+            def fn(feats, batch, cb):
+                m = detection_loss(feats["one2many"], batch, self.args, nc=meta["nc"],
+                                   reg_max=meta["reg_max"], strides=strides, tal_topk=10)
+                o = detection_loss(feats["one2one"], batch, self.args, nc=meta["nc"],
+                                   reg_max=meta["reg_max"], strides=strides, tal_topk=1)
+                return m.total + o.total, m.items + o.items, cb
+            self.loss_names = ("box", "cls", "dfl")
+            return fn
         def fn(feats, batch, cb):
             out = detection_loss(feats, batch, self.args, nc=meta["nc"], reg_max=meta["reg_max"],
                                  strides=strides)
@@ -476,6 +487,24 @@ class ClassificationTrainer(BaseTrainer):
         super().__init__(cfg, overrides, _callbacks)
         from sar_yolo_tpu.engine.validator import ClassificationValidator
         self.validator = ClassificationValidator()
+
+    def get_dataset(self):
+        """ImageNet-folder datasets: data=<root> with train/ and val|test/
+        class-folder splits (reference ClassificationDataset data/dataset.py:412)."""
+        from pathlib import Path as _P
+        data = self.args.data
+        if data and _P(str(data)).is_dir():
+            from sar_yolo_tpu.data.dataset import ClassificationDataset
+            root = _P(str(data))
+            train_dir = root / "train" if (root / "train").is_dir() else root
+            val_dir = next((root / s for s in ("val", "test")
+                            if (root / s).is_dir()), train_dir)
+            train = ClassificationDataset(train_dir, imgsz=self.args.imgsz,
+                                          augment=True, hyp=self.args)
+            val = ClassificationDataset(val_dir, imgsz=self.args.imgsz, augment=False)
+            info = {"nc": len(train.names), "names": train.names}
+            return train, val, info
+        return super().get_dataset()
 
 
 class OBBTrainer(BaseTrainer):

@@ -46,6 +46,8 @@ class BaseValidator:
         kpt_shape = tuple(meta["kpt_shape"]) if meta.get("kpt_shape") and \
             meta.get("head") == "Pose" else None
 
+        end2end = meta.get("head") == "v10Detect"
+
         @jax.jit
         def predict(variables, img):
             if img.dtype == jnp.uint8:
@@ -58,8 +60,12 @@ class BaseValidator:
                 feats = out
             preds = decode_detect(feats, strides, nc, meta["reg_max"],
                                   extra_sigmoid=extra_sig, kpt_shape=kpt_shape)
-            dets = non_max_suppression(preds, conf_thres=conf, iou_thres=args.iou,
-                                       max_det=max_det, nc=nc)
+            if end2end:  # NMS-free (v10) path
+                from sar_yolo_tpu.ops.nms import postprocess_end2end
+                dets = postprocess_end2end(preds, max_det=max_det, conf_thres=conf, nc=nc)
+            else:
+                dets = non_max_suppression(preds, conf_thres=conf, iou_thres=args.iou,
+                                           max_det=max_det, nc=nc)
             return (dets, protos) if protos is not None else dets
 
         loader = build_dataloader(dataset, batch_size=min(args.batch, len(dataset)),

@@ -775,3 +775,51 @@ class SCDown(nn.Module):
         x = Conv(self.c2, 1, 1, dtype=self.dtype, name="cv1")(x, train)
         return Conv(self.c2, self.k, self.s, g=self.c2, act=False,
                     dtype=self.dtype, name="cv2")(x, train)
+
+
+class CIB(nn.Module):
+    """Compact Inverted Block (reference block.py CIB, YOLOv10): dw -> pw-expand
+    -> [large-kernel dw | dw] -> pw -> dw, residual when channels match."""
+
+    c2: int
+    shortcut: bool = True
+    e: float = 0.5
+    lk: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c1 = x.shape[-1]
+        c_ = int(self.c2 * self.e)
+        y = Conv(c1, 3, g=c1, dtype=self.dtype, name="cv1_0")(x, train)
+        y = Conv(2 * c_, 1, dtype=self.dtype, name="cv1_1")(y, train)
+        if self.lk:
+            # RepVGGDW at inference == one large dw conv (7x7) here
+            y = Conv(2 * c_, 7, g=2 * c_, dtype=self.dtype, name="cv1_2lk")(y, train)
+        else:
+            y = Conv(2 * c_, 3, g=2 * c_, dtype=self.dtype, name="cv1_2")(y, train)
+        y = Conv(self.c2, 1, dtype=self.dtype, name="cv1_3")(y, train)
+        y = Conv(self.c2, 3, g=self.c2, dtype=self.dtype, name="cv1_4")(y, train)
+        return x + y if self.shortcut and c1 == self.c2 else y
+
+
+class C2fCIB(nn.Module):
+    """C2f with CIB inner blocks (reference block.py C2fCIB, YOLOv10)."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = False
+    lk: bool = False
+    g: int = 1
+    e: float = 0.5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = int(self.c2 * self.e)
+        y = Conv(2 * c, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        ys = [y[..., :c], y[..., c:]]
+        for i in range(self.n):
+            ys.append(CIB(c, self.shortcut, 1.0, self.lk,
+                          dtype=self.dtype, name=f"m{i}")(ys[-1], train))
+        return Conv(self.c2, 1, dtype=self.dtype, name="cv2")(jnp.concatenate(ys, -1), train)

@@ -43,23 +43,23 @@ class Detect(nn.Module):
     def no(self):
         return self.nc + self.reg_max * 4
 
-    def _box_branch(self, x, i, train):
+    def _box_branch(self, x, i, train, prefix=""):
         c2 = max(16, self.ch[0] // 4, self.reg_max * 4)
-        y = Conv(c2, 3, dtype=self.dtype, name=f"cv2_{i}_0")(x, train)
-        y = Conv(c2, 3, dtype=self.dtype, name=f"cv2_{i}_1")(y, train)
-        return _pred_conv(4 * self.reg_max, f"cv2_{i}_pred", self.dtype)(y)
+        y = Conv(c2, 3, dtype=self.dtype, name=f"{prefix}cv2_{i}_0")(x, train)
+        y = Conv(c2, 3, dtype=self.dtype, name=f"{prefix}cv2_{i}_1")(y, train)
+        return _pred_conv(4 * self.reg_max, f"{prefix}cv2_{i}_pred", self.dtype)(y)
 
-    def _cls_branch(self, x, i, train):
+    def _cls_branch(self, x, i, train, prefix=""):
         c3 = max(self.ch[0], min(self.nc, 100))
         if self.legacy:
-            y = Conv(c3, 3, dtype=self.dtype, name=f"cv3_{i}_0")(x, train)
-            y = Conv(c3, 3, dtype=self.dtype, name=f"cv3_{i}_1")(y, train)
+            y = Conv(c3, 3, dtype=self.dtype, name=f"{prefix}cv3_{i}_0")(x, train)
+            y = Conv(c3, 3, dtype=self.dtype, name=f"{prefix}cv3_{i}_1")(y, train)
         else:
-            y = DWConv(x.shape[-1], 3, dtype=self.dtype, name=f"cv3_{i}_0dw")(x, train)
-            y = Conv(c3, 1, dtype=self.dtype, name=f"cv3_{i}_0pw")(y, train)
-            y = DWConv(c3, 3, dtype=self.dtype, name=f"cv3_{i}_1dw")(y, train)
-            y = Conv(c3, 1, dtype=self.dtype, name=f"cv3_{i}_1pw")(y, train)
-        return _pred_conv(self.nc, f"cv3_{i}_pred", self.dtype)(y)
+            y = DWConv(x.shape[-1], 3, dtype=self.dtype, name=f"{prefix}cv3_{i}_0dw")(x, train)
+            y = Conv(c3, 1, dtype=self.dtype, name=f"{prefix}cv3_{i}_0pw")(y, train)
+            y = DWConv(c3, 3, dtype=self.dtype, name=f"{prefix}cv3_{i}_1dw")(y, train)
+            y = Conv(c3, 1, dtype=self.dtype, name=f"{prefix}cv3_{i}_1pw")(y, train)
+        return _pred_conv(self.nc, f"{prefix}cv3_{i}_pred", self.dtype)(y)
 
     @nn.compact
     def __call__(self, xs, train: bool = False):
@@ -68,6 +68,65 @@ class Detect(nn.Module):
             box = self._box_branch(x, i, train)
             cls = self._cls_branch(x, i, train)
             outs.append(jnp.concatenate([box, cls], axis=-1))
+        return outs
+
+
+class v10Detect(Detect):
+    """NMS-free end-to-end detect head (reference head.py:669).
+
+    Two head copies: one2many (trained with topk=10 assignment) and one2one
+    (topk=1 — consistent dual assignment). Training returns both map lists as a
+    dict; inference returns only the one2one maps, whose decode skips NMS
+    entirely (ops/decode.postprocess_end2end) — on TPU this removes the last
+    non-matmul stage from the serve path.
+    """
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        # both branches always traced (params must exist at init); at inference
+        # the unused one2many maps are dead code and XLA prunes them
+        o2o = [jnp.concatenate([self._box_branch(x, i, train, prefix="o2o_"),
+                                self._cls_branch(x, i, train, prefix="o2o_")], -1)
+               for i, x in enumerate(xs)]
+        o2m = [jnp.concatenate([self._box_branch(x, i, train),
+                                self._cls_branch(x, i, train)], -1)
+               for i, x in enumerate(xs)]
+        return {"one2many": o2m, "one2one": o2o} if train else o2o
+
+
+class WorldDetect(Detect):
+    """Text-conditioned open-vocabulary detect head (reference head.py:384).
+
+    The cls branch emits `embed_dim` image features per anchor; class logits are
+    the BN-contrastive similarity against per-class text embeddings, stored as
+    a parameter so `set_classes` can swap vocabularies by functional param
+    surgery (the reference mutates model.txt_feats; here it's a variables
+    update — jit-compatible).
+    """
+
+    embed_dim: int = 512
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        txt = self.param("text_embeddings",
+                         nn.initializers.normal(0.02), (self.nc, self.embed_dim),
+                         jnp.float32)
+        logit_scale = self.param("logit_scale", nn.initializers.constant(1.0), (),
+                                 jnp.float32)
+        bias = self.param("logit_bias", nn.initializers.constant(-10.0), (),
+                          jnp.float32)
+        t = txt / (jnp.linalg.norm(txt, axis=-1, keepdims=True) + 1e-6)
+        outs = []
+        for i, x in enumerate(xs):
+            box = self._box_branch(x, i, train)
+            c3 = max(self.ch[0], min(self.nc, 100), self.embed_dim)
+            y = Conv(c3, 3, dtype=self.dtype, name=f"cv3_{i}_0")(x, train)
+            y = Conv(c3, 3, dtype=self.dtype, name=f"cv3_{i}_1")(y, train)
+            emb = _pred_conv(self.embed_dim, f"cv4_{i}_pred", self.dtype)(y)
+            e = emb.astype(jnp.float32)
+            e = e / (jnp.linalg.norm(e, axis=-1, keepdims=True) + 1e-6)
+            logits = jnp.einsum("bhwe,ce->bhwc", e, t) * jnp.exp(logit_scale) + bias
+            outs.append(jnp.concatenate([box, logits.astype(box.dtype)], -1))
         return outs
 
 

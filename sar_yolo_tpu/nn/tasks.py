@@ -49,15 +49,17 @@ class LayerSpec:
 # set of modules whose first yaml arg is out-channels (width-scaled)
 _CH_SCALED = {"Conv", "DWConv", "DSConv", "Bottleneck", "SPPF", "C2f", "C3", "C3k",
               "C3k2", "C3k2_CBAM", "A2C2f", "DSC3k2", "DSC3k2_CBAM", "Classify", "RepC3",
-              "PSA", "C2PSA", "SCDown"}
+              "PSA", "C2PSA", "SCDown", "C2fCIB"}
 # subset that takes an inserted repeat count n
 _REPEAT_ARG = {"C2f", "C3", "C3k", "C3k2", "C3k2_CBAM", "A2C2f", "DSC3k2", "DSC3k2_CBAM",
-               "RepC3", "C2PSA"}
-_HEADS = {"Detect", "JDE", "Segment", "Pose", "OBB", "Classify", "RTDETRDecoder"}
+               "RepC3", "C2PSA", "C2fCIB"}
+_HEADS = {"Detect", "JDE", "Segment", "Pose", "OBB", "Classify", "RTDETRDecoder",
+          "v10Detect", "WorldDetect"}
 
 TASK_BY_HEAD = {"Detect": "detect", "JDE": "jde", "Segment": "segment",
                 "Pose": "pose", "OBB": "obb", "Classify": "classify",
-                "RTDETRDecoder": "detect"}
+                "RTDETRDecoder": "detect", "v10Detect": "detect",
+                "WorldDetect": "detect"}
 
 
 def _resolve_arg(a, names: dict):
@@ -242,6 +244,16 @@ def _build_module(spec: LayerSpec, nc: int, dtype):
         return B.FullPAD_Tunnel()
     if name == "Detect":
         return H.Detect(nc=a[0] if a else nc, ch=kw["ch"], legacy=kw["legacy"], dtype=dtype)
+    if name == "v10Detect":
+        # v10 always uses the lightweight separable cls branch (ref head.py:678)
+        return H.v10Detect(nc=a[0] if a else nc, ch=kw["ch"], legacy=False, dtype=dtype)
+    if name == "WorldDetect":
+        return H.WorldDetect(nc=a[0] if a else nc, embed_dim=a[1] if len(a) > 1 else 512,
+                             ch=kw["ch"], legacy=kw["legacy"], dtype=dtype)
+    if name == "C2fCIB":
+        return B.C2fCIB(*a, dtype=dtype)
+    if name == "CIB":
+        return B.CIB(*a, dtype=dtype)
     if name == "JDE":
         return H.JDE(nc=a[0], embed_dim=a[1] if len(a) > 1 else 128,
                      state_classes=a[2] if len(a) > 2 else None,
@@ -406,7 +418,7 @@ def init_model(model: GraphModel, meta: dict, rng, imgsz: int = 640):
     variables = init_fn(rng, x)
     strides = infer_strides(model, meta)
     meta["strides"] = strides
-    if meta.get("head") in {"Detect", "JDE", "Segment", "Pose", "OBB"}:
+    if meta.get("head") in {"Detect", "JDE", "Segment", "Pose", "OBB", "v10Detect"}:
         variables = bias_init_head(variables, meta)
     return variables
 
@@ -415,6 +427,8 @@ def bias_init_head(variables, meta: dict):
     """Functional equivalent of Detect.bias_init (reference head.py:133-146).
 
     cv2 (box) final bias -> 1.0; cv3 (cls) final bias -> log(5 / nc / (640/s)^2).
+    v10Detect gets the same init on both its one2many and one2one ("o2o_")
+    branches.
     """
     import flax
 
@@ -423,11 +437,14 @@ def bias_init_head(variables, meta: dict):
     head = params[head_key]
     nc = meta["nc"]
     for i, s in enumerate(meta["strides"]):
-        if f"cv2_{i}_pred" in head:
-            head[f"cv2_{i}_pred"]["bias"] = jnp.ones_like(head[f"cv2_{i}_pred"]["bias"])
-        if f"cv3_{i}_pred" in head:
-            b = head[f"cv3_{i}_pred"]["bias"]
-            head[f"cv3_{i}_pred"]["bias"] = jnp.full_like(b, math.log(5 / nc / (640 / s) ** 2))
+        for pre in ("", "o2o_"):
+            if f"{pre}cv2_{i}_pred" in head:
+                head[f"{pre}cv2_{i}_pred"]["bias"] = \
+                    jnp.ones_like(head[f"{pre}cv2_{i}_pred"]["bias"])
+            if f"{pre}cv3_{i}_pred" in head:
+                b = head[f"{pre}cv3_{i}_pred"]["bias"]
+                head[f"{pre}cv3_{i}_pred"]["bias"] = \
+                    jnp.full_like(b, math.log(5 / nc / (640 / s) ** 2))
     new_vars = dict(variables)
     new_vars["params"] = params
     return new_vars

@@ -165,3 +165,31 @@ def non_max_suppression_rotated(preds, conf_thres: float = 0.25, iou_thres: floa
     gather = jax.vmap(lambda a, i: a[i])
     return jax.vmap(lambda b, s, c: _nms_single_rotated(b, s, c, iou_thres, max_det))(
         gather(boxes5, top_idx), top_conf, gather(cls, top_idx))
+
+
+@partial(jax.jit, static_argnames=("max_det", "conf_thres", "nc"))
+def postprocess_end2end(preds, max_det: int = 300, conf_thres: float = 0.0,
+                        nc: int = 80):
+    """NMS-free postprocess for end-to-end (v10) heads.
+
+    Reference Detect.postprocess (head.py:151): flatten (anchor, class) score
+    pairs, take the global top max_det. One top_k, zero host sync, no NMS.
+
+    preds: (B, N, 4 + nc) xywh + sigmoided scores.
+    Returns (B, max_det, 6): [x1, y1, x2, y2, conf, cls]; conf==0 rows padding.
+    """
+    B, N, _ = preds.shape
+    boxes = xywh2xyxy(preds[..., :4])
+    scores = preds[..., 4:4 + nc]
+    flat = scores.reshape(B, N * nc)
+    k = min(max_det, N * nc)
+    topv, topi = jax.lax.top_k(flat, k)
+    anchor = topi // nc
+    cls = (topi % nc).astype(preds.dtype)
+    b = jnp.take_along_axis(boxes, anchor[..., None], axis=1)
+    conf = jnp.where(topv >= conf_thres, topv, 0.0)
+    b = jnp.where(conf[..., None] > 0, b, 0.0)
+    out = jnp.concatenate([b, conf[..., None], cls[..., None]], -1)
+    if k < max_det:  # keep the static (B, max_det, 6) contract
+        out = jnp.pad(out, ((0, 0), (0, max_det - k), (0, 0)))
+    return out

@@ -1,0 +1,129 @@
+"""New model families: v10 NMS-free detect, YOLO-World, FastSAM, NAS,
+folder ClassificationDataset.
+
+Covers reference v10Detect head.py:669 + E2EDetectLoss loss.py:1266,
+WorldDetect head.py:384 + YOLOWorld model.py:76, models/fastsam, models/nas,
+ClassificationDataset data/dataset.py:412.
+"""
+
+import numpy as np
+import pytest
+
+from sar_yolo_tpu import YOLO
+
+
+def test_v10_build_and_predict():
+    """v10Detect inference is NMS-free end-to-end."""
+    m = YOLO("tinyv10.yaml")
+    assert m.task == "detect" and m.meta["head"] == "v10Detect"
+    img = np.full((64, 96, 3), 30, np.uint8)
+    img[10:50, 20:70] = (220, 40, 40)
+    res = m.predict(img, imgsz=64, conf=0.01)
+    assert len(res) == 1  # runs end-to-end without NMS
+
+
+def test_yolov10n_channel_arithmetic():
+    from sar_yolo_tpu.nn.tasks import build_model
+    model, meta = build_model("yolov10n.yaml")
+    assert meta["head"] == "v10Detect"
+    assert meta["nl"] == 3
+
+
+@pytest.mark.slow
+def test_v10_train_e2e_loss(tmp_path):
+    """Dual-assignment E2E loss trains and predicts without NMS."""
+    m = YOLO("tinyv10.yaml")
+    metrics = m.train(data="synthetic", epochs=1, imgsz=64, batch=4, workers=1,
+                      project=str(tmp_path), name="t", exist_ok=True, max_labels=16,
+                      mesh_shape=[1], plots=False)
+    assert np.isfinite(metrics["train/box"])
+
+
+def test_world_set_classes_and_predict():
+    from sar_yolo_tpu import YOLOWorld
+    m = YOLOWorld("tinyworld.yaml")
+    assert m.meta["head"] == "WorldDetect"
+    m.set_classes(["person", "boat"])
+    assert m.meta["nc"] == 2 and m.names[0] == "person"
+    img = np.full((64, 64, 3), 30, np.uint8)
+    img[10:50, 10:50] = (220, 40, 40)
+    res = m.predict(img, imgsz=64, conf=0.001)
+    assert len(res) == 1
+    # deterministic embeddings: same vocab -> same parameter values
+    from sar_yolo_tpu.models.yolo.world import offline_text_embeddings
+    a = offline_text_embeddings(["person"], 32)
+    b = offline_text_embeddings(["person"], 32)
+    np.testing.assert_array_equal(a, b)
+    assert not np.allclose(a, offline_text_embeddings(["boat"], 32))
+
+
+def test_fastsam_facade_and_prompts():
+    from sar_yolo_tpu import FastSAM
+    from sar_yolo_tpu.engine.results import Results
+    m = FastSAM.__new__(FastSAM)  # prompt filter is static; test it directly
+    img = np.zeros((64, 64, 3), np.uint8)
+    boxes = np.array([[5, 5, 25, 25, 0.9, 0.0], [35, 35, 60, 60, 0.8, 0.0]], np.float32)
+    masks = np.zeros((2, 64, 64), np.float32)
+    masks[0, 5:25, 5:25] = 1
+    masks[1, 35:60, 35:60] = 1
+    r = Results(img, "x.jpg", {0: "object"}, boxes=boxes, masks=masks)
+    out = FastSAM._prompt(r, bboxes=[[4, 4, 26, 26]], points=None, labels=None,
+                          texts=None, text_embeddings=None)
+    assert len(out.boxes) == 1 and out.boxes.data[0, 0] == 5
+    r2 = Results(img, "x.jpg", {0: "object"}, boxes=boxes.copy(), masks=masks.copy())
+    out2 = FastSAM._prompt(r2, bboxes=None, points=[[40, 40]], labels=[1],
+                           texts=None, text_embeddings=None)
+    assert len(out2.boxes) == 1 and out2.boxes.data[0, 0] == 35
+
+
+def test_fastsam_builds():
+    from sar_yolo_tpu import FastSAM
+    m = FastSAM("FastSAM-s.yaml")
+    assert m.task == "segment" and m.meta["nc"] == 1
+
+
+def test_nas_facade():
+    from sar_yolo_tpu import NAS
+    m = NAS("yolo_nas.yaml")
+    assert m.task == "detect"
+    with pytest.raises(NotImplementedError):
+        m.train(data="synthetic")
+
+
+def _make_cls_folder(root, n_per=3):
+    import cv2
+    colors = {"red": (40, 40, 220), "green": (40, 220, 40)}
+    for split in ("train", "val"):
+        for cname, col in colors.items():
+            d = root / split / cname
+            d.mkdir(parents=True)
+            for i in range(n_per):
+                img = np.full((48, 64, 3), 30, np.uint8)
+                img[8:40, 8:56] = col
+                cv2.imwrite(str(d / f"{i}.jpg"), img)
+    return root
+
+
+def test_classification_folder_dataset(tmp_path):
+    from sar_yolo_tpu.data import ClassificationDataset
+    _make_cls_folder(tmp_path)
+    ds = ClassificationDataset(tmp_path / "train", imgsz=32, augment=True,
+                               hyp=None)
+    assert len(ds) == 6 and ds.names == {0: "green", 1: "red"}
+    it = ds[0]
+    assert it["img"].shape == (32, 32, 3) and it["img"].dtype == np.uint8
+    assert it["cls"] in (0.0, 1.0)
+    dsv = ClassificationDataset(tmp_path / "val", imgsz=32, augment=False)
+    assert dsv[0]["img"].shape == (32, 32, 3)
+
+
+@pytest.mark.slow
+def test_classify_folder_train_val(tmp_path):
+    _make_cls_folder(tmp_path / "data")
+    m = YOLO("tinycls.yaml", task="classify")
+    metrics = m.train(data=str(tmp_path / "data"), epochs=2, imgsz=32, batch=4,
+                      workers=1, project=str(tmp_path), name="t", exist_ok=True,
+                      mesh_shape=[1], plots=False)
+    assert "metrics/accuracy_top1" in metrics
+    res = m.val(data=str(tmp_path / "data"), imgsz=32, batch=4)
+    assert res["metrics/accuracy_top1"] >= 0.5  # 2-class color problem
