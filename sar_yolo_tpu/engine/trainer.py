@@ -48,42 +48,49 @@ class TrainState(struct.PyTreeNode):
     cb_counts: Any  # jde class-balanced state counts (zeros otherwise)
 
 
-def wd_mask(params):
-    """Weight decay only on conv/dense kernels (reference 3-group optimizer)."""
-    def label(path, x):
-        return path[-1].key == "kernel" and x.ndim > 1
-    return jax.tree_util.tree_map_with_path(label, params)
-
-
-def build_lr_schedule(args, nb: int, lr0: float):
-    """Warmup + per-epoch linear or cosine decay (reference trainer.py:309-316, 366-376)."""
+def build_lr_schedule(args, nb: int, lr0: float, warm_start: float = 0.0):
+    """Warmup + per-epoch linear or cosine decay (reference trainer.py:309-316,
+    366-376). `warm_start` is the lr at step 0 of warmup — the reference ramps
+    biases from warmup_bias_lr (0.1) and everything else from 0."""
     nw = max(round(args.warmup_epochs * nb), 100) if args.warmup_epochs > 0 else 0
     lrf = args.lrf
     epochs = max(args.epochs, 1)
 
-    def lf(e):
-        if args.cos_lr:
-            return lrf + 0.5 * (1 - lrf) * (1 + math.cos(math.pi * min(e, epochs) / epochs))
-        return max(1 - e / epochs, 0) * (1.0 - lrf) + lrf
-
     def schedule(step):
-        e = step / nb
-        epoch_floor = jnp.floor(e)
+        epoch_floor = jnp.floor(step / nb)
         if args.cos_lr:
             base = lrf + 0.5 * (1 - lrf) * (1 + jnp.cos(jnp.pi * jnp.minimum(epoch_floor, epochs) / epochs))
         else:
             base = jnp.maximum(1 - epoch_floor / epochs, 0) * (1.0 - lrf) + lrf
         base = lr0 * base
         if nw > 0:
-            warm = base * jnp.clip(step / nw, 0.0, 1.0)
+            t = jnp.clip(step / nw, 0.0, 1.0)
+            warm = warm_start + (base - warm_start) * t
             return jnp.where(step < nw, warm, base)
         return base
 
     return schedule
 
 
+def _group_labels(params):
+    """3-param-group split matching reference build_optimizer (trainer.py:784):
+    pg0 = kernels (weight decay), pg1 = norm scales/other (no decay),
+    pg2 = biases (no decay, warmup from warmup_bias_lr)."""
+    def label(path, x):
+        key = getattr(path[-1], "key", "")
+        if key == "bias":
+            return "bias"
+        if key == "kernel" and x.ndim > 1:
+            return "decay"
+        return "nodecay"
+    return jax.tree_util.tree_map_with_path(label, params)
+
+
 def build_optimizer(args, nb: int, nc: int, params):
-    """Auto optimizer selection mirroring reference build_optimizer (trainer.py:760-821)."""
+    """Auto optimizer selection mirroring reference build_optimizer
+    (trainer.py:760-821) with the 3-group warmup of reference trainer.py:366-376:
+    biases ramp from warmup_bias_lr, lrs from 0, SGD momentum from
+    warmup_momentum -> momentum over the warmup window."""
     iterations = args.epochs * nb
     name = args.optimizer
     lr0, momentum = args.lr0, args.momentum
@@ -92,22 +99,52 @@ def build_optimizer(args, nb: int, nc: int, params):
         name, lr0, momentum = ("SGD", 0.01, 0.9) if iterations > 10000 else ("AdamW", lr_fit, 0.9)
     accumulate = max(round(args.nbs / args.batch), 1)
     wd = args.weight_decay * args.batch * accumulate / args.nbs
-    schedule = build_lr_schedule(args, nb, lr0)
-    mask = wd_mask(params)
+    base_sched = build_lr_schedule(args, nb, lr0)
+    bias_sched = build_lr_schedule(args, nb, lr0,
+                                   warm_start=getattr(args, "warmup_bias_lr", 0.1))
+    nw = max(round(args.warmup_epochs * nb), 100) if args.warmup_epochs > 0 else 0
+    wm = getattr(args, "warmup_momentum", 0.8)
+
+    def mom_sched(step):
+        if nw == 0:
+            return momentum
+        t = jnp.clip(step / nw, 0.0, 1.0)
+        return wm + (momentum - wm) * t
 
     if name in {"Adam", "AdamW", "NAdam", "RAdam"}:
-        tx = optax.adamw(schedule, b1=momentum, b2=0.999, weight_decay=wd, mask=mask)
+        def adam_group(lr_sched, group_wd):
+            return optax.adamw(lr_sched, b1=momentum, b2=0.999, weight_decay=group_wd)
+        groups = {"bias": adam_group(bias_sched, 0.0),
+                  "decay": adam_group(base_sched, wd),
+                  "nodecay": adam_group(base_sched, 0.0)}
     elif name == "RMSProp":
-        tx = optax.chain(optax.add_decayed_weights(wd, mask), optax.rmsprop(schedule, momentum=momentum))
-    else:  # SGD w/ nesterov
-        tx = optax.chain(optax.add_decayed_weights(wd, mask),
-                         optax.sgd(schedule, momentum=momentum, nesterov=True))
-    tx = optax.chain(optax.clip_by_global_norm(10.0), tx)
+        def rms_group(lr_sched, group_wd):
+            return optax.chain(optax.add_decayed_weights(group_wd),
+                               optax.rmsprop(lr_sched, momentum=momentum))
+        groups = {"bias": rms_group(bias_sched, 0.0),
+                  "decay": rms_group(base_sched, wd),
+                  "nodecay": rms_group(base_sched, 0.0)}
+    else:  # SGD w/ nesterov + momentum warmup
+        def sgd_group(lr_sched, group_wd):
+            tr = optax.inject_hyperparams(
+                lambda decay: optax.trace(decay=decay, nesterov=True))(decay=mom_sched)
+            parts = []
+            if group_wd:
+                parts.append(optax.add_decayed_weights(group_wd))
+            parts += [tr, optax.scale_by_schedule(lambda s: -lr_sched(s))]
+            return optax.chain(*parts)
+        groups = {"bias": sgd_group(bias_sched, 0.0),
+                  "decay": sgd_group(base_sched, wd),
+                  "nodecay": sgd_group(base_sched, 0.0)}
+
+    tx = optax.chain(optax.clip_by_global_norm(10.0),
+                     optax.multi_transform(groups, _group_labels(params)))
     if accumulate > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accumulate)
     LOGGER.info(f"{colorstr('optimizer:')} {name}(lr={lr0}, momentum={momentum}) wd={wd:.5f} "
-                f"accumulate={accumulate}")
-    return tx, schedule, accumulate
+                f"accumulate={accumulate} groups=(decay, nodecay, bias@{getattr(args, 'warmup_bias_lr', 0.1)})")
+    schedules = {"pg0": base_sched, "pg1": base_sched, "pg2": bias_sched}
+    return tx, schedules, accumulate
 
 
 class BaseTrainer(HasCallbacks):
@@ -325,6 +362,8 @@ class BaseTrainer(HasCallbacks):
                             plot_images(batch, self.save_dir / "train_batch0.png")
                     except Exception as e:  # noqa: BLE001 — plotting is best-effort
                         LOGGER.warning(f"plot_images failed: {e}")
+                if args.multi_scale:
+                    batch = self._multi_scale(batch, i)
                 batch = shard_batch(self.mesh, batch)
                 rng, sub = jax.random.split(rng)
                 self.state, total, items = self._train_step(self.state, batch, sub)
@@ -332,8 +371,11 @@ class BaseTrainer(HasCallbacks):
                 mloss = items if mloss is None else (mloss * n_seen + items) / (n_seen + 1)
                 n_seen += 1
                 self.run_callbacks("on_train_batch_end")
-            lr_now = float(self.lr_schedule(int(self.state.step)))
-            self.lr = {"lr/pg0": lr_now}
+            step_now = int(self.state.step)
+            lr_now = float(self.lr_schedule["pg0"](step_now))
+            self.lr = {"lr/pg0": lr_now,
+                       "lr/pg1": float(self.lr_schedule["pg1"](step_now)),
+                       "lr/pg2": float(self.lr_schedule["pg2"](step_now))}
             losses = {f"train/{k}": float(v) for k, v in zip(self.loss_names, mloss)}
             LOGGER.info(f"epoch {epoch + 1}/{args.epochs}  " +
                         "  ".join(f"{k.split('/')[1]}={v:.4f}" for k, v in losses.items()) +
@@ -378,6 +420,40 @@ class BaseTrainer(HasCallbacks):
         LOGGER.info(f"Training complete in {(time.time() - t_start) / 3600:.3f} hours; "
                     f"results saved to {self.save_dir}")
         return self.metrics
+
+    def _multi_scale(self, batch, i):
+        """Multi-scale training (reference trainer.py preprocess_batch): resize
+        the whole batch to a random stride-multiple in [0.5, 1.5] * imgsz.
+
+        XLA note: each distinct size compiles its own train-step executable;
+        sizes are quantized to grid-stride multiples so the executable count is
+        bounded (~20) and amortizes after the first epoch. Boxes are
+        normalized, so labels need no rescale.
+        """
+        import cv2
+        gs = max(int(max(self.meta.get("strides") or [32])), 32)
+        if not hasattr(self, "_ms_rng"):
+            self._ms_rng = np.random.default_rng(self.args.seed + 7)
+            self._ms_warned = False
+        imgsz = self.args.imgsz
+        sz = int(self._ms_rng.integers(int(imgsz * 0.5), int(imgsz * 1.5) + gs)
+                 // gs * gs)
+        if sz == batch["img"].shape[1]:
+            return batch
+        if not self._ms_warned:
+            LOGGER.info("multi_scale: one XLA executable per distinct size "
+                        "(bounded by the stride grid)")
+            self._ms_warned = True
+        imgs = np.stack([cv2.resize(im, (sz, sz), interpolation=cv2.INTER_LINEAR)
+                         for im in np.asarray(batch["img"])])
+        out = dict(batch)
+        out["img"] = imgs
+        if "masks" in out and out["masks"].ndim == 3:  # seg overlap maps track /4
+            ms = sz // 4
+            out["masks"] = np.stack([cv2.resize(m, (ms, ms),
+                                                interpolation=cv2.INTER_NEAREST)
+                                     for m in np.asarray(out["masks"])])
+        return out
 
     def validate(self) -> dict:
         """Run the attached validator with EMA params."""

@@ -42,7 +42,10 @@ def _nms_single(boxes, scores, classes, extras, iou_thres: float, max_det: int,
     if agnostic:
         off_boxes = boxes
     else:
-        off_boxes = boxes + classes[:, None] * 7680.0  # class offset: no cross-class overlap
+        # class offset derived from the data (torchvision batched_nms style):
+        # no fixed 7680px assumption on image size
+        off = jnp.max(jnp.abs(boxes)) + 1.0
+        off_boxes = boxes + classes[:, None] * off
 
     x1, y1, x2, y2 = off_boxes[:, 0], off_boxes[:, 1], off_boxes[:, 2], off_boxes[:, 3]
     areas = (x2 - x1) * (y2 - y1)
@@ -122,7 +125,8 @@ def _nms_single_rotated(boxes5, scores, classes, iou_thres: float, max_det: int)
     from .boxes import probiou
 
     K = boxes5.shape[0]
-    off = boxes5.at[:, :2].add(classes[:, None] * 7680.0)  # class offset on centers
+    off_val = jnp.max(jnp.abs(boxes5[:, :2])) + jnp.max(boxes5[:, 2:4]) + 1.0
+    off = boxes5.at[:, :2].add(classes[:, None] * off_val)  # class offset on centers
     iou = probiou(off[:, None, :], off[None, :, :]).squeeze(-1)
     rank_i = jax.lax.broadcasted_iota(jnp.int32, (K, K), 0)
     rank_j = jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)
