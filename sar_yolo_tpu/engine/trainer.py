@@ -299,15 +299,21 @@ class BaseTrainer(HasCallbacks):
 
         loss_impl = self.make_loss_fn()
         model = self.model
+        is_detr = self.meta.get("head") == "RTDETRDecoder"
 
         def train_step(state: TrainState, batch, rng):
             def loss_fn(p):
                 img = batch["img"]
                 if img.dtype == jnp.uint8:  # device-side normalize (fused by XLA)
                     img = img.astype(jnp.float32) / 255.0
+                kw = {}
+                rngs = {"dropout": rng}
+                if is_detr:  # contrastive denoising queries from the padded GT
+                    kw["batch_gt"] = {k: batch[k] for k in ("cls", "bboxes", "mask")}
+                    rngs["dn"] = jax.random.fold_in(rng, 17)
                 feats, mut = model.apply(
                     {"params": p, "batch_stats": state.batch_stats}, img,
-                    train=True, mutable=["batch_stats"], rngs={"dropout": rng})
+                    train=True, mutable=["batch_stats"], rngs=rngs, **kw)
                 total, items, new_cb = loss_impl(feats, batch, state.cb_counts)
                 return total, (items, mut["batch_stats"], new_cb)
 

@@ -9,9 +9,10 @@ TPU-native notes:
   * the deformable bilinear sampling (CUDA grid_sample in torch land) is a
     vectorized gather: 4-corner take_along_axis per level with zero-padding
     masks — XLA fuses it into one kernel per level;
-  * query selection uses static top-k (nq queries) and the denoising group is
-    expressed as extra query slots — training here runs with denoising disabled
-    (dn=0), which the reference also supports.
+  * query selection uses static top-k (nq queries); contrastive denoising
+    training (reference models/utils/ops.py get_cdn_group) builds G static
+    groups of [M pos | M neg] noised-GT queries (M = padded max_labels), so the
+    whole CDN path is one fixed-shape executable.
 """
 
 from __future__ import annotations
@@ -219,9 +220,11 @@ class DeformableTransformerDecoderLayer(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, embed, refer_bbox, feats, query_pos, train: bool = False):
+    def __call__(self, embed, refer_bbox, feats, query_pos, train: bool = False,
+                 attn_mask=None):
         q = k = embed + query_pos
-        tgt = MultiHeadAttention(self.n_heads, dtype=self.dtype, name="self_attn")(q, k, embed)
+        tgt = MultiHeadAttention(self.n_heads, dtype=self.dtype, name="self_attn")(
+            q, k, embed, mask=attn_mask)
         embed = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
                              name="norm1")(embed + tgt)
         tgt = MSDeformAttn(self.d_model, self.n_levels, self.n_heads, self.n_points,
@@ -245,7 +248,9 @@ class RTDETRDecoder(nn.Module):
 
     Returns (dec_bboxes (ndl, B, nq, 4 sigmoid-normalized), dec_scores (ndl, B, nq, nc),
     enc_bboxes (B, nq, 4), enc_scores (B, nq, nc)). Training consumers take all
-    layers; inference uses the last layer.
+    layers; inference uses the last layer. When called with batch_gt during
+    training a fifth element dn_meta {dn_bboxes, dn_scores, pos_flag, G} carries
+    the contrastive-denoising branch for the loss.
     """
 
     nc: int = 80
@@ -258,8 +263,47 @@ class RTDETRDecoder(nn.Module):
     d_ffn: int = 1024
     dtype: Dtype = jnp.float32
 
+    def _cdn_group(self, batch_gt, num_dn: int = 100, cls_noise: float = 0.5,
+                   box_noise: float = 1.0):
+        """Contrastive denoising query group (reference models/utils/ops.py
+        get_cdn_group): G groups of [M positives | M negatives] built from the
+        padded GT; static shapes because M is the dataset's max_labels pad.
+
+        Returns (dn_cls (B, DN) int, dn_bbox (B, DN, 4) normalized xywh,
+        pos_flag (DN,), G).
+        """
+        gt_cls = batch_gt["cls"].astype(jnp.int32)
+        gt_box = batch_gt["bboxes"].astype(jnp.float32)
+        B, M = gt_cls.shape
+        G = max(1, num_dn // max(2 * M, 1))
+        DN = G * 2 * M
+        rng = self.make_rng("dn")
+        r_cls, r_sign, r_part, r_flip = jax.random.split(rng, 4)
+
+        cls = jnp.tile(gt_cls, (1, 2 * G))                      # (B, DN)
+        box = jnp.tile(gt_box, (1, 2 * G, 1))                   # (B, DN, 4)
+        # pos/neg layout per group: [M pos | M neg]
+        pos_flag = jnp.tile(jnp.concatenate([jnp.ones(M), jnp.zeros(M)]), G)  # (DN,)
+
+        # class noise: flip to a random class on half*cls_noise of dn queries
+        flip = jax.random.uniform(r_flip, (B, DN)) < cls_noise * 0.5
+        rand_cls = jax.random.randint(r_cls, (B, DN), 0, self.nc)
+        cls = jnp.where(flip, rand_cls, cls)
+
+        # box noise on corners: pos within wh/2 * box_noise, neg pushed outside
+        xy, wh = box[..., :2], box[..., 2:]
+        corners = jnp.concatenate([xy - wh / 2, xy + wh / 2], -1)
+        diff = jnp.concatenate([wh / 2, wh / 2], -1) * box_noise
+        sign = jnp.where(jax.random.uniform(r_sign, corners.shape) < 0.5, -1.0, 1.0)
+        part = jax.random.uniform(r_part, corners.shape)
+        part = part + (1.0 - pos_flag)[None, :, None]           # negatives: (1, 2)
+        corners = jnp.clip(corners + sign * part * diff, 0.0, 1.0)
+        x1y1, x2y2 = corners[..., :2], corners[..., 2:]
+        box = jnp.concatenate([(x1y1 + x2y2) / 2, x2y2 - x1y1], -1)
+        return cls, box, pos_flag, G
+
     @nn.compact
-    def __call__(self, xs, train: bool = False):
+    def __call__(self, xs, train: bool = False, batch_gt=None):
         B = xs[0].shape[0]
         shapes = tuple((x.shape[1], x.shape[2]) for x in xs)
         # input projection (conv1x1 + BN, reference head.py:494)
@@ -311,6 +355,30 @@ class RTDETRDecoder(nn.Module):
         embed = jax.lax.stop_gradient(top_feats) if train else top_feats
         refer_logit = jax.lax.stop_gradient(refer_logit) if train else refer_logit
 
+        # contrastive denoising groups (reference models/utils/ops.py get_cdn_group):
+        # DN queries are prepended; a block attention mask keeps groups blind to
+        # each other and hides all DN slots from the matching queries.
+        DN = 0
+        attn_mask = None
+        dn_meta = None
+        if train and batch_gt is not None:
+            dn_cls, dn_box, pos_flag, G = self._cdn_group(batch_gt)
+            DN = dn_cls.shape[1]
+            M2 = DN // G                                        # 2*M per group
+            dn_embed = nn.Embed(self.nc, self.hd, dtype=self.dtype,
+                                param_dtype=jnp.float32,
+                                name="denoising_class_embed")(dn_cls)
+            embed = jnp.concatenate([dn_embed.astype(embed.dtype), embed], 1)
+            refer_logit = jnp.concatenate(
+                [inverse_sigmoid(dn_box).astype(refer_logit.dtype), refer_logit], 1)
+            T = DN + nq
+            idx = jnp.arange(T)
+            grp = jnp.where(idx < DN, idx // M2, G)             # matching = group G
+            is_dn_col = (idx < DN)
+            # rows attend cols: masked iff col is DN and in a different group
+            attn_mask = (grp[:, None] != grp[None, :]) & is_dn_col[None, :]
+            dn_meta = {"pos_flag": pos_flag, "G": G}
+
         pos_mlp = MLP(2 * self.hd, self.hd, 2, dtype=self.dtype, name="query_pos_head")
 
         refer = jax.nn.sigmoid(refer_logit)
@@ -320,7 +388,7 @@ class RTDETRDecoder(nn.Module):
             out = DeformableTransformerDecoderLayer(
                 self.hd, self.nh, self.d_ffn, len(shapes), self.ndp, shapes=shapes,
                 dtype=self.dtype, name=f"dec_layer_{i}")(out, refer, feats, pos_mlp(refer),
-                                                         train)
+                                                         train, attn_mask=attn_mask)
             delta = MLP(self.hd, 4, 3, dtype=self.dtype, name=f"dec_bbox_head_{i}")(out)
             refined = jax.nn.sigmoid(delta + inverse_sigmoid(refer))
             score = nn.Dense(self.nc, dtype=self.dtype, param_dtype=jnp.float32,
@@ -329,4 +397,12 @@ class RTDETRDecoder(nn.Module):
             dec_bboxes.append(refined)
             dec_scores.append(score)
             refer = jax.lax.stop_gradient(refined) if train else refined
-        return (jnp.stack(dec_bboxes), jnp.stack(dec_scores), enc_bboxes, enc_scores)
+        dec_bboxes = jnp.stack(dec_bboxes)
+        dec_scores = jnp.stack(dec_scores)
+        if DN:
+            dn_meta["dn_bboxes"] = dec_bboxes[:, :, :DN]
+            dn_meta["dn_scores"] = dec_scores[:, :, :DN]
+            dec_bboxes = dec_bboxes[:, :, DN:]
+            dec_scores = dec_scores[:, :, DN:]
+            return (dec_bboxes, dec_scores, enc_bboxes, enc_scores, dn_meta)
+        return (dec_bboxes, dec_scores, enc_bboxes, enc_scores)

@@ -314,9 +314,10 @@ class GraphModel(nn.Module):
     def setup(self):
         self.blocks = [_build_module(s, self.nc, self.dtype) for s in self.specs]
 
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, batch_gt=None):
         saved = {}
         out = x
+        last = self.specs[-1]
         for spec, blk in zip(self.specs, self.blocks):
             f = spec.f
             if f == -1:
@@ -325,7 +326,10 @@ class GraphModel(nn.Module):
                 inp = saved[f]
             else:
                 inp = [out if j == -1 else saved[j] for j in f]
-            out = blk(inp, train=train)
+            if spec is last and spec.name == "RTDETRDecoder" and batch_gt is not None:
+                out = blk(inp, train=train, batch_gt=batch_gt)  # denoising queries
+            else:
+                out = blk(inp, train=train)
             if spec.i in self.save:
                 saved[spec.i] = out
         return out
@@ -414,7 +418,16 @@ def init_model(model: GraphModel, meta: dict, rng, imgsz: int = 640):
     """Initialize model variables and apply Detect bias init. Returns variables."""
     x = jnp.zeros((1, imgsz, imgsz, 3), jnp.float32)
     # jit the init: one compiled program instead of per-op dispatch of every initializer
-    init_fn = jax.jit(lambda r, xx: model.init({"params": r, "dropout": r}, xx, train=False))
+    if meta.get("head") == "RTDETRDecoder":
+        # init through the denoising path so denoising_class_embed params exist
+        gt = {"cls": jnp.zeros((1, 4), jnp.int32),
+              "bboxes": jnp.full((1, 4, 4), 0.5, jnp.float32),
+              "mask": jnp.zeros((1, 4), jnp.float32)}
+        init_fn = jax.jit(lambda r, xx: model.init(
+            {"params": r, "dropout": r, "dn": r}, xx, train=True, batch_gt=gt))
+    else:
+        init_fn = jax.jit(lambda r, xx: model.init({"params": r, "dropout": r}, xx,
+                                                   train=False))
     variables = init_fn(rng, x)
     strides = infer_strides(model, meta)
     meta["strides"] = strides

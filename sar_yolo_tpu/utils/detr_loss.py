@@ -89,13 +89,50 @@ def _single_layer_loss(pred_boxes, pred_scores, gt_boxes, gt_cls, gt_mask, assig
     return loss_cls, loss_bbox, loss_giou
 
 
-def detr_loss(outputs, batch, hyp, *, nc: int):
-    """Total RT-DETR loss over all decoder layers + encoder aux.
+def dn_loss(dn_meta, batch, *, nc: int):
+    """Contrastive-denoising branch loss (reference RTDETRDetectionLoss:291).
 
-    outputs: (dec_bboxes (L,B,Q,4), dec_scores (L,B,Q,nc), enc_bboxes, enc_scores).
+    The assignment is known by construction: in each of the G groups, query m of
+    the positive half reconstructs gt row m; the negative half trains toward
+    background. Each (layer, image, group) slice reuses _single_layer_loss with
+    assign_q = arange(M).
+    """
+    dn_boxes = dn_meta["dn_bboxes"].astype(jnp.float32)   # (L, B, DN, 4)
+    dn_scores = dn_meta["dn_scores"].astype(jnp.float32)  # (L, B, DN, nc)
+    G = dn_meta["G"]
+    L, B, DN, _ = dn_scores.shape
+    M2 = DN // G
+    M = M2 // 2
+    gt_boxes = batch["bboxes"].astype(jnp.float32)
+    gt_cls = batch["cls"].astype(jnp.int32)
+    gt_mask = batch["mask"].astype(jnp.float32)
+    assign_q = jnp.arange(M, dtype=jnp.int32)
+
+    def per_group(pb, ps, gb, gc, gm):
+        return _single_layer_loss(pb, ps, gb, gc, gm, assign_q, nc)
+
+    def per_image(pb, ps, gb, gc, gm):
+        lc, lb, lg = jax.vmap(lambda b, s: per_group(b, s, gb, gc, gm))(
+            pb.reshape(G, M2, 4), ps.reshape(G, M2, nc))
+        return lc.mean(), lb.mean(), lg.mean()
+
+    def per_layer(pb, ps):
+        lc, lb, lg = jax.vmap(per_image)(pb, ps, gt_boxes, gt_cls, gt_mask)
+        return lc.mean(), lb.mean(), lg.mean()
+
+    lc, lb, lg = jax.vmap(per_layer)(dn_boxes, dn_scores)
+    return lc.sum(), lb.sum(), lg.sum()
+
+
+def detr_loss(outputs, batch, hyp, *, nc: int):
+    """Total RT-DETR loss over all decoder layers + encoder aux (+ CDN branch).
+
+    outputs: (dec_bboxes (L,B,Q,4), dec_scores (L,B,Q,nc), enc_bboxes, enc_scores
+    [, dn_meta]).
     batch: padded {'cls' (B,M), 'bboxes' (B,M,4) normalized xywh, 'mask' (B,M)}.
     """
-    dec_bboxes, dec_scores, enc_bboxes, enc_scores = outputs
+    dn_meta = outputs[4] if len(outputs) > 4 else None
+    dec_bboxes, dec_scores, enc_bboxes, enc_scores = outputs[:4]
     L, B, Q, _ = dec_scores.shape
     gt_boxes = batch["bboxes"].astype(jnp.float32)
     gt_cls = batch["cls"].astype(jnp.int32)
@@ -112,9 +149,13 @@ def detr_loss(outputs, batch, hyp, *, nc: int):
         return lc.mean(), lb.mean(), lg.mean()
 
     lc, lb, lg = jax.vmap(layer_loss)(all_boxes, all_scores)
+    lc, lb, lg = lc.sum(), lb.sum(), lg.sum()
+    if dn_meta is not None:
+        dc, db, dg = dn_loss(dn_meta, batch, nc=nc)
+        lc, lb, lg = lc + dc, lb + db, lg + dg
     items = jnp.stack([
-        LOSS_GAIN["class"] * lc.sum(),
-        LOSS_GAIN["bbox"] * lb.sum(),
-        LOSS_GAIN["giou"] * lg.sum(),
+        LOSS_GAIN["class"] * lc,
+        LOSS_GAIN["bbox"] * lb,
+        LOSS_GAIN["giou"] * lg,
     ])
     return DETRLossOut(items.sum() * B, jax.lax.stop_gradient(items))

@@ -146,3 +146,46 @@ def test_jde_loss_runs_and_decreases():
     assert losses[-1] < max(losses) * 0.9, f"jde loss did not decrease from peak: {losses}"
     assert np.asarray(items).shape == (5,)
     assert float(jnp.sum(cb)) > 0  # cb counts accumulated once fg appeared
+
+
+def test_rtdetr_cdn_denoising():
+    """CDN branch: decoder returns dn_meta with G groups of [M pos | M neg]
+    noised-GT queries; detr_loss consumes it and stays finite with grads."""
+    from sar_yolo_tpu.nn.modules.transformer import RTDETRDecoder
+    from sar_yolo_tpu.utils.detr_loss import detr_loss
+
+    B, M, hd, nq, nc = 2, 8, 32, 16, 3
+    batch = _batch(B=B, M=M)
+    batch["cls"] = batch["cls"].astype(jnp.int32)
+    dec = RTDETRDecoder(nc=nc, ch=(hd, hd, hd), hd=hd, nq=nq, ndl=2, nh=4, d_ffn=64)
+    xs = [jnp.ones((B, s, s, hd), jnp.float32) * 0.1 for s in (8, 4, 2)]
+    rng = jax.random.PRNGKey(0)
+    variables = dec.init({"params": rng, "dn": rng}, xs, train=True, batch_gt=batch)
+
+    def loss_fn(params):
+        out, _ = dec.apply({"params": params["params"],
+                            "batch_stats": variables["batch_stats"]},
+                           xs, train=True, batch_gt=batch,
+                           mutable=["batch_stats"], rngs={"dn": rng})
+        assert len(out) == 5
+        dn = out[4]
+        G = dn["G"]
+        DN = dn["dn_bboxes"].shape[2]
+        assert DN == G * 2 * M and dn["dn_scores"].shape == (2, B, DN, nc)
+        # pos/neg layout: first M of each group positive
+        pf = np.asarray(dn["pos_flag"]).reshape(G, 2 * M)
+        assert (pf[:, :M] == 1).all() and (pf[:, M:] == 0).all()
+        return detr_loss(out, batch, None, nc=nc).total
+
+    total, grads = jax.value_and_grad(lambda p: loss_fn(p))({"params": variables["params"]})
+    assert np.isfinite(float(total))
+    leaves = jax.tree.leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
+    # the dn class embedding must receive gradient (CDN actually trains)
+    emb_g = grads["params"]["denoising_class_embed"]["embedding"]
+    assert float(jnp.abs(emb_g).sum()) > 0
+
+    # inference path unchanged: 4-tuple, no dn slots in outputs
+    out_inf = dec.apply({"params": variables["params"],
+                         "batch_stats": variables["batch_stats"]}, xs, train=False)
+    assert len(out_inf) == 4 and out_inf[0].shape[2] == min(nq, sum(s * s for s in (8, 4, 2)))
