@@ -47,6 +47,17 @@ class SAM:
                  labels=None, **kwargs):
         return self.predict(source, stream, bboxes, points, labels, **kwargs)
 
+    def track(self, source, bboxes=None, points=None, labels=None, **kwargs):
+        """Video object segmentation: prompt objects on the first frame, then
+        propagate them with the SAM2 memory bank (reference
+        SAM2VideoPredictor). Requires a SAM2 variant."""
+        if not self.is_sam2:
+            raise ValueError("video tracking requires a SAM2 model (sam2_*)")
+        from .predict import SAM2VideoPredictor
+        vp = SAM2VideoPredictor(self.module, self.variables,
+                                imgsz=self.info_dict["img_size"])
+        return vp(source, bboxes=bboxes, points=points, labels=labels, **kwargs)
+
     def info(self):
         """Log parameter count + config."""
         n = sum(x.size for x in jax.tree.leaves(self.variables))

@@ -285,3 +285,157 @@ class SAMPredictor:
 
     def set_prompts(self, prompts: dict):
         self.prompts = dict(prompts or {})
+
+
+class SAM2VideoPredictor(SAMPredictor):
+    """Video object segmentation with a fixed-slot memory bank
+    (reference models/sam/predict.py SAM2VideoPredictor:815).
+
+    TPU-native: one jitted per-frame step — encode -> condition on the memory
+    ring buffer -> decode -> encode new memory. The bank is a static
+    (num_obj, num_maskmem, h, w, mem_dim) array + validity flags: slot 0 holds
+    the prompted (conditioning) frame forever, slots 1.. rotate over recent
+    frames. The reference's python-dict memory store becomes two arrays, so the
+    whole tracking loop is XLA-compiled.
+    """
+
+    def __init__(self, model, variables, imgsz: int = 1024, **kw):
+        super().__init__(model, variables, imgsz=imgsz, **kw)
+        self._step = None
+
+    def _build_step(self, Q: int):
+        model = self.model
+        T = model.num_maskmem
+
+        @jax.jit
+        def step(v, canvas, bank, valid):
+            feats = model.apply(v, canvas, method="encode")
+            raw = feats["raw_embed"]                          # (1, h, w, C)
+
+            def per_obj(bank_o, valid_o):
+                return model.apply(v, raw, bank_o, valid_o,
+                                   method="condition_on_memory")[0]
+
+            cond = jax.vmap(per_obj)(bank, valid)             # (Q, h, w, C)
+            # decode each object with a not-a-point token (no new prompts)
+            pts = jnp.zeros((Q, 1, 2), jnp.float32)
+            lbl = -jnp.ones((Q, 1), jnp.float32)
+            f = {"image_embed": cond, "high_res_feats": feats["high_res_feats"]}
+            masks, iou, _tok, obj = model.apply(v, f, points=pts, labels=lbl,
+                                                method="decode")
+            # single-mask slot 0 for tracking stability
+            m0 = masks[:, 0]                                  # (Q, 4h, 4w)
+            new_mem = jax.vmap(
+                lambda m: model.apply(v, raw, m[None, :, :, None],
+                                      method="encode_memory")[0])(m0)
+            return m0, iou[:, 0], obj[:, 0], new_mem
+
+        return step
+
+    def init_video(self, first_frame, bboxes=None, points=None, labels=None):
+        """Prompt objects on the first frame; build the memory bank."""
+        self.set_image(first_frame)
+        model = self.model
+        h, w, nh, nw = self._im_meta
+
+        # prompt decode on the first frame (batched objects)
+        q_pts = None
+        if points is not None:
+            q_pts = np.asarray(points, np.float32)
+            if q_pts.ndim == 1:
+                q_pts = q_pts[None]
+            if q_pts.ndim == 2:
+                q_pts = q_pts[:, None]
+            q_pts = self._scale_coords(q_pts)
+        q_box = None
+        if bboxes is not None:
+            q_box = np.asarray(bboxes, np.float32).reshape(-1, 4) * np.asarray(
+                [nw / w, nh / h, nw / w, nh / h], np.float32)
+        Q = (q_pts.shape[0] if q_pts is not None else
+             q_box.shape[0] if q_box is not None else 0)
+        if Q == 0:
+            raise ValueError("SAM2 video tracking needs first-frame prompts")
+        lbl = (np.ones(q_pts.shape[:2], np.float32) if q_pts is not None else None)
+        if labels is not None and q_pts is not None:
+            lbl = np.asarray(labels, np.float32).reshape(q_pts.shape[:2])
+
+        kw = {}
+        if q_pts is not None:
+            kw["points"] = jnp.asarray(q_pts)
+            kw["labels"] = jnp.asarray(lbl)
+        if q_box is not None:
+            kw["boxes"] = jnp.asarray(q_box)
+        feats = self._features
+        masks, iou, _tok, _obj = self.model.apply(self.variables, feats,
+                                                  method="decode", **kw)
+        m0 = np.asarray(masks[:, 0])                          # (Q, 4h, 4w)
+
+        raw = feats["raw_embed"]
+        mem0 = jax.vmap(lambda m: model.apply(
+            self.variables, raw, m[None, :, :, None], method="encode_memory")[0])(
+            jnp.asarray(m0))
+        T = model.num_maskmem
+        hh, ww = raw.shape[1:3]
+        bank = np.zeros((Q, T, hh, ww, model.mem_dim), np.float32)
+        valid = np.zeros((Q, T), np.float32)
+        bank[:, 0] = np.asarray(mem0)
+        valid[:, 0] = 1.0
+        self._bank = jnp.asarray(bank)
+        self._valid = jnp.asarray(valid)
+        self._frame_i = 0
+        self._Q = Q
+        if self._step is None:
+            self._step = self._build_step(Q)
+        return m0, np.asarray(iou[:, 0])
+
+    def _canvas(self, frame):
+        h, w = frame.shape[:2]
+        r = self.imgsz / max(h, w)
+        nh, nw = round(h * r), round(w * r)
+        scaled = cv2.resize(frame[..., ::-1], (nw, nh), interpolation=cv2.INTER_LINEAR)
+        canvas = np.zeros((self.imgsz, self.imgsz, 3), np.uint8)
+        canvas[:nh, :nw] = scaled
+        self._im_meta = (h, w, nh, nw)
+        return canvas
+
+    def track_step(self, frame):
+        """Propagate all objects one frame; returns (masks_orig (Q, H, W) bool,
+        scores (Q,), obj_logits (Q,))."""
+        canvas = self._canvas(frame)
+        m0, score, obj, new_mem = self._step(self.variables,
+                                             jnp.asarray(canvas[None]),
+                                             self._bank, self._valid)
+        # ring insert into slots 1..T-1 (slot 0 = conditioning frame)
+        T = self.model.num_maskmem
+        slot = 1 + (self._frame_i % max(T - 1, 1))
+        self._bank = self._bank.at[:, slot].set(new_mem)
+        self._valid = self._valid.at[:, slot].set(1.0)
+        self._frame_i += 1
+        return (self._masks_to_original(np.asarray(m0)), np.asarray(score),
+                np.asarray(obj))
+
+    def __call__(self, source, bboxes=None, points=None, labels=None, **kwargs):
+        """Track prompted objects through a video; yields one Results per frame
+        with stable per-object ids in boxes col 6."""
+        from sar_yolo_tpu.data.loaders import load_inference_source
+        loader, _ = load_inference_source(source)
+        out = []
+        for i, (path, img, _meta) in enumerate(loader):
+            t0 = time.perf_counter()
+            if i == 0:
+                m0, score = self.init_video(img, bboxes=bboxes, points=points,
+                                            labels=labels)
+                masks = self._masks_to_original(m0)
+            else:
+                masks, score, _obj = self.track_step(img)
+            t1 = time.perf_counter()
+            boxes = np.asarray(batched_mask_to_box(jnp.asarray(masks)), np.float32)
+            n = masks.shape[0]
+            det = np.concatenate([boxes, score.reshape(n, 1).astype(np.float32),
+                                  np.zeros((n, 1), np.float32),
+                                  np.arange(n, dtype=np.float32).reshape(n, 1)], 1)
+            res = Results(img, path, self.names, boxes=det, masks=masks,
+                          speed={"inference": (t1 - t0) * 1e3})
+            res.frame = i
+            out.append(res)
+        return out

@@ -152,3 +152,24 @@ def test_auto_annotate(tmp_path):
             vals = row.split()
             assert len(vals) >= 7 and (len(vals) - 1) % 2 == 0
             assert all(0 <= float(x) <= 1 for x in vals[1:])
+
+
+@pytest.mark.slow
+def test_sam2_video_tracking():
+    """SAM2 video: prompt one object on frame 0, memory-bank propagation keeps
+    a mask with a stable id across frames."""
+    from sar_yolo_tpu.models.sam import SAM
+    m = SAM("sam2_test")
+    frames = []
+    for t in range(3):
+        f = np.full((96, 160, 3), 40, np.uint8)
+        x0 = 40 + 6 * t
+        f[20:70, x0:x0 + 80] = (200, 60, 60)
+        frames.append(f)
+    res = m.track(frames, points=[[80, 45]])
+    assert len(res) == 3
+    for i, r in enumerate(res):
+        assert r.masks.data.shape == (1, 96, 160)
+        assert r.boxes.data.shape[1] == 7            # id column
+        assert r.boxes.data[0, 6] == 0               # stable object id
+        assert r.frame == i
