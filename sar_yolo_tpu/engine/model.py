@@ -180,7 +180,13 @@ class YOLO:
         cached = getattr(self, "_predictor_cache", None)
         if cached is not None and cached[0] == key:
             if self.backend is None:
-                cached[1].variables = self.variables  # weights may have been updated
+                # weights may have been updated (e.g. after .train()); refresh,
+                # re-folding BN if the cached predictor runs the fused trace
+                v = self.variables
+                if getattr(cached[1].model, "fused", False):
+                    from sar_yolo_tpu.nn.fuse import fuse_variables
+                    v = fuse_variables(v)
+                cached[1].variables = v
             return cached[1]
         args = get_cfg(overrides=overrides)
         if self.backend is not None:
@@ -191,7 +197,15 @@ class YOLO:
         self._ensure_variables(args.imgsz if isinstance(args.imgsz, int) else args.imgsz[0])
         predictor_cls = self.task_map[self.task]["predictor"]
         names = self.meta.get("names") or {i: f"c{i}" for i in range(self.meta["nc"])}
-        predictor = predictor_cls(self.model, self.variables, self.meta, args, names)
+        # deploy-time fusion (≙ reference AutoBackend fuse=True at predict,
+        # nn/autobackend.py:159): BN folded into convs, Rep branches merged
+        model, variables = self.model, self.variables
+        try:
+            from sar_yolo_tpu.nn.fuse import fuse as _fuse
+            model, variables = _fuse(model, variables)
+        except Exception:  # unexpected param structure: serve unfused
+            model, variables = self.model, self.variables
+        predictor = predictor_cls(model, variables, self.meta, args, names)
         self._predictor_cache = (key, predictor)
         return predictor
 

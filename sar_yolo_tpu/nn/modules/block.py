@@ -823,3 +823,241 @@ class C2fCIB(nn.Module):
             ys.append(CIB(c, self.shortcut, 1.0, self.lk,
                           dtype=self.dtype, name=f"m{i}")(ys[-1], train))
         return Conv(self.c2, 1, dtype=self.dtype, name="cv2")(jnp.concatenate(ys, -1), train)
+
+
+class SPP(nn.Module):
+    """Classic spatial pyramid pooling with parallel k-sized maxpools (ref block.py:159)."""
+
+    c2: int
+    k: tuple = (5, 9, 13)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c1 = x.shape[-1]
+        y = Conv(c1 // 2, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        ys = [y]
+        for k in self.k:
+            pad = [(k // 2, k // 2)] * 2
+            ys.append(nn.max_pool(y, (k, k), strides=(1, 1), padding=pad))
+        return Conv(self.c2, 1, 1, dtype=self.dtype, name="cv2")(jnp.concatenate(ys, -1), train)
+
+
+class GhostBottleneck(nn.Module):
+    """Ghost bottleneck (ref block.py:320): pw ghost -> (dw if s=2) -> linear ghost,
+    with a dw+pw shortcut on stride-2."""
+
+    c2: int
+    k: int = 3
+    s: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from .conv import DWConv, GhostConv
+        c_ = self.c2 // 2
+        y = GhostConv(c_, 1, 1, dtype=self.dtype, name="conv_0")(x, train)
+        if self.s == 2:
+            y = DWConv(c_, self.k, self.s, act=False, dtype=self.dtype, name="conv_1")(y, train)
+        y = GhostConv(self.c2, 1, 1, act=False, dtype=self.dtype, name="conv_2")(y, train)
+        if self.s == 2:
+            sc = DWConv(x.shape[-1], self.k, self.s, act=False, dtype=self.dtype,
+                        name="shortcut_0")(x, train)
+            sc = Conv(self.c2, 1, 1, act=False, dtype=self.dtype, name="shortcut_1")(sc, train)
+        else:
+            sc = x
+        return y + sc
+
+
+class C3Ghost(nn.Module):
+    """C3 with GhostBottleneck inner blocks (ref block.py C3Ghost)."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        a = Conv(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        for i in range(self.n):
+            a = GhostBottleneck(c_, dtype=self.dtype, name=f"m{i}")(a, train)
+        b = Conv(c_, 1, 1, dtype=self.dtype, name="cv2")(x, train)
+        return Conv(self.c2, 1, dtype=self.dtype, name="cv3")(jnp.concatenate([a, b], -1), train)
+
+
+# ---- YOLOv9 (GELAN) blocks: ref block.py:569-711 ----------------------------------
+
+
+class RepBottleneck(nn.Module):
+    """Bottleneck whose first conv is a RepConv (ref block.py:569)."""
+
+    c2: int
+    shortcut: bool = True
+    g: int = 1
+    k: tuple = (3, 3)
+    e: float = 0.5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from .conv import RepConv
+        c1 = x.shape[-1]
+        c_ = int(self.c2 * self.e)
+        y = RepConv(c_, self.k[0], 1, dtype=self.dtype, name="cv1")(x, train)
+        y = Conv(self.c2, self.k[1], 1, g=self.g, dtype=self.dtype, name="cv2")(y, train)
+        return x + y if self.shortcut and c1 == self.c2 else y
+
+
+class RepCSP(nn.Module):
+    """C3 variant with RepBottleneck inner blocks (ref block.py RepCSP)."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        a = Conv(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        for i in range(self.n):
+            a = RepBottleneck(c_, self.shortcut, self.g, (3, 3), 1.0,
+                              dtype=self.dtype, name=f"m{i}")(a, train)
+        b = Conv(c_, 1, 1, dtype=self.dtype, name="cv2")(x, train)
+        return Conv(self.c2, 1, dtype=self.dtype, name="cv3")(jnp.concatenate([a, b], -1), train)
+
+
+class RepNCSPELAN4(nn.Module):
+    """CSP-ELAN aggregation block (ref block.py:589): split, two RepCSP+Conv stages,
+    4-way concat fuse."""
+
+    c2: int
+    c3: int = 64
+    c4: int = 32
+    n: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = self.c3 // 2
+        y = Conv(self.c3, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        ys = [y[..., :c], y[..., c:]]
+        z = RepCSP(self.c4, self.n, dtype=self.dtype, name="cv2_0")(ys[-1], train)
+        ys.append(Conv(self.c4, 3, 1, dtype=self.dtype, name="cv2_1")(z, train))
+        z = RepCSP(self.c4, self.n, dtype=self.dtype, name="cv3_0")(ys[-1], train)
+        ys.append(Conv(self.c4, 3, 1, dtype=self.dtype, name="cv3_1")(z, train))
+        return Conv(self.c2, 1, 1, dtype=self.dtype, name="cv4")(jnp.concatenate(ys, -1), train)
+
+
+class ELAN1(nn.Module):
+    """Light ELAN with plain 3x3 convs in place of RepCSP stages (ref block.py:614)."""
+
+    c2: int
+    c3: int = 32
+    c4: int = 16
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = self.c3 // 2
+        y = Conv(self.c3, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        ys = [y[..., :c], y[..., c:]]
+        ys.append(Conv(self.c4, 3, 1, dtype=self.dtype, name="cv2")(ys[-1], train))
+        ys.append(Conv(self.c4, 3, 1, dtype=self.dtype, name="cv3")(ys[-1], train))
+        return Conv(self.c2, 1, 1, dtype=self.dtype, name="cv4")(jnp.concatenate(ys, -1), train)
+
+
+class AConv(nn.Module):
+    """2x2 stride-1 avgpool then 3x3 stride-2 conv downsample (ref block.py:627)."""
+
+    c2: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.avg_pool(x, (2, 2), strides=(1, 1), padding="VALID")
+        return Conv(self.c2, 3, 2, 1, dtype=self.dtype, name="cv1")(x, train)
+
+
+class ADown(nn.Module):
+    """Dual-branch downsample: avg+conv on one channel half, max+1x1 on the other
+    (ref block.py:641)."""
+
+    c2: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = self.c2 // 2
+        x = nn.avg_pool(x, (2, 2), strides=(1, 1), padding="VALID")
+        half = x.shape[-1] // 2
+        x1, x2 = x[..., :half], x[..., half:]
+        x1 = Conv(c, 3, 2, 1, dtype=self.dtype, name="cv1")(x1, train)
+        x2 = nn.max_pool(x2, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        x2 = Conv(c, 1, 1, 0, dtype=self.dtype, name="cv2")(x2, train)
+        return jnp.concatenate([x1, x2], -1)
+
+
+class SPPELAN(nn.Module):
+    """SPP-ELAN: 1x1 squeeze, three cumulative maxpools, 1x1 fuse (ref block.py:661)."""
+
+    c2: int
+    c3: int = 64
+    k: int = 5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        pad = [(self.k // 2, self.k // 2)] * 2
+        ys = [Conv(self.c3, 1, 1, dtype=self.dtype, name="cv1")(x, train)]
+        for _ in range(3):
+            ys.append(nn.max_pool(ys[-1], (self.k, self.k), strides=(1, 1), padding=pad))
+        return Conv(self.c2, 1, 1, dtype=self.dtype, name="cv5")(jnp.concatenate(ys, -1), train)
+
+
+class CBLinear(nn.Module):
+    """Cross-branch linear tap: one biased conv whose output is split into per-level
+    chunks consumed by CBFuse (ref block.py:681)."""
+
+    c2s: tuple
+    k: int = 1
+    s: int = 1
+    g: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        pad = self.k // 2
+        y = nn.Conv(sum(self.c2s), (self.k, self.k), (self.s, self.s),
+                    [(pad, pad), (pad, pad)], feature_group_count=self.g, use_bias=True,
+                    dtype=self.dtype, param_dtype=jnp.float32, name="conv")(x)
+        outs, off = [], 0
+        for c in self.c2s:
+            outs.append(y[..., off:off + c])
+            off += c
+        return tuple(outs)
+
+
+class CBFuse(nn.Module):
+    """Fuse selected CBLinear chunks by nearest-resize to the last input's grid and
+    summation (ref block.py:695)."""
+
+    idx: tuple
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        target = xs[-1]
+        h, w = target.shape[1], target.shape[2]
+        acc = target
+        for i, x in enumerate(xs[:-1]):
+            sel = x[self.idx[i]]
+            if sel.shape[1] != h or sel.shape[2] != w:
+                sel = jax.image.resize(sel, (sel.shape[0], h, w, sel.shape[3]), "nearest")
+            acc = acc + sel
+        return acc

@@ -20,6 +20,46 @@ conv_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
 
 Dtype = Any
 
+# Global default activation for Conv/Conv2 (act=True), overridable per model via the
+# yaml `activation:` key (≙ reference Conv.default_act reassignment, tasks.py:1004).
+ACTIVATIONS = {"silu": nn.silu, "relu": nn.relu, "relu6": lambda x: jnp.clip(x, 0, 6),
+               "leakyrelu": lambda x: nn.leaky_relu(x, 0.01),
+               "gelu": nn.gelu, "hardswish": nn.hard_swish, "mish": lambda x: x * jnp.tanh(nn.softplus(x))}
+_DEFAULT_ACT = [nn.silu]
+
+
+class default_act:
+    """Context manager: temporarily swap the default Conv activation during a trace."""
+
+    def __init__(self, fn):
+        self.fn = fn
+
+    def __enter__(self):
+        _DEFAULT_ACT.append(self.fn)
+
+    def __exit__(self, *exc):
+        _DEFAULT_ACT.pop()
+
+
+# Deploy-time fusion flag (≙ reference Conv.forward_fuse / RepConv deploy mode,
+# conv.py:54,230). When active, Conv/Conv2/RepConv/DSConv trace their fused form
+# (conv-with-bias, no BN, rep branches merged); `nn/fuse.py:fuse_variables` produces
+# the matching folded parameters.
+_FUSED = [False]
+
+
+class fused_mode:
+    """Context manager: trace modules in their deploy-fused structure."""
+
+    def __init__(self, on: bool = True):
+        self.on = on
+
+    def __enter__(self):
+        _FUSED.append(self.on)
+
+    def __exit__(self, *exc):
+        _FUSED.pop()
+
 
 def autopad(k: int, p: int | None = None, d: int = 1) -> int:
     """'Same'-shape padding for stride-1 convs (matches reference autopad semantics)."""
@@ -55,22 +95,23 @@ class Conv(nn.Module):
             padding=[(pad, pad), (pad, pad)],
             feature_group_count=self.g,
             kernel_dilation=(self.d, self.d),
-            use_bias=False,
+            use_bias=_FUSED[-1],
             dtype=self.dtype,
             param_dtype=jnp.float32,
             kernel_init=conv_init,
             name="conv",
         )(x)
-        x = nn.BatchNorm(
-            use_running_average=not train,
-            momentum=0.97,
-            epsilon=1e-3,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            name="bn",
-        )(x)
+        if not _FUSED[-1]:
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.97,
+                epsilon=1e-3,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name="bn",
+            )(x)
         if self.act is True:
-            x = nn.silu(x)
+            x = _DEFAULT_ACT[-1](x)
         elif callable(self.act):
             x = self.act(x)
         return x
@@ -113,10 +154,11 @@ class DSConv(nn.Module):
         x = nn.Conv(c1, (self.k, self.k), (self.s, self.s), [(pad, pad), (pad, pad)],
                     feature_group_count=c1, kernel_dilation=(self.d, self.d), use_bias=False,
                     dtype=self.dtype, param_dtype=jnp.float32, kernel_init=conv_init, name="dw")(x)
-        x = nn.Conv(self.c2, (1, 1), use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
-                    kernel_init=conv_init, name="pw")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
-                         dtype=self.dtype, param_dtype=jnp.float32, name="bn")(x)
+        x = nn.Conv(self.c2, (1, 1), use_bias=_FUSED[-1], dtype=self.dtype,
+                    param_dtype=jnp.float32, kernel_init=conv_init, name="pw")(x)
+        if not _FUSED[-1]:
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
+                             dtype=self.dtype, param_dtype=jnp.float32, name="bn")(x)
         return nn.silu(x)
 
 
@@ -206,7 +248,7 @@ class LightConv(nn.Module):
 class RepConv(nn.Module):
     """RepVGG-style conv: parallel 3x3 + 1x1 branches at train time (reference conv.py:193).
 
-    Deploy-time fusion folds both into one 3x3 (a param transform, later pass).
+    Deploy-time fusion folds both into one 3x3 (a param transform, `nn/fuse.py`).
     """
 
     c2: int
@@ -216,6 +258,126 @@ class RepConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if _FUSED[-1]:
+            pad = self.k // 2
+            y = nn.Conv(self.c2, (self.k, self.k), (self.s, self.s),
+                        [(pad, pad), (pad, pad)], use_bias=True, dtype=self.dtype,
+                        param_dtype=jnp.float32, name="conv")(x)
+            return nn.silu(y)
         y1 = Conv(self.c2, self.k, self.s, act=False, dtype=self.dtype, name="conv1")(x, train)
         y2 = Conv(self.c2, 1, self.s, act=False, dtype=self.dtype, name="conv2")(x, train)
         return nn.silu(y1 + y2)
+
+
+class Conv2(nn.Module):
+    """Simplified RepConv: parallel kxk + 1x1 convs into one shared BN (ref conv.py:59)."""
+
+    c2: int
+    k: int = 3
+    s: int = 1
+    p: int | None = None
+    g: int = 1
+    d: int = 1
+    act: bool | Callable = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        pad = autopad(self.k, self.p, self.d)
+        y = nn.Conv(self.c2, (self.k, self.k), (self.s, self.s), [(pad, pad), (pad, pad)],
+                    feature_group_count=self.g, kernel_dilation=(self.d, self.d),
+                    use_bias=_FUSED[-1], dtype=self.dtype, param_dtype=jnp.float32,
+                    kernel_init=conv_init, name="conv")(x)
+        if not _FUSED[-1]:
+            p1 = autopad(1, self.p, self.d)
+            y = y + nn.Conv(self.c2, (1, 1), (self.s, self.s), [(p1, p1), (p1, p1)],
+                            feature_group_count=self.g, use_bias=False, dtype=self.dtype,
+                            param_dtype=jnp.float32, kernel_init=conv_init, name="cv2")(x)
+            y = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
+                             dtype=self.dtype, param_dtype=jnp.float32, name="bn")(y)
+        if self.act is True:
+            return _DEFAULT_ACT[-1](y)
+        return self.act(y) if callable(self.act) else y
+
+
+class GhostConv(nn.Module):
+    """Ghost convolution: cheap 5x5 depthwise features concatenated to a primary conv
+    (reference conv.py:177, GhostNet)."""
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    g: int = 1
+    act: bool | Callable = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = self.c2 // 2
+        y = Conv(c_, self.k, self.s, None, self.g, act=self.act, dtype=self.dtype,
+                 name="cv1")(x, train)
+        y2 = Conv(c_, 5, 1, None, c_, act=self.act, dtype=self.dtype, name="cv2")(y, train)
+        return jnp.concatenate([y, y2], axis=-1)
+
+
+class Index(nn.Module):
+    """Select one tensor from a list input (reference conv.py:355)."""
+
+    c2: int = 0
+    index: int = 0
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        return xs[self.index]
+
+
+class ConvTranspose2d(nn.Module):
+    """Raw transposed conv (≙ yaml `nn.ConvTranspose2d [c2, k, s, p]`, bias, no BN/act)."""
+
+    c2: int
+    k: int = 2
+    s: int = 2
+    p: int = 0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        # torch output size: (H-1)*s - 2p + k; for the yaml's (k=2,s=2,p=0) this is
+        # exactly 2H, which flax gives with VALID padding and transpose_kernel.
+        if self.p != 0:
+            raise NotImplementedError("ConvTranspose2d with padding != 0")
+        return nn.ConvTranspose(self.c2, (self.k, self.k), (self.s, self.s), padding="VALID",
+                                use_bias=True, transpose_kernel=True, dtype=self.dtype,
+                                param_dtype=jnp.float32, name="conv")(x)
+
+
+class MaxPool2d(nn.Module):
+    """Raw max-pool layer (≙ yaml `nn.MaxPool2d [k, s, p]`)."""
+
+    k: int = 2
+    s: int = 2
+    p: int = 0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        pad = [(self.p, self.p), (self.p, self.p)]
+        return nn.max_pool(x, (self.k, self.k), strides=(self.s, self.s), padding=pad)
+
+
+class ZeroPad2d(nn.Module):
+    """Zero padding (left, right, top, bottom) — yaml `nn.ZeroPad2d [[l,r,t,b]]`."""
+
+    pads: tuple = (0, 1, 0, 1)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        left, right, top, bottom = self.pads
+        return jnp.pad(x, ((0, 0), (top, bottom), (left, right), (0, 0)))
+
+
+class Identity(nn.Module):
+    """Passthrough (≙ yaml `nn.Identity`, used as an input tap by yolov9e)."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return x

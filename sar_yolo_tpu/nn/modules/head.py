@@ -205,8 +205,10 @@ class Proto(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from .conv import ConvTranspose2d
         x = Conv(self.c_, 3, dtype=self.dtype, name="cv1")(x, train)
-        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)  # upsample 2x
+        # learned 2x upsample (ref block.py:95 uses ConvTranspose2d(c_, c_, 2, 2))
+        x = ConvTranspose2d(self.c_, 2, 2, dtype=self.dtype, name="upsample")(x, train)
         x = Conv(self.c_, 3, dtype=self.dtype, name="cv2")(x, train)
         return Conv(self.c2, 1, dtype=self.dtype, name="cv3")(x, train)
 

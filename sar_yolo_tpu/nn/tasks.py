@@ -49,10 +49,15 @@ class LayerSpec:
 # set of modules whose first yaml arg is out-channels (width-scaled)
 _CH_SCALED = {"Conv", "DWConv", "DSConv", "Bottleneck", "SPPF", "C2f", "C3", "C3k",
               "C3k2", "C3k2_CBAM", "A2C2f", "DSC3k2", "DSC3k2_CBAM", "Classify", "RepC3",
-              "PSA", "C2PSA", "SCDown", "C2fCIB"}
+              "PSA", "C2PSA", "SCDown", "C2fCIB", "GhostConv", "Conv2", "ConvTranspose2d",
+              "SPP", "RepNCSPELAN4", "ELAN1", "AConv", "ADown", "SPPELAN",
+              "GhostBottleneck", "C3Ghost", "RepConv"}
 # subset that takes an inserted repeat count n
 _REPEAT_ARG = {"C2f", "C3", "C3k", "C3k2", "C3k2_CBAM", "A2C2f", "DSC3k2", "DSC3k2_CBAM",
-               "RepC3", "C2PSA", "C2fCIB"}
+               "RepC3", "C2PSA", "C2fCIB", "C3Ghost"}
+# torch-layer yaml aliases -> our module names
+_NN_ALIAS = {"nn.ConvTranspose2d": "ConvTranspose2d", "nn.MaxPool2d": "MaxPool2d",
+             "nn.ZeroPad2d": "ZeroPad2d", "nn.Identity": "Identity"}
 _HEADS = {"Detect", "JDE", "Segment", "Pose", "OBB", "Classify", "RTDETRDecoder",
           "v10Detect", "WorldDetect"}
 
@@ -95,8 +100,16 @@ def parse_model(d: dict, ch: int = 3, verbose: bool = False):
     specs: list[LayerSpec] = []
     save: list[int] = []
     meta: dict[str, Any] = {"nc": nc, "scale": scale, "reg_max": 16}
+    act = d.get("activation")
+    if act:
+        # yaml 'activation: nn.ReLU()' dialect (≙ reference Conv.default_act override)
+        key = re.sub(r"^nn\.|\(\)$", "", str(act)).lower().replace("(", "").replace(")", "")
+        if key not in C.ACTIVATIONS:
+            raise KeyError(f"unsupported activation '{act}' in model yaml")
+        meta["act"] = key
 
     for i, (f, n, m, args) in enumerate(d["backbone"] + d["head"]):
+        m = _NN_ALIAS.get(m, m)
         args = [_resolve_arg(a, names) for a in args]
         n = max(round(n * depth), 1) if n > 1 else n
         kwargs: dict[str, Any] = {}
@@ -175,11 +188,29 @@ def parse_model(d: dict, ch: int = 3, verbose: bool = False):
         elif m == "FullPAD_Tunnel":
             c2 = chs[f[0]]
             args = []
+        elif m == "CBLinear":
+            # c2s list is NOT width-scaled (reference tasks.py:1090-1093)
+            c2 = tuple(args[0])
+            args = [c2, *args[1:]]
+        elif m == "CBFuse":
+            c2 = chs[f[-1]]
+            args = [tuple(args[0])]
+        elif m == "Index":
+            c2 = args[0]
+            args = [c2, args[1] if len(args) > 1 else 0]
+        elif m == "ZeroPad2d":
+            c2 = chs[f]
+            args = [tuple(args[0])]
+        elif m in {"MaxPool2d", "Identity"}:
+            c2 = chs[f]
         else:
             c2 = chs[f]
 
         if n != 1:
-            raise ValueError(f"module {m} at layer {i} has unhandled repeat n={n}")
+            # plain modules repeated n times (v3 Bottleneck stacks, v6 Conv stacks):
+            # reference wraps in nn.Sequential (tasks.py:1120); we record a repeat kwarg.
+            kwargs["repeat"] = n
+            n = 1
 
         # normalize relative 'from' indices (-2, -3, ...) to absolute; keep -1 = previous
         def _norm(j):
@@ -199,10 +230,30 @@ def parse_model(d: dict, ch: int = 3, verbose: bool = False):
     return tuple(specs), tuple(sorted(set(save))), meta
 
 
+class Repeat(nn.Module):
+    """Sequential stack of n identical modules (≙ reference nn.Sequential repeat)."""
+
+    spec: Any
+    n: int
+    nc: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        for i in range(self.n):
+            x = _build_module(self.spec, self.nc, self.dtype)(x, train)
+        return x
+
+
 def _build_module(spec: LayerSpec, nc: int, dtype):
     """Instantiate the Flax module for a LayerSpec."""
     a = spec.args
     kw = dict(spec.kwargs)
+    rep = kw.pop("repeat", None)
+    if rep:
+        inner = LayerSpec(i=spec.i, f=spec.f, name=spec.name, args=spec.args, c2=spec.c2,
+                          kwargs=tuple(sorted(kw.items())))
+        return Repeat(spec=inner, n=rep, nc=nc, dtype=dtype)
     name = spec.name
     if name == "Conv":
         return C.Conv(*a, dtype=dtype)
@@ -254,6 +305,42 @@ def _build_module(spec: LayerSpec, nc: int, dtype):
         return B.C2fCIB(*a, dtype=dtype)
     if name == "CIB":
         return B.CIB(*a, dtype=dtype)
+    if name == "GhostConv":
+        return C.GhostConv(*a, dtype=dtype)
+    if name == "Conv2":
+        return C.Conv2(*a, dtype=dtype)
+    if name == "RepConv":
+        return C.RepConv(*a, dtype=dtype)
+    if name == "Index":
+        return C.Index(*a)
+    if name == "ConvTranspose2d":
+        return C.ConvTranspose2d(*a, dtype=dtype)
+    if name == "MaxPool2d":
+        return C.MaxPool2d(*a)
+    if name == "ZeroPad2d":
+        return C.ZeroPad2d(*a)
+    if name == "Identity":
+        return C.Identity()
+    if name == "SPP":
+        return B.SPP(a[0], tuple(a[1]) if len(a) > 1 else (5, 9, 13), dtype=dtype)
+    if name == "GhostBottleneck":
+        return B.GhostBottleneck(*a, dtype=dtype)
+    if name == "C3Ghost":
+        return B.C3Ghost(*a, dtype=dtype)
+    if name == "RepNCSPELAN4":
+        return B.RepNCSPELAN4(*a, dtype=dtype)
+    if name == "ELAN1":
+        return B.ELAN1(*a, dtype=dtype)
+    if name == "AConv":
+        return B.AConv(*a, dtype=dtype)
+    if name == "ADown":
+        return B.ADown(*a, dtype=dtype)
+    if name == "SPPELAN":
+        return B.SPPELAN(*a, dtype=dtype)
+    if name == "CBLinear":
+        return B.CBLinear(*a, dtype=dtype)
+    if name == "CBFuse":
+        return B.CBFuse(*a)
     if name == "JDE":
         return H.JDE(nc=a[0], embed_dim=a[1] if len(a) > 1 else 128,
                      state_classes=a[2] if len(a) > 2 else None,
@@ -310,11 +397,17 @@ class GraphModel(nn.Module):
     save: tuple
     nc: int
     dtype: Any = jnp.float32
+    act: str = "silu"
+    fused: bool = False
 
     def setup(self):
         self.blocks = [_build_module(s, self.nc, self.dtype) for s in self.specs]
 
     def __call__(self, x, train: bool = False, batch_gt=None):
+        with C.default_act(C.ACTIVATIONS[self.act]), C.fused_mode(self.fused):
+            return self._walk(x, train, batch_gt)
+
+    def _walk(self, x, train: bool = False, batch_gt=None):
         saved = {}
         out = x
         last = self.specs[-1]
@@ -381,7 +474,8 @@ def build_model(cfg, nc: int | None = None, dtype=jnp.float32, verbose: bool = F
     specs, save, meta = parse_model(d, ch=3, verbose=verbose)
     meta["yaml"] = d
     meta["task"] = guess_model_task(d)
-    model = GraphModel(specs=specs, save=save, nc=meta["nc"], dtype=dtype)
+    model = GraphModel(specs=specs, save=save, nc=meta["nc"], dtype=dtype,
+                       act=meta.get("act", "silu"))
     head_spec = specs[-1]
     if head_spec.name == "JDE":
         meta["embed_dim"] = head_spec.args[1] if len(head_spec.args) > 1 else 128

@@ -130,3 +130,67 @@ def test_yolov13_jde_p24_builds_and_runs():
     feats = jax.jit(lambda v, x: model.apply(v, x, train=False))(
         variables, jnp.zeros((1, 64, 64, 3)))
     assert len(feats) == 4
+
+
+@pytest.mark.slow
+def test_v3_v5_v6_v9_param_parity():
+    """Exact trainable-param parity with reference builds of the v3/v5/v6/v9
+    families (golden counts from reference DetectionModel/SegmentationModel,
+    minus nothing — reference counts already exclude the frozen DFL proj)."""
+    gold = {
+        "yolov3-tiny.yaml": 12_173_232,
+        "yolov5n.yaml": 2_654_800,
+        "yolov6n.yaml": 4_500_064,
+        "yolov9t.yaml": 2_128_704,
+    }
+    for name, exp in gold.items():
+        model, meta = build_model(name)
+        variables = init_model(model, meta, jax.random.PRNGKey(0), imgsz=256)
+        assert n_params(variables) == exp, name
+
+
+@pytest.mark.slow
+def test_yolov9e_dual_branch_param_parity():
+    """yolov9e exercises CBLinear/CBFuse/Identity + deep GELAN; exact parity."""
+    model, meta = build_model("yolov9e.yaml")
+    variables = init_model(model, meta, jax.random.PRNGKey(0), imgsz=256)
+    assert n_params(variables) == 58_206_576
+    assert meta["strides"] == [8, 16, 32]
+
+
+def test_v9t_parse_and_forward():
+    d = yaml_model_load("yolov9t.yaml")
+    specs, save, meta = parse_model(d)
+    assert specs[2].name == "ELAN1" and specs[2].c2 == 32
+    assert specs[4].name == "RepNCSPELAN4" and specs[4].args == (64, 64, 32, 3)
+    assert specs[9].name == "SPPELAN" and specs[9].c2 == 128
+    model, meta = build_model("yolov9t.yaml")
+    variables = init_model(model, meta, jax.random.PRNGKey(0), imgsz=128)
+    out = model.apply(variables, jnp.zeros((1, 128, 128, 3)), train=False)
+    feats = out[0] if isinstance(out, tuple) else out
+    assert [f.shape[1] for f in feats] == [16, 8, 4]
+
+
+def test_v6_relu_activation_override():
+    """yolov6 yaml sets activation: nn.ReLU(); negative pre-act values must be
+    clipped at 0 after every Conv (silu would leak negatives)."""
+    d = yaml_model_load("yolov6n.yaml")
+    _, _, meta = parse_model(d)
+    assert meta["act"] == "relu"
+
+
+def test_repeat_wrapper_sequential_stack():
+    """v3's `- [-1, 2, Bottleneck, [128]]` rows must become 2 chained bottlenecks
+    (reference wraps in nn.Sequential) — params double vs a single block."""
+    ms = []
+    for n in (1, 2, 4):
+        d = {"nc": 1, "backbone": [[-1, 1, "Conv", [8, 3, 2]], [-1, n, "Bottleneck", [8]]],
+             "head": [[[-1], 1, "Detect", ["nc"]]]}
+        model, meta = build_model(d)
+        v = init_model(model, meta, jax.random.PRNGKey(0), imgsz=64)
+        ms.append(n_params(v))
+    # each extra bottleneck adds the same param increment; n=1->2 is one block,
+    # n=2->4 is two blocks
+    inc = ms[1] - ms[0]
+    assert inc > 0
+    assert ms[2] - ms[1] == 2 * inc
