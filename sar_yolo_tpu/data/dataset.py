@@ -10,16 +10,35 @@ static shapes (reference pads dynamically per-batch via list collate).
 
 from __future__ import annotations
 
+import hashlib
 from pathlib import Path
 
 import cv2
 import numpy as np
 
-from sar_yolo_tpu.utils import yaml_load
+from sar_yolo_tpu.utils import LOGGER, yaml_load
 from .augment import (augment_hsv, copy_paste, letterbox, mixup, mosaic4, mosaic9,
                       random_flip, random_perspective)
 
 IMG_FORMATS = {"bmp", "dng", "jpeg", "jpg", "mpo", "png", "tif", "tiff", "webp", "pfm"}
+
+
+def _image_shape(path) -> tuple[int, int] | None:
+    """(h, w) of an image, or None if unreadable/corrupt.
+
+    Header-only read via PIL when available (fast); cv2 full-decode fallback.
+    ≙ reference verify_image_label's Image.open + im.verify (data/utils.py:112).
+    """
+    try:
+        from PIL import Image
+        with Image.open(path) as im:
+            im.verify()
+            return im.size[1], im.size[0]
+    except ImportError:
+        img = cv2.imread(str(path))
+        return None if img is None else img.shape[:2]
+    except Exception:
+        return None
 
 
 def img2label_paths(img_paths):
@@ -80,11 +99,125 @@ class YOLODataset:
         if fraction < 1.0:
             self.im_files = self.im_files[: max(1, int(len(self.im_files) * fraction))]
         self.label_files = img2label_paths(self.im_files)
-        self.labels = [self._load_label(lf) for lf in self.label_files]
+        self.shapes = None  # (n, 2) h,w per image; populated by the verify cache
+        self._load_or_build_cache()
         self.rng = np.random.default_rng(0)
-        # RAM cache of decoded images (reference BaseDataset cache='ram')
+        # image cache: 'ram' / True keeps decoded arrays in memory; 'disk' saves
+        # .npy sidecars next to the images (reference BaseDataset cache modes)
         self.cache = bool(cache) and str(cache).lower() != "disk"
+        self.cache_disk = str(cache).lower() == "disk"
         self._im_cache: dict[int, np.ndarray] = {}
+        # rect mode state (init_rect)
+        self.rect = False
+        self.batch_shapes = None
+        self.batch_index = None
+
+    # ---- label cache + verification -------------------------------------
+    def _cache_path(self) -> Path:
+        lp = Path(self.label_files[0]).parent if self.label_files else Path(".")
+        return lp.with_suffix(".cache.npz")
+
+    def _cache_hash(self) -> str:
+        h = hashlib.sha1()
+        h.update(f"{self.task}|{self.kpt_shape}|{len(self.im_files)}".encode())
+        for im, lf in zip(self.im_files, self.label_files):
+            st = Path(lf).stat() if Path(lf).is_file() else None
+            h.update(f"{im}|{lf}|{st.st_mtime_ns if st else 0}|{st.st_size if st else 0}".encode())
+        return h.hexdigest()
+
+    def _load_or_build_cache(self):
+        """Parse+verify labels once; persist to labels/../<split>.cache.npz.
+
+        Capability parity with the reference's *.cache files + verify_image_label
+        (data/utils.py:102-173, data/base.py cache_labels): corrupt images are
+        dropped with a warning, image shapes are recorded for rect batching.
+        """
+        cache_file = self._cache_path()
+        want = self._cache_hash()
+        if cache_file.is_file():
+            try:
+                z = np.load(cache_file, allow_pickle=True)
+                if str(z["hash"]) == want:
+                    self.im_files = list(z["im_files"])
+                    self.label_files = list(z["label_files"])
+                    self.labels = list(z["labels"])
+                    self.shapes = z["shapes"]
+                    return
+            except Exception:
+                pass  # stale/unreadable cache: rebuild
+        keep_im, keep_lf, labels, shapes, dropped = [], [], [], [], 0
+        for im, lf in zip(self.im_files, self.label_files):
+            shape = _image_shape(im)
+            if shape is None or min(shape) < 10:
+                dropped += 1
+                continue
+            try:
+                lb = self._load_label(lf)
+            except Exception as e:
+                LOGGER.warning(f"corrupt label {lf}: {e}")
+                dropped += 1
+                continue
+            keep_im.append(im)
+            keep_lf.append(lf)
+            labels.append(lb)
+            shapes.append(shape)
+        if dropped:
+            LOGGER.warning(f"dropped {dropped} corrupt images/labels from {len(self.im_files)}")
+        if not keep_im:
+            raise FileNotFoundError("all images failed verification")
+        self.im_files, self.label_files, self.labels = keep_im, keep_lf, labels
+        self.shapes = np.array(shapes, np.int64)
+        try:
+            np.savez_compressed(
+                cache_file, hash=want, im_files=np.array(self.im_files, object),
+                label_files=np.array(self.label_files, object),
+                labels=np.array(self.labels, object), shapes=self.shapes)
+        except OSError:
+            pass  # read-only dataset dir: verification still ran, just not persisted
+
+    # ---- rect batching ---------------------------------------------------
+    def init_rect(self, batch_size: int, stride: int = 32, pad: float = 0.5,
+                  quant: int = 64):
+        """Rectangular eval batching, executable-bounded for XLA.
+
+        Reference semantics (data/base.py set_rectangle): sort by aspect ratio,
+        give each batch the tightest stride-multiple shape covering its images.
+        TPU redesign: the variable dimension is additionally rounded up to a
+        multiple of `quant` (64), so the number of distinct batch shapes — and
+        thus jit executables — is bounded by imgsz/quant instead of imgsz/stride.
+        """
+        n = len(self.im_files)
+        ar = self.shapes[:, 0] / self.shapes[:, 1]  # h/w
+        order = np.argsort(ar)
+        self.im_files = [self.im_files[i] for i in order]
+        self.label_files = [self.label_files[i] for i in order]
+        self.labels = [self.labels[i] for i in order]
+        self.shapes = self.shapes[order]
+        ar = ar[order]
+        nb = (n + batch_size - 1) // batch_size
+        self.batch_index = np.floor(np.arange(n) / batch_size).astype(int)
+        shapes = []
+        for b in range(nb):
+            arb = ar[self.batch_index == b]
+            mini, maxi = float(arb.min()), float(arb.max())
+            sh = [1.0, 1.0]
+            if maxi < 1:
+                sh = [maxi, 1.0]
+            elif mini > 1:
+                sh = [1.0, 1.0 / mini]
+            hq = int(np.ceil(sh[0] * self.imgsz / stride + pad) * stride)
+            wq = int(np.ceil(sh[1] * self.imgsz / stride + pad) * stride)
+            # bound the executable count: round the short side up to `quant`
+            if hq < wq:
+                hq = min(int(np.ceil(hq / quant) * quant), wq)
+            elif wq < hq:
+                wq = min(int(np.ceil(wq / quant) * quant), hq)
+            shapes.append((min(hq, self.imgsz + stride), min(wq, self.imgsz + stride)))
+        self.batch_shapes = shapes
+        self.rect = True
+        self.rect_batch_size = batch_size
+        LOGGER.info(f"rect val: {nb} batches over {len(set(shapes))} distinct shapes "
+                    f"{sorted(set(shapes))}")
 
     @staticmethod
     def _scan_images(img_path):
@@ -157,12 +290,21 @@ class YOLODataset:
     def _load_item(self, i, target_size=None):
         """Load image i resized so the long side == target (keeps ratio), labels in pixels xyxy."""
         img = self._im_cache.get(i) if self.cache else None
+        if img is None and self.cache_disk:
+            npy = Path(self.im_files[i]).with_suffix(".npy")
+            if npy.is_file():
+                img = np.load(npy)
         if img is None:
             img = cv2.imread(self.im_files[i])
             if img is None:
                 raise FileNotFoundError(self.im_files[i])
             if self.cache:
                 self._im_cache[i] = img
+            elif self.cache_disk:
+                try:
+                    np.save(Path(self.im_files[i]).with_suffix(".npy"), img)
+                except OSError:
+                    pass  # read-only dataset dir
         img = img.copy() if self.cache else img
         h0, w0 = img.shape[:2]
         size = target_size or self.imgsz
@@ -210,7 +352,8 @@ class YOLODataset:
                 item = mixup(item, one_mosaic(), rng=self.rng)
         else:
             item = self._load_item(i)
-            img, r, (padx, pady) = letterbox(item["img"], self.imgsz, scaleup=self.augment)
+            shape = self.batch_shapes[self.batch_index[i]] if self.rect else self.imgsz
+            img, r, (padx, pady) = letterbox(item["img"], shape, scaleup=self.augment)
             if len(item["bboxes"]):
                 item["bboxes"] = item["bboxes"] * r
                 item["bboxes"][:, [0, 2]] += padx

@@ -154,6 +154,10 @@ class BaseTrainer(HasCallbacks):
         self.args = get_cfg(cfg, overrides)
         self.task = self.args.task
         self.init_callbacks()
+        # logger integrations (tensorboard/wandb/mlflow/...): no-ops unless
+        # enabled in settings.json AND importable (utils/callbacks package)
+        from sar_yolo_tpu.utils.callbacks import add_integration_callbacks
+        add_integration_callbacks(self)
         self.save_dir = get_save_dir(self.args)
         self.args.save_dir = str(self.save_dir)  # downstream consumers (validator json/csv)
         self.wdir = self.save_dir / "weights"

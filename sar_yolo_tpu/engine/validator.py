@@ -68,7 +68,12 @@ class BaseValidator:
                                            max_det=max_det, nc=nc)
             return (dets, protos) if protos is not None else dets
 
-        loader = build_dataloader(dataset, batch_size=min(args.batch, len(dataset)),
+        bs = min(args.batch, len(dataset))
+        if getattr(args, "rect", False) and getattr(dataset, "shapes", None) is not None:
+            # rectangular eval: aspect-sorted batches with bucketed shapes, so
+            # executables stay bounded (reference BaseDataset.set_rectangle)
+            dataset.init_rect(bs)
+        loader = build_dataloader(dataset, batch_size=bs,
                                   shuffle=False, workers=args.workers,
                                   drop_last=False, pad_last=True)
         self.init_metrics()

@@ -1,8 +1,11 @@
 """Solutions: demo applications over predict/track results.
 
-Capability parity (core subset) with reference solutions/ (ObjectCounter,
-RegionCounter, Heatmap, SpeedEstimator of the 14 demo apps; the rest are
-UI variations over the same Results/track stream).
+Capability parity with reference solutions/ (object_counter, region_counter,
+heatmap, speed_estimation, ai_gym, analytics, distance_calculation,
+parking_management, queue_management, security_alarm, trackzone,
+streamlit_inference). All consume per-frame rows
+[x1, y1, x2, y2, conf, cls(, track_id)] from predict()/track() — pure host-side
+geometry, no device work.
 """
 
 from __future__ import annotations
@@ -10,6 +13,8 @@ from __future__ import annotations
 from collections import defaultdict
 
 import numpy as np
+
+from sar_yolo_tpu.utils import LOGGER
 
 
 class ObjectCounter:
@@ -130,4 +135,237 @@ class SpeedEstimator:
         return speeds
 
 
-__all__ = ["ObjectCounter", "RegionCounter", "Heatmap", "SpeedEstimator"]
+def _point_in_poly(poly, px, py) -> bool:
+    """Ray-cast point-in-polygon (shared by the region-based solutions)."""
+    n = len(poly)
+    inside = False
+    j = n - 1
+    for i in range(n):
+        xi, yi = poly[i]
+        xj, yj = poly[j]
+        if (yi > py) != (yj > py) and px < (xj - xi) * (py - yi) / (yj - yi + 1e-9) + xi:
+            inside = not inside
+        j = i
+    return inside
+
+
+class AIGym:
+    """Workout repetition counter from pose keypoints (reference solutions/ai_gym.py).
+
+    kpts_idx: three keypoint indices (e.g. shoulder-elbow-wrist for pushups);
+    the joint angle at the middle point drives an up/down stage machine and a
+    rep counter per track id.
+    """
+
+    def __init__(self, kpts_idx=(6, 8, 10), up_angle: float = 145.0,
+                 down_angle: float = 90.0):
+        self.kpts_idx = tuple(kpts_idx)
+        self.up_angle = up_angle
+        self.down_angle = down_angle
+        self.count: dict[int, int] = defaultdict(int)
+        self.stage: dict[int, str] = {}
+
+    @staticmethod
+    def joint_angle(a, b, c) -> float:
+        """Angle ABC in degrees between keypoints a-b-c ((x, y) each)."""
+        a, b, c = (np.asarray(p, np.float32)[:2] for p in (a, b, c))
+        ang = np.degrees(np.arctan2(c[1] - b[1], c[0] - b[0]) -
+                         np.arctan2(a[1] - b[1], a[0] - b[0]))
+        ang = abs(ang)
+        return 360.0 - ang if ang > 180.0 else float(ang)
+
+    def update(self, keypoints: np.ndarray, track_ids=None) -> dict:
+        """keypoints: (n, K, 2|3) per-person keypoints for one frame."""
+        ids = track_ids if track_ids is not None else range(len(keypoints))
+        for tid, kpts in zip(ids, keypoints):
+            i, j, k = self.kpts_idx
+            ang = self.joint_angle(kpts[i], kpts[j], kpts[k])
+            tid = int(tid)
+            if ang > self.up_angle:
+                if self.stage.get(tid) == "down":
+                    self.count[tid] += 1
+                self.stage[tid] = "up"
+            elif ang < self.down_angle:
+                self.stage[tid] = "down"
+        return {"count": dict(self.count), "stage": dict(self.stage)}
+
+
+class Analytics:
+    """Per-frame class-count series for line/bar/pie/area charts (reference
+    solutions/analytics.py). Accumulates host-side; `chart()` returns the data
+    ready for any plotting frontend, `render()` draws a PNG via matplotlib."""
+
+    def __init__(self, names: dict | None = None):
+        self.names = names or {}
+        self.frames: list[dict] = []
+
+    def update(self, boxes: np.ndarray) -> dict:
+        counts: dict = defaultdict(int)
+        for row in boxes:
+            c = int(row[5]) if len(row) > 5 else 0
+            counts[self.names.get(c, str(c))] += 1
+        self.frames.append(dict(counts))
+        return self.frames[-1]
+
+    def chart(self, kind: str = "line") -> dict:
+        keys = sorted({k for f in self.frames for k in f})
+        if kind in ("line", "area"):
+            return {"x": list(range(len(self.frames))),
+                    "series": {k: [f.get(k, 0) for f in self.frames] for k in keys}}
+        totals = {k: sum(f.get(k, 0) for f in self.frames) for k in keys}
+        return {"labels": keys, "values": [totals[k] for k in keys]}
+
+    def render(self, path, kind: str = "line"):
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        data = self.chart(kind)
+        fig, ax = plt.subplots(figsize=(8, 4))
+        if kind in ("line", "area"):
+            for k, ys in data["series"].items():
+                (ax.fill_between if kind == "area" else ax.plot)(data["x"], ys, label=k)
+            ax.legend()
+            ax.set_xlabel("frame")
+            ax.set_ylabel("count")
+        elif kind == "bar":
+            ax.bar(data["labels"], data["values"])
+        else:  # pie
+            ax.pie(data["values"], labels=data["labels"], autopct="%1.0f%%")
+        fig.savefig(path, bbox_inches="tight")
+        plt.close(fig)
+        return path
+
+
+class DistanceCalculation:
+    """Distance between two selected tracks (reference
+    solutions/distance_calculation.py): select two track ids, update() returns
+    their centroid distance in pixels and meters."""
+
+    def __init__(self, pixels_per_meter: float = 10.0):
+        self.ppm = pixels_per_meter
+        self.selected: list[int] = []
+
+    def select(self, track_id: int):
+        """Toggle a track id in/out of the measured pair (max 2, FIFO)."""
+        if track_id in self.selected:
+            self.selected.remove(track_id)
+        else:
+            self.selected.append(track_id)
+            self.selected = self.selected[-2:]
+
+    def update(self, tracks: np.ndarray) -> dict | None:
+        if len(self.selected) != 2:
+            return None
+        cents = {}
+        for row in tracks:
+            if len(row) >= 7 and int(row[6]) in self.selected:
+                cents[int(row[6])] = ((row[0] + row[2]) / 2, (row[1] + row[3]) / 2)
+        if len(cents) != 2:
+            return None
+        (x1, y1), (x2, y2) = cents.values()
+        px = float(np.hypot(x2 - x1, y2 - y1))
+        return {"pixels": px, "meters": px / self.ppm,
+                "centroids": {k: tuple(map(float, v)) for k, v in cents.items()}}
+
+
+class ParkingManagement:
+    """Occupied/free counts over polygonal parking slots (reference
+    solutions/parking_management.py). slots: list of polygons [(x, y), ...]."""
+
+    def __init__(self, slots: list):
+        self.slots = [np.asarray(s, np.float32) for s in slots]
+
+    def update(self, boxes: np.ndarray) -> dict:
+        occupied = [False] * len(self.slots)
+        for row in boxes:
+            cx = (row[0] + row[2]) / 2
+            cy = (row[1] + row[3]) / 2
+            for si, poly in enumerate(self.slots):
+                if not occupied[si] and _point_in_poly(poly, cx, cy):
+                    occupied[si] = True
+        n_occ = sum(occupied)
+        return {"occupied": n_occ, "available": len(self.slots) - n_occ,
+                "slots": occupied}
+
+
+class QueueManager:
+    """Queue length inside a polygon region over time (reference
+    solutions/queue_management.py). Only counts tracked objects so transient
+    false positives don't inflate the queue."""
+
+    def __init__(self, region: list):
+        self.region = np.asarray(region, np.float32)
+        self.history: list[int] = []
+
+    def update(self, tracks: np.ndarray) -> dict:
+        n = 0
+        for row in tracks:
+            cx = (row[0] + row[2]) / 2
+            cy = (row[1] + row[3]) / 2
+            if _point_in_poly(self.region, cx, cy):
+                n += 1
+        self.history.append(n)
+        return {"queue": n, "max": max(self.history), "avg": float(np.mean(self.history))}
+
+
+class SecurityAlarm:
+    """Fire a callback when detections exceed a threshold (reference
+    solutions/security_alarm.py sends an email; here the notifier is
+    pluggable — email/webhook/log — and fires once per breach episode)."""
+
+    def __init__(self, threshold: int = 1, notifier=None):
+        self.threshold = threshold
+        self.notifier = notifier or (lambda msg: LOGGER.warning(msg))
+        self.breached = False
+        self.events: list[dict] = []
+
+    def update(self, boxes: np.ndarray, frame_idx: int = -1) -> bool:
+        n = len(boxes)
+        if n >= self.threshold and not self.breached:
+            self.breached = True
+            event = {"frame": frame_idx, "objects": int(n)}
+            self.events.append(event)
+            self.notifier(f"Security alert: {n} objects detected (frame {frame_idx})")
+        elif n < self.threshold:
+            self.breached = False
+        return self.breached
+
+
+class TrackZone:
+    """Restrict tracking to a polygonal zone (reference solutions/trackzone.py):
+    update() filters track rows to those whose centroid is inside the zone."""
+
+    def __init__(self, region: list):
+        self.region = np.asarray(region, np.float32)
+
+    def update(self, tracks: np.ndarray) -> np.ndarray:
+        keep = [i for i, row in enumerate(tracks)
+                if _point_in_poly(self.region, (row[0] + row[2]) / 2,
+                                  (row[1] + row[3]) / 2)]
+        return tracks[keep] if len(keep) else tracks[:0]
+
+
+def streamlit_inference(model_path: str = "yolov8n.yaml"):
+    """Launch a live webcam inference UI (reference solutions/streamlit_inference.py).
+
+    Requires `streamlit` (not bundled); raises with install guidance otherwise.
+    """
+    try:
+        import streamlit as st
+    except ImportError as e:
+        raise ImportError("streamlit_inference requires `pip install streamlit`") from e
+    from sar_yolo_tpu import YOLO
+    st.title("SAR-YOLO-TPU live inference")
+    source = st.sidebar.text_input("source", "0")
+    conf = st.sidebar.slider("confidence", 0.0, 1.0, 0.25)
+    if st.sidebar.button("run"):
+        model = YOLO(model_path)
+        frame_slot = st.empty()
+        for res in model.predict(int(source) if source.isdigit() else source,
+                                 conf=conf, stream=True):
+            frame_slot.image(res.plot()[..., ::-1], channels="RGB")
+
+
+__all__ = ["ObjectCounter", "RegionCounter", "Heatmap", "SpeedEstimator", "AIGym",
+           "Analytics", "DistanceCalculation", "ParkingManagement", "QueueManager",
+           "SecurityAlarm", "TrackZone", "streamlit_inference"]

@@ -35,3 +35,19 @@ class HasCallbacks:
     def run_callbacks(self, event: str):
         for f in self.callbacks.get(event, []):
             f(self)
+
+
+def add_integration_callbacks(instance):
+    """Register every available logger integration on a trainer.
+
+    ≙ reference utils/callbacks/base.py:212 add_integration_callbacks: each
+    integration module exposes a `callbacks` dict that is empty unless its
+    library imports AND its SETTINGS flag is on, so this is a no-op by default
+    (see utils/settings.py for why integrations are opt-in here).
+    """
+    from . import clearml, comet, dvc, mlflow, neptune, raytune, tensorboard, wb
+    for module in (tensorboard, wb, mlflow, comet, clearml, dvc, neptune, raytune):
+        for event, fn in module.callbacks.items():
+            existing = instance.callbacks.setdefault(event, [])
+            if fn not in existing:
+                existing.append(fn)

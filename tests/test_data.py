@@ -70,3 +70,74 @@ def test_train_on_disk_dataset(tmp_path):
                       project=str(tmp_path), name="t", exist_ok=True, max_labels=16,
                       mesh_shape=[1], plots=False, mosaic=0.0)
     assert np.isfinite(metrics["train/box"])
+
+
+def test_label_cache_and_verify(tmp_path):
+    """Second init loads the .cache.npz; corrupt images are dropped (reference
+    verify_image_label + cache_labels, data/utils.py:102-173)."""
+    yaml_path = make_dataset(tmp_path / "ds4", n=6)
+    info = check_det_dataset(yaml_path)
+    # corrupt one image file
+    (tmp_path / "ds4" / "images" / "000.jpg").write_bytes(b"not a jpeg")
+    ds = YOLODataset(info["train"], imgsz=64, augment=False, max_labels=8)
+    assert len(ds) == 5  # corrupt one dropped
+    assert ds.shapes.shape == (5, 2) and (ds.shapes == 96).all()
+    cache = ds._cache_path()
+    assert cache.is_file()
+    # reload: served from cache (mutate in-memory marker to prove no re-verify)
+    ds2 = YOLODataset(info["train"], imgsz=64, augment=False, max_labels=8)
+    assert len(ds2) == 5
+    assert [l["cls"].tolist() for l in ds2.labels] == [l["cls"].tolist() for l in ds.labels]
+    # label edit invalidates the hash -> rebuild
+    lbl = tmp_path / "ds4" / "labels" / "001.txt"
+    lbl.write_text("0 0.5 0.5 0.2 0.2")
+    ds3 = YOLODataset(info["train"], imgsz=64, augment=False, max_labels=8)
+    i = ds3.im_files.index(str(tmp_path / "ds4" / "images" / "001.jpg"))
+    assert len(ds3.labels[i]["cls"]) == 1
+
+
+def test_rect_val_batching(tmp_path):
+    """Rect mode: aspect-sorted batches, stride-multiple bucketed shapes, every
+    image letterboxed to its batch shape (reference BaseDataset.set_rectangle)."""
+    root = tmp_path / "ds5"
+    (root / "images").mkdir(parents=True)
+    (root / "labels").mkdir(parents=True)
+    rng = np.random.default_rng(1)
+    sizes = [(64, 128), (64, 128), (128, 64), (128, 64), (96, 96), (96, 96)]
+    for i, (h, w) in enumerate(sizes):
+        img = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        cv2.imwrite(str(root / "images" / f"{i:03d}.jpg"), img)
+        (root / "labels" / f"{i:03d}.txt").write_text("0 0.5 0.5 0.4 0.4")
+    ds = YOLODataset(str(root / "images"), imgsz=128, augment=False, max_labels=8)
+    ds.init_rect(batch_size=2, stride=32, quant=64)
+    assert ds.rect and len(ds.batch_shapes) == 3
+    for s in ds.batch_shapes:
+        assert s[0] % 32 == 0 and s[1] % 32 == 0
+        assert min(s) % 64 == 0 or min(s) == max(s)
+    # wide images sort first (h/w < 1): their batch is shorter than wide
+    assert ds.batch_shapes[0][0] < ds.batch_shapes[0][1]
+    for i in range(len(ds)):
+        item = ds[i]
+        assert item["img"].shape[:2] == ds.batch_shapes[ds.batch_index[i]]
+        b = item["bboxes"][item["mask"] > 0]
+        assert (b > 0).all() and (b < 1).all()
+
+
+def test_rect_val_e2e(tmp_path):
+    """YOLO.val(rect=True) runs the bucketed-shape loop end to end."""
+    yaml_path = make_dataset(tmp_path / "ds6", n=4)
+    m = YOLO("tinydet.yaml")
+    res = m.val(data=str(yaml_path), imgsz=64, batch=2, rect=True, workers=1,
+                max_labels=16, verbose=False)
+    assert "metrics/mAP50-95(B)" in res
+
+
+def test_disk_cache(tmp_path):
+    yaml_path = make_dataset(tmp_path / "ds7", n=2)
+    info = check_det_dataset(yaml_path)
+    ds = YOLODataset(info["train"], imgsz=64, augment=False, max_labels=8, cache="disk")
+    _ = ds[0]
+    import pathlib
+    npys = list(pathlib.Path(info["train"]).glob("*.npy"))
+    assert npys, "disk cache sidecar not written"
+    _ = ds[0]  # served from sidecar

@@ -89,3 +89,129 @@ def test_instances():
     inst = Instances(np.array([[0.5, 0.5, 0.2, 0.2]]), bbox_format="xywh", normalized=True)
     inst.denormalize(100, 100)
     assert np.allclose(inst.bboxes, [[50, 50, 20, 20]])
+
+
+def test_aigym_rep_counting():
+    from sar_yolo_tpu.solutions import AIGym
+    gym = AIGym(kpts_idx=(0, 1, 2))
+    straight = np.array([[[0, 0], [50, 0], [100, 0]]], np.float32)   # 180 deg (up)
+    bent = np.array([[[0, 0], [50, 0], [50, -50]]], np.float32)      # 90->down at <90? 90 not <90
+    very_bent = np.array([[[0, 0], [50, 0], [10, -20]]], np.float32)  # acute angle (down)
+    for kp in (straight, very_bent, straight, very_bent, straight):
+        res = gym.update(kp, track_ids=[7])
+    assert res["count"][7] == 2
+    assert res["stage"][7] == "up"
+    assert abs(AIGym.joint_angle([0, 0], [50, 0], [100, 0]) - 180.0) < 1e-3
+    assert abs(AIGym.joint_angle([0, 0], [50, 0], [50, -50]) - 90.0) < 1e-3
+
+
+def test_analytics_series_and_render(tmp_path):
+    from sar_yolo_tpu.solutions import Analytics
+    an = Analytics(names={0: "person", 1: "car"})
+    an.update(np.array([[0, 0, 10, 10, 0.9, 0], [0, 0, 10, 10, 0.9, 1]]))
+    an.update(np.array([[0, 0, 10, 10, 0.9, 0]]))
+    line = an.chart("line")
+    assert line["series"]["person"] == [1, 1] and line["series"]["car"] == [1, 0]
+    pie = an.chart("pie")
+    assert dict(zip(pie["labels"], pie["values"])) == {"person": 2, "car": 1}
+    out = an.render(tmp_path / "chart.png", "bar")
+    assert out.exists()
+
+
+def test_distance_calculation():
+    from sar_yolo_tpu.solutions import DistanceCalculation
+    dc = DistanceCalculation(pixels_per_meter=10.0)
+    dc.select(1)
+    dc.select(2)
+    tracks = np.array([_track_row(0, 0, 10, 10, 1), _track_row(30, 0, 40, 10, 2)])
+    res = dc.update(tracks)
+    assert abs(res["pixels"] - 30.0) < 1e-6 and abs(res["meters"] - 3.0) < 1e-6
+    dc.select(1)  # deselect -> measurement unavailable
+    assert dc.update(tracks) is None
+
+
+def test_parking_and_queue_and_trackzone():
+    from sar_yolo_tpu.solutions import ParkingManagement, QueueManager, TrackZone
+    slots = [[(0, 0), (20, 0), (20, 20), (0, 20)], [(30, 0), (50, 0), (50, 20), (30, 20)]]
+    pm = ParkingManagement(slots)
+    res = pm.update(np.array([[5, 5, 15, 15, 0.9, 0]]))
+    assert res == {"occupied": 1, "available": 1, "slots": [True, False]}
+    qm = QueueManager(region=[(0, 0), (100, 0), (100, 100), (0, 100)])
+    r1 = qm.update(np.array([_track_row(10, 10, 20, 20, 1), _track_row(200, 200, 210, 210, 2)]))
+    assert r1["queue"] == 1
+    tz = TrackZone(region=[(0, 0), (100, 0), (100, 100), (0, 100)])
+    kept = tz.update(np.array([_track_row(10, 10, 20, 20, 1), _track_row(200, 200, 210, 210, 2)]))
+    assert len(kept) == 1 and int(kept[0][6]) == 1
+
+
+def test_security_alarm_fires_once_per_episode():
+    from sar_yolo_tpu.solutions import SecurityAlarm
+    fired = []
+    sa = SecurityAlarm(threshold=2, notifier=fired.append)
+    sa.update(np.zeros((1, 6)), 0)   # below threshold
+    sa.update(np.zeros((3, 6)), 1)   # breach -> fire
+    sa.update(np.zeros((4, 6)), 2)   # still breached -> no refire
+    sa.update(np.zeros((0, 6)), 3)   # reset
+    sa.update(np.zeros((2, 6)), 4)   # new breach -> fire
+    assert len(fired) == 2 and len(sa.events) == 2
+
+
+def test_files_utils(tmp_path):
+    from sar_yolo_tpu.utils.files import (WorkingDirectory, file_age, file_date,
+                                          file_size, get_latest_run, increment_path)
+    d = tmp_path / "exp"
+    d.mkdir()
+    assert increment_path(d) == tmp_path / "exp2"
+    assert increment_path(d, exist_ok=True) == d
+    f = tmp_path / "a.txt"
+    f.write_bytes(b"x" * 2048)
+    assert 0.001 < file_size(f) < 0.01
+    assert file_age(f) == 0 and "-" in file_date(f)
+    (tmp_path / "runs" / "last").mkdir(parents=True)
+    assert get_latest_run(tmp_path).endswith("last")
+    import os
+    cwd = os.getcwd()
+    with WorkingDirectory(tmp_path):
+        assert os.getcwd() == str(tmp_path)
+    assert os.getcwd() == cwd
+
+
+def test_downloads_registry(tmp_path, monkeypatch):
+    from sar_yolo_tpu.utils.downloads import (GITHUB_ASSETS_NAMES, asset_url,
+                                              attempt_download_asset)
+    from sar_yolo_tpu.utils.errors import ModelNotFoundError
+    assert "yolov8n.pt" in GITHUB_ASSETS_NAMES and "sam2_b.pt" in GITHUB_ASSETS_NAMES
+    assert asset_url("yolov8n.pt").startswith("https://github.com/")
+    local = tmp_path / "w.pt"
+    local.write_bytes(b"ok")
+    assert attempt_download_asset(local) == str(local)
+    # zero-egress default: known asset but absent locally -> actionable error
+    monkeypatch.delenv("SARYOLO_ALLOW_DOWNLOADS", raising=False)
+    try:
+        attempt_download_asset("yolov8n.pt")
+        raise AssertionError("expected ModelNotFoundError")
+    except ModelNotFoundError as e:
+        assert "Pre-stage" in str(e)
+
+
+def test_dota_converter(tmp_path):
+    import cv2
+    from sar_yolo_tpu.data.converter import convert_dota_to_yolo_obb
+    root = tmp_path / "dota"
+    (root / "images" / "train").mkdir(parents=True)
+    (root / "labels" / "train_original").mkdir(parents=True)
+    cv2.imwrite(str(root / "images" / "train" / "P0001.png"),
+                np.zeros((100, 200, 3), np.uint8))
+    (root / "labels" / "train_original" / "P0001.txt").write_text(
+        "imagesource:GoogleEarth\ngsd:0.1\n"
+        "20 10 180 10 180 90 20 90 plane 0\n"
+        "0 0 10 0 10 10 0 10 small-vehicle 1\n"
+        "5 5 6 5 6 6 5 6 unknown-thing 0\n")
+    convert_dota_to_yolo_obb(root)
+    out = (root / "labels" / "train" / "P0001.txt").read_text().splitlines()
+    assert len(out) == 2  # unknown class dropped, headers skipped
+    r0 = out[0].split()
+    assert r0[0] == "0"  # plane
+    assert abs(float(r0[1]) - 0.1) < 1e-6 and abs(float(r0[2]) - 0.1) < 1e-6
+    assert abs(float(r0[3]) - 0.9) < 1e-6  # x2/w = 180/200
+    assert out[1].split()[0] == str(10)  # small vehicle -> index 10
