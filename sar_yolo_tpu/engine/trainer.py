@@ -274,6 +274,15 @@ class BaseTrainer(HasCallbacks):
         self.model, self.meta = build_model(args.model, nc=nc, dtype=dtype)
         rng = jax.random.PRNGKey(args.seed)
         variables = init_model(self.model, self.meta, rng, imgsz=args.imgsz)
+        if dtype == jnp.bfloat16:
+            # ≙ reference check_amp (utils/checks.py:638): verify the reduced-
+            # precision forward tracks f32 before training in it; fall back if not
+            from sar_yolo_tpu.utils.checks import check_bf16
+            if not check_bf16(self.model, variables, imgsz=min(args.imgsz, 64)):
+                LOGGER.warning("bf16 forward diverges from f32 on this model; "
+                               "falling back to f32 compute (≙ AMP disabled)")
+                self.model, self.meta = build_model(args.model, nc=nc, dtype=jnp.float32)
+                variables = init_model(self.model, self.meta, rng, imgsz=args.imgsz)
 
         self.mesh = get_mesh(args.mesh_shape)
         if args.batch == -1:  # autobatch (reference utils/autobatch.py)

@@ -165,6 +165,16 @@ class BaseValidator:
     def print_results(self, results, n_img):
         if results:
             LOGGER.info("  ".join(f"{k.split('/')[-1]}={v:.4f}" for k, v in results.items()))
+        # per-class table (reference detect/val.py print_results with args.verbose)
+        pc = getattr(self.det_metrics, "per_class", None) if hasattr(self, "det_metrics") else None
+        if pc is not None and getattr(self.args, "verbose", False) and len(pc["unique_classes"]) > 1:
+            names = self.data.get("names") or {}
+            LOGGER.info(f"{'class':>16} {'instances':>10} {'P':>8} {'R':>8} "
+                        f"{'mAP50':>8} {'mAP50-95':>9}")
+            for ci, c in enumerate(pc["unique_classes"]):
+                LOGGER.info(f"{str(names.get(int(c), int(c))):>16} {pc['nt'][ci]:>10} "
+                            f"{pc['p'][ci]:>8.3f} {pc['r'][ci]:>8.3f} "
+                            f"{pc['ap'][ci, 0]:>8.3f} {pc['ap'][ci].mean():>9.3f}")
 
 
 class DetectionValidator(BaseValidator):

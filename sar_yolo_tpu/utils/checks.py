@@ -58,7 +58,7 @@ def check_bf16(model, variables, imgsz: int = 64) -> bool:
     import jax.numpy as jnp
     if jax.default_backend() != "tpu":
         return False
-    x = jnp.zeros((1, imgsz, imgsz, 3), jnp.float32)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (1, imgsz, imgsz, 3), jnp.float32)
     try:
         out32 = model.apply(variables, x, train=False)
         leaf32 = jax.tree.leaves(out32)[0]
@@ -70,6 +70,30 @@ def check_bf16(model, variables, imgsz: int = 64) -> bool:
     except Exception as e:  # noqa: BLE001
         LOGGER.warning(f"check_bf16 failed: {e}")
         return False
+
+
+def check_requirements(requirements, hard: bool = False) -> bool:
+    """Verify installed package versions (reference check_requirements, minus the
+    auto-`pip install` — installs are forbidden on the zero-egress TPU hosts).
+
+    requirements: str or list like 'numpy>=1.23' / ['jax>=0.4', 'flax'].
+    """
+    from importlib import metadata
+    ok = True
+    for req in ([requirements] if isinstance(requirements, str) else requirements):
+        m = re.match(r"\s*([A-Za-z0-9_.-]+)\s*(.*)", req)
+        name, spec = m.group(1), m.group(2).strip()
+        try:
+            installed = metadata.version(name)
+        except metadata.PackageNotFoundError:
+            msg = f"required package '{name}' is not installed"
+            if hard:
+                raise ModuleNotFoundError(msg) from None
+            LOGGER.warning(f"WARNING: {msg}")
+            ok = False
+            continue
+        ok &= check_version(installed, spec, name=name, hard=hard)
+    return ok
 
 
 def collect_system_info() -> dict:

@@ -24,9 +24,14 @@ def box_iou_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 def match_predictions(pred_boxes, pred_cls, gt_boxes, gt_cls, thresholds=IOU_THRESHOLDS):
-    """Per-image TP matrix (n_pred, n_thr): greedy IoU matching, class-aware.
+    """Per-image TP matrix (n_pred, n_thr): IoU matching, class-aware.
 
-    Mirrors reference BaseValidator.match_predictions (engine/validator.py:222).
+    Exact semantics of reference BaseValidator.match_predictions
+    (engine/validator.py:222): candidate pairs sorted by IoU descending, then
+    deduplicated per-detection and per-GT by first (= highest-IoU) occurrence.
+    Note this is NOT pure greedy — a detection whose best GT is taken does not
+    fall back to its second-best — and tests/test_ref_crosscheck.py pins
+    assignment-level agreement with the reference implementation.
     """
     n_pred = len(pred_boxes)
     n_thr = len(thresholds)
@@ -41,13 +46,13 @@ def match_predictions(pred_boxes, pred_cls, gt_boxes, gt_cls, thresholds=IOU_THR
         if len(gi):
             order = iou[gi, pi].argsort()[::-1]
             gi, pi = gi[order], pi[order]
-            seen_g, seen_p = set(), set()
-            for g, p in zip(gi, pi):
-                if g in seen_g or p in seen_p:
-                    continue
-                seen_g.add(g)
-                seen_p.add(p)
-                tp[p, t] = True
+            keep = np.unique(pi, return_index=True)[1]  # best GT per detection
+            gi, pi = gi[keep], pi[keep]  # now ordered by detection index (np.unique)
+            # second dedup intentionally NOT re-sorted by IoU: the reference keeps
+            # detection-index order here (its re-sort line is commented out), so
+            # each GT keeps its lowest-indexed detection
+            keep = np.unique(gi, return_index=True)[1]
+            tp[pi[keep], t] = True
     return tp
 
 

@@ -1,0 +1,146 @@
+"""External-standard metric audit: run the REFERENCE's own metric code (from
+/root/reference, torch-CPU) on the same inputs as ours and require agreement.
+
+This substitutes for a pycocotools/coco128 parity run in the zero-egress env:
+the reference's ap_per_class + BaseValidator.match_predictions are the exact
+functions its published mAP numbers flow through, so agreement here means a val
+run on identical predictions would print identical mAP.
+"""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
+def _import_ref_metrics():
+    """Import ultralytics.utils.metrics from the read-only reference checkout.
+
+    The reference hard-requires torchvision/thop/pytorch_metric_learning at
+    import; none are installed and none are touched by the metric functions, so
+    they are stubbed out (metadata for torchvision, empty modules otherwise).
+    """
+    import importlib.metadata as md
+    real_version = md.version
+
+    def fake_version(name):
+        if name == "torchvision":
+            return "0.19.0"
+        return real_version(name)
+
+    md.version = fake_version
+    for name in ("thop", "pytorch_metric_learning", "pytorch_metric_learning.miners",
+                 "pytorch_metric_learning.distances", "pytorch_metric_learning.losses",
+                 "pytorch_metric_learning.reducers"):
+        mod = types.ModuleType(name)
+        if name == "thop":
+            mod.profile = lambda *a, **k: (0, 0)
+        sys.modules.setdefault(name, mod)
+    pml = sys.modules["pytorch_metric_learning"]
+    for sub in ("miners", "distances", "losses", "reducers"):
+        setattr(pml, sub, sys.modules[f"pytorch_metric_learning.{sub}"])
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    try:
+        from ultralytics.utils import metrics as ref_metrics
+        from ultralytics.engine import validator as ref_validator
+    finally:
+        md.version = real_version
+    return ref_metrics, ref_validator
+
+
+def test_ap_per_class_matches_reference():
+    """Same (tp, conf, pred_cls, target_cls) -> same AP matrix and mAPs."""
+    ref_metrics, _ = _import_ref_metrics()
+    from sar_yolo_tpu.utils.metrics import ap_per_class
+
+    rng = np.random.default_rng(42)
+    n_pred, n_gt, nc = 500, 200, 5
+    tp = rng.random((n_pred, 10)) > rng.uniform(0.3, 0.8, (n_pred, 1))
+    tp = np.sort(tp, axis=1)[:, ::-1]  # monotone over IoU thresholds, like real TPs
+    conf = rng.random(n_pred)
+    pred_cls = rng.integers(0, nc, n_pred).astype(float)
+    target_cls = rng.integers(0, nc, n_gt).astype(float)
+
+    ours = ap_per_class(tp, conf, pred_cls, target_cls)
+    ref_out = ref_metrics.ap_per_class(tp, conf, pred_cls, target_cls)
+    # reference returns (tp, fp, p, r, f1, ap, unique_classes, p_curve, ...)
+    ref_ap = ref_out[5]
+    assert ref_ap.shape == ours["ap"].shape
+    np.testing.assert_allclose(ours["ap"], ref_ap, atol=1e-10)
+    np.testing.assert_allclose(ours["ap"][:, 0].mean(), ref_ap[:, 0].mean(), atol=1e-12)
+    np.testing.assert_allclose(ours["ap"].mean(), ref_ap.mean(), atol=1e-12)
+
+
+def test_match_predictions_matches_reference():
+    """Same boxes -> same TP matrix as reference BaseValidator.match_predictions."""
+    import torch
+    ref_metrics, ref_validator = _import_ref_metrics()
+    from sar_yolo_tpu.utils.metrics import (IOU_THRESHOLDS, box_iou_np,
+                                            match_predictions)
+
+    rng = np.random.default_rng(7)
+    for trial in range(5):
+        n_gt, n_pred = rng.integers(1, 30), rng.integers(1, 60)
+        gt_xy = rng.uniform(0, 200, (n_gt, 2))
+        gt = np.concatenate([gt_xy, gt_xy + rng.uniform(10, 60, (n_gt, 2))], 1)
+        # predictions: jittered copies of GT + noise boxes
+        idx = rng.integers(0, n_gt, n_pred)
+        pred = gt[idx] + rng.normal(0, 6, (n_pred, 4))
+        pred[:, 2:] = np.maximum(pred[:, 2:], pred[:, :2] + 1)
+        gt_cls = rng.integers(0, 3, n_gt).astype(float)
+        pred_cls = rng.integers(0, 3, n_pred).astype(float)
+
+        ours = match_predictions(pred, pred_cls, gt, gt_cls)
+
+        shim = types.SimpleNamespace(iouv=torch.from_numpy(IOU_THRESHOLDS))
+        iou_t = torch.from_numpy(box_iou_np(gt, pred))
+        ref_tp = ref_validator.BaseValidator.match_predictions(
+            shim, torch.from_numpy(pred_cls), torch.from_numpy(gt_cls), iou_t)
+        ref_tp = ref_tp.cpu().numpy()
+        assert (ours == ref_tp).all(), f"trial {trial}: assignments diverge"
+
+
+def test_detmetrics_pipeline_matches_reference_end_to_end():
+    """Full pipeline on a synthetic 'dataset': our DetMetrics mAP equals the
+    mAP the reference computes from its own matching on the same detections."""
+    import torch
+    ref_metrics, ref_validator = _import_ref_metrics()
+    from sar_yolo_tpu.utils.metrics import (DetMetrics, IOU_THRESHOLDS, box_iou_np,
+                                            match_predictions)
+
+    rng = np.random.default_rng(3)
+    ours_m = DetMetrics()
+    ref_stats = {"tp": [], "conf": [], "pred_cls": [], "target_cls": []}
+    shim = types.SimpleNamespace(iouv=torch.from_numpy(IOU_THRESHOLDS))
+    for _ in range(12):  # 12 images
+        n_gt, n_pred = rng.integers(1, 12), rng.integers(0, 25)
+        gt_xy = rng.uniform(0, 300, (n_gt, 2))
+        gt = np.concatenate([gt_xy, gt_xy + rng.uniform(15, 80, (n_gt, 2))], 1)
+        idx = rng.integers(0, n_gt, n_pred)
+        pred = gt[idx] + rng.normal(0, 8, (n_pred, 4))
+        if n_pred:
+            pred[:, 2:] = np.maximum(pred[:, 2:], pred[:, :2] + 1)
+        gt_cls = rng.integers(0, 4, n_gt).astype(float)
+        pred_cls = rng.integers(0, 4, n_pred).astype(float)
+        conf = rng.random(n_pred)
+
+        ours_m.update(match_predictions(pred, pred_cls, gt, gt_cls), conf, pred_cls, gt_cls)
+        ref_tp = ref_validator.BaseValidator.match_predictions(
+            shim, torch.from_numpy(pred_cls), torch.from_numpy(gt_cls),
+            torch.from_numpy(box_iou_np(gt, pred))).cpu().numpy()
+        ref_stats["tp"].append(ref_tp)
+        ref_stats["conf"].append(conf)
+        ref_stats["pred_cls"].append(pred_cls)
+        ref_stats["target_cls"].append(gt_cls)
+
+    ours = ours_m.process()
+    ref_out = ref_metrics.ap_per_class(
+        np.concatenate(ref_stats["tp"]), np.concatenate(ref_stats["conf"]),
+        np.concatenate(ref_stats["pred_cls"]), np.concatenate(ref_stats["target_cls"]))
+    ref_ap = ref_out[5]
+    np.testing.assert_allclose(ours["metrics/mAP50(B)"], ref_ap[:, 0].mean(), atol=1e-9)
+    np.testing.assert_allclose(ours["metrics/mAP50-95(B)"], ref_ap.mean(), atol=1e-9)

@@ -215,3 +215,16 @@ def test_dota_converter(tmp_path):
     assert abs(float(r0[1]) - 0.1) < 1e-6 and abs(float(r0[2]) - 0.1) < 1e-6
     assert abs(float(r0[3]) - 0.9) < 1e-6  # x2/w = 180/200
     assert out[1].split()[0] == str(10)  # small vehicle -> index 10
+
+
+def test_check_requirements():
+    from sar_yolo_tpu.utils.checks import check_requirements
+    assert check_requirements("numpy>=1.0")
+    assert check_requirements(["numpy>=1.0", "jax"])
+    assert not check_requirements("numpy>=999.0")
+    assert not check_requirements("not-a-real-package-xyz")
+    try:
+        check_requirements("not-a-real-package-xyz", hard=True)
+        raise AssertionError("expected ModuleNotFoundError")
+    except ModuleNotFoundError:
+        pass
