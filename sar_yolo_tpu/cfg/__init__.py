@@ -14,7 +14,7 @@ from typing import Any
 from sar_yolo_tpu.utils import DEFAULT_CFG_DICT, IterableSimpleNamespace, LOGGER, ROOT, yaml_load
 
 TASKS = {"detect", "segment", "classify", "pose", "obb", "jde"}
-MODES = {"train", "val", "predict", "export", "track", "benchmark"}
+MODES = {"train", "val", "predict", "export", "track", "benchmark", "tune"}
 
 TASK2DATA = {
     "detect": "coco8.yaml",

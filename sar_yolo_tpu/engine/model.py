@@ -186,6 +186,9 @@ class YOLO:
                 if getattr(cached[1].model, "fused", False):
                     from sar_yolo_tpu.nn.fuse import fuse_variables
                     v = fuse_variables(v)
+                if cached[1].model.dtype == jnp.bfloat16:  # half serving
+                    v = jax.tree.map(
+                        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, v)
                 cached[1].variables = v
             return cached[1]
         args = get_cfg(overrides=overrides)
@@ -205,6 +208,15 @@ class YOLO:
             model, variables = _fuse(model, variables)
         except Exception:  # unexpected param structure: serve unfused
             model, variables = self.model, self.variables
+        if getattr(args, "half", False):
+            # bf16 serving (≙ reference half=True fp16): fold happens at f32
+            # above, then weights+compute drop to bf16 — ~2x on the TPU forward
+            import dataclasses
+            if jax.default_backend() == "tpu":
+                model = dataclasses.replace(model, dtype=jnp.bfloat16)
+                variables = jax.tree.map(
+                    lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+                    variables)
         predictor = predictor_cls(model, variables, self.meta, args, names)
         self._predictor_cache = (key, predictor)
         return predictor

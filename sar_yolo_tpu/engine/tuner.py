@@ -45,6 +45,8 @@ SPACE = {
 
 class Tuner:
     def __init__(self, args: dict | None = None, save_dir: str | Path = "runs/tune"):
+        self._overrides = {k: v for k, v in dict(args or {}).items()
+                           if k not in ("model", "task", "mode", "iterations")}
         self.args = get_cfg(overrides=dict(args or {}))
         self.save_dir = Path(save_dir)
         self.csv = self.save_dir / "tune_results.csv"
@@ -77,7 +79,9 @@ class Tuner:
             t0 = time.time()
             m = YOLO(self.args.model or "yolov8n.yaml", task=self.args.task)
             try:
-                metrics = m.train(**{**train_kwargs, **hyp})
+                # user train settings (epochs/imgsz/batch/data/...) carry into
+                # every trial; only the mutated hyperparameters vary
+                metrics = m.train(**{**self._overrides, **train_kwargs, **hyp})
                 fitness = float(metrics.get("fitness", 0.0))
             except Exception as e:  # noqa: BLE001 — a failed trial scores 0
                 LOGGER.warning(f"tune iteration {it} failed: {e}")

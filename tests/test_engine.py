@@ -240,3 +240,19 @@ def test_yolo_tune_wired(monkeypatch):
     m = YOLO("tinydet.yaml")
     best = m.tune(iterations=3, data="synthetic")
     assert called["iterations"] == 3 and best[0] == 0.5
+
+
+@pytest.mark.slow
+def test_cli_track_and_tune_modes(tmp_path):
+    """mode=track and mode=tune drive through the CLI (reference yolo CLI MODES)."""
+    import cv2
+    from sar_yolo_tpu.cfg import entrypoint
+    img_path = tmp_path / "frame.jpg"
+    cv2.imwrite(str(img_path), (np.random.RandomState(0).rand(96, 128, 3) * 255).astype("uint8"))
+    res = entrypoint(["detect", "track", f"model=tinydet.yaml", f"source={img_path}",
+                      "imgsz=64", "verbose=False"])
+    assert res is not None
+    out = entrypoint(["detect", "tune", "model=tinydet.yaml", "iterations=2",
+                      "epochs=1", "imgsz=32", "batch=2", "workers=1",
+                      f"project={tmp_path}", "plots=False", "mesh_shape=[1]"])
+    assert out is not None
