@@ -23,7 +23,7 @@ from sar_yolo_tpu.ops.decode import decode_detect
 from sar_yolo_tpu.ops.nms import non_max_suppression
 from sar_yolo_tpu.utils import LOGGER
 
-EXPORT_FORMATS = ("stablehlo", "saved_model", "tflite")
+EXPORT_FORMATS = ("stablehlo", "saved_model", "tflite", "onnx")
 
 
 def export_formats():
@@ -32,6 +32,7 @@ def export_formats():
         {"format": "stablehlo", "suffix": ".stablehlo", "args": []},
         {"format": "saved_model", "suffix": "_saved_model", "args": ["keras"]},
         {"format": "tflite", "suffix": ".tflite", "args": ["int8"]},
+        {"format": "onnx", "suffix": ".onnx", "args": ["opset"]},  # needs tf2onnx
     ]
 
 
@@ -104,6 +105,31 @@ class Exporter:
                 path = out_dir / f"{stem}.tflite"
                 path.write_bytes(tfl)
                 (out_dir / f"{stem}.tflite.json").write_text(json.dumps(sidecar))
+        elif fmt == "onnx":
+            # jax2tf graph -> ONNX via tf2onnx (reference export_onnx analog,
+            # exporter.py:~470). tf2onnx is not bundled in the zero-egress TPU
+            # image, so this errors actionably when absent.
+            try:
+                import tf2onnx  # noqa: F401
+            except ImportError as e:
+                from sar_yolo_tpu.utils.errors import ExportError
+                raise ExportError(
+                    "ONNX export requires `tf2onnx` (pip install tf2onnx), which "
+                    "is not bundled in this image. Portable alternatives already "
+                    "supported: 'stablehlo' (hardware-neutral, versioned) or "
+                    "'saved_model' (TF C API / serving).") from e
+            import tensorflow as tf
+            from jax.experimental import jax2tf
+            tf_fn = tf.function(
+                jax2tf.convert(infer, with_gradient=False),
+                input_signature=[tf.TensorSpec(spec_shape, tf.uint8)],
+                autograph=False)
+            path = out_dir / f"{stem}.onnx"
+            tf2onnx.convert.from_function(
+                tf_fn, input_signature=[tf.TensorSpec(spec_shape, tf.uint8)],
+                opset=int(getattr(self.args, "opset", None) or 17),
+                output_path=str(path))
+            (out_dir / f"{stem}.onnx.json").write_text(json.dumps(sidecar))
         else:
             raise ValueError(f"Unsupported export format '{fmt}'. "
                              f"Available: {EXPORT_FORMATS}")

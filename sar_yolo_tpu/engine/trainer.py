@@ -271,7 +271,8 @@ class BaseTrainer(HasCallbacks):
         nc = self.data["nc"] if not args.single_cls else 1
 
         dtype = jnp.bfloat16 if (args.half or args.amp) and jax.default_backend() == "tpu" else jnp.float32
-        self.model, self.meta = build_model(args.model, nc=nc, dtype=dtype)
+        self.model, self.meta = build_model(args.model, nc=nc, dtype=dtype,
+                                            dropout=float(args.dropout or 0.0))
         rng = jax.random.PRNGKey(args.seed)
         variables = init_model(self.model, self.meta, rng, imgsz=args.imgsz)
         if dtype == jnp.bfloat16:

@@ -269,6 +269,7 @@ class Classify(nn.Module):
 
     nc: int
     c_: int = 1280
+    dropout: float = 0.0  # plumbed from cfg (reference ClassificationModel dropout)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -277,5 +278,5 @@ class Classify(nn.Module):
             x = jnp.concatenate(x, axis=-1)
         x = Conv(self.c_, 1, 1, dtype=self.dtype, name="conv")(x, train)
         x = jnp.mean(x, axis=(1, 2))
-        x = nn.Dropout(0.0, deterministic=not train)(x)
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
         return nn.Dense(self.nc, dtype=self.dtype, param_dtype=jnp.float32, name="linear")(x)

@@ -245,7 +245,7 @@ class Repeat(nn.Module):
         return x
 
 
-def _build_module(spec: LayerSpec, nc: int, dtype):
+def _build_module(spec: LayerSpec, nc: int, dtype, dropout: float = 0.0):
     """Instantiate the Flax module for a LayerSpec."""
     a = spec.args
     kw = dict(spec.kwargs)
@@ -356,7 +356,7 @@ def _build_module(spec: LayerSpec, nc: int, dtype):
         return H.OBB(nc=a[0], ne=a[1] if len(a) > 1 else 1,
                      ch=kw["ch"], legacy=kw["legacy"], dtype=dtype)
     if name == "Classify":
-        return H.Classify(nc=a[0], dtype=dtype)
+        return H.Classify(nc=a[0], dropout=dropout, dtype=dtype)
     if name == "HGStem":
         return B.HGStem(*a, dtype=dtype)
     if name == "HGBlock":
@@ -399,9 +399,11 @@ class GraphModel(nn.Module):
     dtype: Any = jnp.float32
     act: str = "silu"
     fused: bool = False
+    dropout: float = 0.0  # classify-head dropout (reference ClassificationModel arg)
 
     def setup(self):
-        self.blocks = [_build_module(s, self.nc, self.dtype) for s in self.specs]
+        self.blocks = [_build_module(s, self.nc, self.dtype, dropout=self.dropout)
+                       for s in self.specs]
 
     def __call__(self, x, train: bool = False, batch_gt=None):
         with C.default_act(C.ACTIVATIONS[self.act]), C.fused_mode(self.fused):
@@ -462,7 +464,8 @@ def guess_model_task(d: dict) -> str:
     return TASK_BY_HEAD.get(head_name, "detect")
 
 
-def build_model(cfg, nc: int | None = None, dtype=jnp.float32, verbose: bool = False):
+def build_model(cfg, nc: int | None = None, dtype=jnp.float32, verbose: bool = False,
+                dropout: float = 0.0):
     """Build a GraphModel from a yaml path/dict. Returns (model, meta).
 
     meta carries nc/reg_max/strides-placeholder/head info for losses & decode.
@@ -475,7 +478,7 @@ def build_model(cfg, nc: int | None = None, dtype=jnp.float32, verbose: bool = F
     meta["yaml"] = d
     meta["task"] = guess_model_task(d)
     model = GraphModel(specs=specs, save=save, nc=meta["nc"], dtype=dtype,
-                       act=meta.get("act", "silu"))
+                       act=meta.get("act", "silu"), dropout=dropout)
     head_spec = specs[-1]
     if head_spec.name == "JDE":
         meta["embed_dim"] = head_spec.args[1] if len(head_spec.args) > 1 else 128

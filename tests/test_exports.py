@@ -81,3 +81,19 @@ def test_autobackend_warmup_and_meta(native, tmp_path):
     assert ab.meta["imgsz"] == 64 and not ab.with_nms
     out = ab(np.zeros((1, 64, 64, 3), np.uint8))
     assert out.ndim == 3 and out.shape[0] == 1
+
+
+def test_onnx_export_gated_actionable(tmp_path):
+    """format='onnx' raises ExportError with install guidance when tf2onnx is
+    absent (real conversion path exists; the lib isn't bundled)."""
+    import pytest
+    from sar_yolo_tpu import YOLO
+    from sar_yolo_tpu.utils.errors import ExportError
+    m = YOLO("tinydet.yaml")
+    try:
+        import tf2onnx  # noqa: F401
+        pytest.skip("tf2onnx installed; gating not applicable")
+    except ImportError:
+        pass
+    with pytest.raises(ExportError, match="tf2onnx"):
+        m.export(format="onnx", imgsz=64, project=str(tmp_path))
