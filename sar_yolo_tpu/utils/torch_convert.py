@@ -81,6 +81,19 @@ def translate_torch_state_dict(state_dict, verbose: bool = False):
                 out.append(f"{p}_{level}_{stage}")
                 i += 3
                 continue
+            if re.fullmatch(r"cv\d", p) and i + 1 < len(mid) and mid[i + 1].isdigit() \
+                    and not (i + 2 < len(mid) and mid[i + 2].isdigit()):
+                # ELAN-style Sequential containers (RepNCSPELAN4 cv2/cv3 =
+                # Sequential(RepCSP, Conv)): cv2.0 -> cv2_0 (single digit —
+                # two consecutive digits is the Detect-head case above)
+                out.append(f"{p}_{mid[i + 1]}")
+                i += 2
+                continue
+            if p in ("conv", "shortcut") and i + 1 < len(mid) and mid[i + 1].isdigit():
+                # GhostBottleneck Sequentials: conv.0/.1/.2, shortcut.0/.1
+                out.append(f"{p}_{mid[i + 1]}")
+                i += 2
+                continue
             if p == "mlp" and i + 1 < len(mid) and mid[i + 1].isdigit():
                 out.append(f"mlp{int(mid[i + 1]) + 1}")  # mlp.0/mlp.1 -> mlp1/mlp2
                 i += 2

@@ -7,7 +7,6 @@ functions its published mAP numbers flow through, so agreement here means a val
 run on identical predictions would print identical mAP.
 """
 
-import sys
 import types
 
 import numpy as np
@@ -21,34 +20,12 @@ def _import_ref_metrics():
 
     The reference hard-requires torchvision/thop/pytorch_metric_learning at
     import; none are installed and none are touched by the metric functions, so
-    they are stubbed out (metadata for torchvision, empty modules otherwise).
+    they are stubbed out (see ref_stubs.py, shared with test_torch_parity).
     """
-    import importlib.metadata as md
-    real_version = md.version
-
-    def fake_version(name):
-        if name == "torchvision":
-            return "0.19.0"
-        return real_version(name)
-
-    md.version = fake_version
-    for name in ("thop", "pytorch_metric_learning", "pytorch_metric_learning.miners",
-                 "pytorch_metric_learning.distances", "pytorch_metric_learning.losses",
-                 "pytorch_metric_learning.reducers"):
-        mod = types.ModuleType(name)
-        if name == "thop":
-            mod.profile = lambda *a, **k: (0, 0)
-        sys.modules.setdefault(name, mod)
-    pml = sys.modules["pytorch_metric_learning"]
-    for sub in ("miners", "distances", "losses", "reducers"):
-        setattr(pml, sub, sys.modules[f"pytorch_metric_learning.{sub}"])
-    if "/root/reference" not in sys.path:
-        sys.path.insert(0, "/root/reference")
-    try:
-        from ultralytics.utils import metrics as ref_metrics
-        from ultralytics.engine import validator as ref_validator
-    finally:
-        md.version = real_version
+    from ref_stubs import install_reference_stubs
+    install_reference_stubs()
+    from ultralytics.engine import validator as ref_validator
+    from ultralytics.utils import metrics as ref_metrics
     return ref_metrics, ref_validator
 
 

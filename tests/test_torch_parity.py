@@ -14,9 +14,10 @@ import pytest
 
 
 def _load_reference_model(name):
-    sys.path.insert(0, "/root/reference")
     os.environ["YOLO_VERBOSE"] = "false"
     try:
+        from ref_stubs import install_reference_stubs
+        install_reference_stubs()
         with contextlib.redirect_stdout(io.StringIO()), \
                 contextlib.redirect_stderr(io.StringIO()):
             from ultralytics.nn.tasks import DetectionModel
@@ -86,3 +87,33 @@ def test_yolov13_jde_forward_parity_with_reference_weights():
     for fr, fm in zip(feats_ref, feats_mine):
         fr = fr.numpy().transpose(0, 2, 3, 1)
         assert float(np.abs(fr - np.asarray(fm)).max()) < 1e-4
+
+
+@pytest.mark.slow
+def test_v5n_v9t_forward_parity_with_reference_weights():
+    """New-family coverage: yolov5n (C3/SPPF) and yolov9t (ELAN/RepCSP/RepConv/
+    AConv/ADown/SPPELAN) match the reference forward with converted weights."""
+    import jax.numpy as jnp
+    import torch
+
+    from sar_yolo_tpu.nn.tasks import build_model
+    from sar_yolo_tpu.utils.torch_convert import translate_torch_state_dict
+
+    for name in ("yolov5n.yaml", "yolov9t.yaml"):
+        ref = _load_reference_model(name)
+        ref.eval()
+        model, meta = build_model(name)
+        conv, skipped = translate_torch_state_dict(ref.state_dict())
+        assert not skipped, f"{name}: unmapped torch keys: {skipped[:8]}"
+        variables = {"params": conv["params"], "batch_stats": conv["batch_stats"]}
+
+        rng = np.random.default_rng(1)
+        x = rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)
+        ref.model[-1].training = True  # raw per-level maps
+        with torch.no_grad():
+            feats_ref = ref._predict_once(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+        feats_mine = model.apply(variables, jnp.asarray(x), train=False)
+        for li, (fr, fm) in enumerate(zip(feats_ref, feats_mine)):
+            fr = fr.numpy().transpose(0, 2, 3, 1)
+            err = float(np.abs(fr - np.asarray(fm)).max())
+            assert err < 1e-4, f"{name} level {li} mismatch: {err}"
