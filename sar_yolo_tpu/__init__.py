@@ -7,13 +7,23 @@ joint detection/embedding/posture, pose, segment, OBB, tracking, export).
 
 __version__ = "0.2.0"
 
-__all__ = ["YOLO", "YOLOWorld", "RTDETR", "FastSAM", "NAS", "__version__"]
+__all__ = ["YOLO", "YOLOWorld", "RTDETR", "SAM", "FastSAM", "NAS", "settings",
+           "checks", "__version__"]
 
 
 def __getattr__(name):  # lazy import keeps `import sar_yolo_tpu` light
     if name == "YOLO":
         from sar_yolo_tpu.engine.model import YOLO
         return YOLO
+    if name == "SAM":
+        from sar_yolo_tpu.models.sam import SAM
+        return SAM
+    if name == "settings":
+        from sar_yolo_tpu.utils.settings import SETTINGS
+        return SETTINGS
+    if name == "checks":
+        from sar_yolo_tpu.utils import checks
+        return checks
     if name == "YOLOWorld":
         from sar_yolo_tpu.models.yolo.world import YOLOWorld
         return YOLOWorld

@@ -160,6 +160,9 @@ def parse_model(d: dict, ch: int = 3, verbose: bool = False):
             ch_list = tuple(chs[x] for x in f)
             kwargs["ch"] = ch_list
             kwargs["legacy"] = legacy
+            if m == "Segment" and len(args) > 2:
+                # proto channels npr are width-scaled (reference tasks.py:1059)
+                args[2] = make_divisible(min(args[2], max_channels) * width, 8)
             c2 = 0  # heads terminate the graph
             meta["head"] = m
             meta["head_index"] = i

@@ -130,6 +130,9 @@ def translate_torch_state_dict(state_dict, verbose: bool = False):
                 _set(params, out + ["bias"], t)
         elif leaf == "weight" and t.ndim == 4:
             _set(params, out + ["conv", "kernel"], np.transpose(t, (2, 3, 1, 0)))
+        elif leaf == "bias" and mid and mid[-1] == "upsample":
+            # Proto's ConvTranspose2d bias lives inside our inner 'conv' module
+            _set(params, out + ["conv", "bias"], t)
         elif leaf in ("weight", "bias") and t.ndim <= 2:
             # linear layers (state MLP etc.): torch (out, in) -> flax (in, out)
             name = "kernel" if leaf == "weight" else "bias"

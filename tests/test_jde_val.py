@@ -7,6 +7,7 @@ cumulative consolidated CSV (ref jde/val.py:935).
 """
 
 import numpy as np
+import pytest
 
 from sar_yolo_tpu.engine.validator import JDEValidator
 from sar_yolo_tpu.utils import IterableSimpleNamespace
@@ -105,3 +106,25 @@ def test_per_state_table_printed(tmp_path, monkeypatch):
     v.print_results({"metrics/state_acc": 0.8}, 5)
     text = "\n".join(lines)
     assert "stands" in text and "laying_down" in text and "walking" in text
+
+
+@pytest.mark.slow
+def test_jde_val_on_6col_fixture_e2e(tmp_path):
+    """Full fork metric set from YOLO.val on a real 6-column disk dataset
+    (VERDICT r1 item 3 'done' criterion)."""
+    from test_data import make_dataset
+    from sar_yolo_tpu import YOLO
+
+    yaml_path = make_dataset(tmp_path / "jde6", n=6, jde=True)
+    m = YOLO("tinyjde.yaml", task="jde")
+    res = m.val(data=str(yaml_path), imgsz=64, batch=2, workers=1, max_labels=8,
+                project=str(tmp_path), name="out", exist_ok=True, verbose=True)
+    assert "metrics/mAP50(S)" in res          # state-detection mAP second pass
+    assert "metrics/mAP50-95(S)" in res
+    assert list(tmp_path.rglob("jde_results.csv"))  # cumulative export
+    # match-conditional metrics (state_acc, ReID stats) require IoU>=0.5 matches,
+    # which an untrained model can't produce; their computation is pinned by the
+    # unit tests above. Here we assert the pipeline ran the full fork metric
+    # path without error and exported the cumulative row.
+    row = list(tmp_path.rglob("jde_results.csv"))[0].read_text().splitlines()
+    assert len(row) >= 2 and "mAP50(S)" in row[0]

@@ -117,3 +117,89 @@ def test_v5n_v9t_forward_parity_with_reference_weights():
             fr = fr.numpy().transpose(0, 2, 3, 1)
             err = float(np.abs(fr - np.asarray(fm)).max())
             assert err < 1e-4, f"{name} level {li} mismatch: {err}"
+
+
+@pytest.mark.slow
+def test_seg_pose_obb_head_forward_parity():
+    """Segment (incl. ConvTranspose Proto), Pose, OBB heads match the reference
+    forward with converted weights, compared branch-by-branch per level."""
+    import contextlib as _ctx
+    import io as _io
+    import math
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from sar_yolo_tpu.nn.tasks import build_model
+    from sar_yolo_tpu.utils.torch_convert import translate_torch_state_dict
+
+    os.environ["YOLO_VERBOSE"] = "false"
+    try:
+        from ref_stubs import install_reference_stubs
+        install_reference_stubs()
+        with _ctx.redirect_stdout(_io.StringIO()), _ctx.redirect_stderr(_io.StringIO()):
+            from ultralytics.nn.tasks import OBBModel, PoseModel, SegmentationModel
+    except Exception as e:  # noqa: BLE001
+        pytest.skip(f"reference not importable: {e}")
+
+    def nhwc(t):
+        return t.numpy().transpose(0, 2, 3, 1)
+
+    def split_levels(flat, hws):
+        """(B, C, sum hw) -> per-level NHWC arrays."""
+        out, off = [], 0
+        for h, w in hws:
+            out.append(flat[:, :, off:off + h * w].reshape(flat.shape[0], -1, h, w)
+                       .numpy().transpose(0, 2, 3, 1))
+            off += h * w
+        return out
+
+    rng = np.random.default_rng(2)
+    x = rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+
+    for name, cls in (("yolov8n-seg.yaml", SegmentationModel),
+                      ("yolov8n-pose.yaml", PoseModel),
+                      ("yolov8n-obb.yaml", OBBModel)):
+        with _ctx.redirect_stdout(_io.StringIO()), _ctx.redirect_stderr(_io.StringIO()):
+            ref = cls(name, verbose=False)
+        ref.eval()
+        ref.model[-1].training = True  # raw branch outputs
+        with torch.no_grad():
+            out_ref = ref._predict_once(xt)
+        model, meta = build_model(name)
+        conv, skipped = translate_torch_state_dict(ref.state_dict())
+        assert not skipped, f"{name}: unmapped keys: {skipped[:8]}"
+        variables = {"params": conv["params"], "batch_stats": conv["batch_stats"]}
+        out_mine = model.apply(variables, jnp.asarray(x), train=False)
+
+        def chk(a, b, what, tol=1e-3):
+            err = float(np.abs(a - np.asarray(b)).max())
+            assert err < tol, f"{name} {what}: max err {err}"
+
+        nbc = meta["nc"] + meta["reg_max"] * 4  # box+cls channels
+        if "seg" in name:
+            maps, protos = out_mine
+            x_ref, mc_ref, p_ref = out_ref
+            hws = [m.shape[1:3] for m in maps]
+            chk(nhwc(p_ref), protos, "protos")
+            for li, (rx, rmc) in enumerate(zip(x_ref, split_levels(mc_ref, hws))):
+                chk(nhwc(rx), maps[li][..., :nbc], f"det level {li}")
+                chk(rmc, maps[li][..., nbc:], f"mask-coef level {li}")
+        elif "pose" in name:
+            maps = out_mine
+            x_ref, kpt_ref = out_ref
+            hws = [m.shape[1:3] for m in maps]
+            for li, (rx, rk) in enumerate(zip(x_ref, split_levels(kpt_ref, hws))):
+                chk(nhwc(rx), maps[li][..., :nbc], f"det level {li}")
+                chk(rk, maps[li][..., nbc:], f"kpt level {li}")
+        else:  # obb
+            maps = out_mine
+            x_ref, ang_ref = out_ref
+            hws = [m.shape[1:3] for m in maps]
+            for li, (rx, ra) in enumerate(zip(x_ref, split_levels(ang_ref, hws))):
+                chk(nhwc(rx), maps[li][..., :nbc], f"det level {li}")
+                # reference returns transformed angle: (sigmoid(a) - 0.25) * pi
+                mine_ang = (jax.nn.sigmoid(maps[li][..., nbc:]) - 0.25) * math.pi
+                chk(ra, mine_ang, f"angle level {li}")
