@@ -94,6 +94,11 @@ def translate_torch_state_dict(state_dict, verbose: bool = False):
                 out.append(f"{p}_{mid[i + 1]}")
                 i += 2
                 continue
+            if p == "ffn" and i + 1 < len(mid) and mid[i + 1].isdigit():
+                # PSABlock ffn = Sequential(Conv, Conv): ffn.0/ffn.1 -> ffn1/ffn2
+                out.append(f"ffn{int(mid[i + 1]) + 1}")
+                i += 2
+                continue
             if p == "mlp" and i + 1 < len(mid) and mid[i + 1].isdigit():
                 out.append(f"mlp{int(mid[i + 1]) + 1}")  # mlp.0/mlp.1 -> mlp1/mlp2
                 i += 2

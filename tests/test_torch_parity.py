@@ -203,3 +203,63 @@ def test_seg_pose_obb_head_forward_parity():
                 # reference returns transformed angle: (sigmoid(a) - 0.25) * pi
                 mine_ang = (jax.nn.sigmoid(maps[li][..., nbc:]) - 0.25) * math.pi
                 chk(ra, mine_ang, f"angle level {li}")
+
+
+@pytest.mark.slow
+def test_cls_and_yolo11_forward_parity():
+    """Classification model (Classify head) and YOLO11 (C3k2/C2PSA attention)
+    match the reference forward with converted weights."""
+    import contextlib as _ctx
+    import io as _io
+
+    import jax.numpy as jnp
+    import torch
+
+    from sar_yolo_tpu.nn.tasks import build_model
+    from sar_yolo_tpu.utils.torch_convert import translate_torch_state_dict
+
+    os.environ["YOLO_VERBOSE"] = "false"
+    try:
+        from ref_stubs import install_reference_stubs
+        install_reference_stubs()
+        with _ctx.redirect_stdout(_io.StringIO()), _ctx.redirect_stderr(_io.StringIO()):
+            from ultralytics.nn.tasks import ClassificationModel, DetectionModel
+    except Exception as e:  # noqa: BLE001
+        pytest.skip(f"reference not importable: {e}")
+
+    rng = np.random.default_rng(4)
+    x = rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+
+    # --- classification: logits must match ---
+    with _ctx.redirect_stdout(_io.StringIO()), _ctx.redirect_stderr(_io.StringIO()):
+        ref = ClassificationModel("yolov8n-cls.yaml", verbose=False)
+    ref.eval()
+    with torch.no_grad():
+        out = ref._predict_once(xt)
+        # reference Classify eval returns (softmax, raw_logits)
+        logits_ref = (out[1] if isinstance(out, tuple) else out).numpy()
+    model, meta = build_model("yolov8n-cls.yaml")
+    conv, skipped = translate_torch_state_dict(ref.state_dict())
+    assert not skipped, f"cls: unmapped keys: {skipped[:8]}"
+    variables = {"params": conv["params"], "batch_stats": conv["batch_stats"]}
+    logits_mine = np.asarray(model.apply(variables, jnp.asarray(x), train=False))
+    err = float(np.abs(logits_ref - logits_mine).max())
+    assert err < 1e-4, f"cls forward mismatch: {err}"
+
+    # --- yolo11n: C3k2 + C2PSA attention path ---
+    with _ctx.redirect_stdout(_io.StringIO()), _ctx.redirect_stderr(_io.StringIO()):
+        ref = DetectionModel("yolo11n.yaml", verbose=False)
+    ref.eval()
+    ref.model[-1].training = True
+    with torch.no_grad():
+        feats_ref = ref._predict_once(xt)
+    model, meta = build_model("yolo11n.yaml")
+    conv, skipped = translate_torch_state_dict(ref.state_dict())
+    assert not skipped, f"yolo11n: unmapped keys: {skipped[:8]}"
+    variables = {"params": conv["params"], "batch_stats": conv["batch_stats"]}
+    feats_mine = model.apply(variables, jnp.asarray(x), train=False)
+    for li, (fr, fm) in enumerate(zip(feats_ref, feats_mine)):
+        fr = fr.numpy().transpose(0, 2, 3, 1)
+        err = float(np.abs(fr - np.asarray(fm)).max())
+        assert err < 1e-3, f"yolo11n level {li} mismatch: {err}"
