@@ -49,6 +49,13 @@ def _is_repconv_pattern(p) -> bool:
             and p["conv2"]["conv"]["kernel"].shape[:2] == (1, 1))
 
 
+def _is_repvggdw_pattern(p) -> bool:
+    return (isinstance(p, dict) and set(p) == {"conv", "conv1"}
+            and _is_conv_pattern(p["conv"]) and _is_conv_pattern(p["conv1"])
+            and p["conv"]["conv"]["kernel"].shape[:2] == (7, 7)
+            and p["conv1"]["conv"]["kernel"].shape[:2] == (3, 3))
+
+
 def _is_dsconv_pattern(p) -> bool:
     return (isinstance(p, dict) and set(p) >= {"dw", "pw", "bn"}
             and _is_leaf_conv(p.get("dw", {})) and _is_leaf_conv(p.get("pw", {}))
@@ -71,6 +78,15 @@ def _walk(params, stats):
     if not isinstance(params, dict):
         return params, stats
     stats = stats if isinstance(stats, dict) else {}
+
+    if _is_repvggdw_pattern(params):
+        # v10 RepVGGDW: parallel 7x7 + 3x3 depthwise -> one biased 7x7
+        k7, b7 = _fold_bn(params["conv"]["conv"]["kernel"], params["conv"]["bn"],
+                          stats["conv"]["bn"])
+        k3, b3 = _fold_bn(params["conv1"]["conv"]["kernel"], params["conv1"]["bn"],
+                          stats["conv1"]["bn"])
+        k3_in_7 = jnp.pad(k3, ((2, 2), (2, 2), (0, 0), (0, 0)))
+        return {"conv": {"kernel": k7 + k3_in_7, "bias": b7 + b3}}, {}
 
     if _is_repconv_pattern(params):
         k3, b3 = _fold_bn(params["conv1"]["conv"]["kernel"], params["conv1"]["bn"],

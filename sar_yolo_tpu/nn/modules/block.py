@@ -777,6 +777,29 @@ class SCDown(nn.Module):
                     dtype=self.dtype, name="cv2")(x, train)
 
 
+class RepVGGDW(nn.Module):
+    """Parallel 7x7 + 3x3 depthwise convs, summed then SiLU (reference
+    block.py:784 RepVGGDW, the v10 CIB large-kernel branch). Deploy fusion
+    (`nn/fuse.py`) folds both + their BNs into one biased 7x7 dw conv."""
+
+    ed: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from .conv import _FUSED, conv_init
+        if _FUSED[-1]:
+            y = nn.Conv(self.ed, (7, 7), (1, 1), [(3, 3), (3, 3)],
+                        feature_group_count=self.ed, use_bias=True, dtype=self.dtype,
+                        param_dtype=jnp.float32, kernel_init=conv_init, name="conv")(x)
+            return nn.silu(y)
+        y7 = Conv(self.ed, 7, 1, 3, g=self.ed, act=False, dtype=self.dtype,
+                  name="conv")(x, train)
+        y3 = Conv(self.ed, 3, 1, 1, g=self.ed, act=False, dtype=self.dtype,
+                  name="conv1")(x, train)
+        return nn.silu(y7 + y3)
+
+
 class CIB(nn.Module):
     """Compact Inverted Block (reference block.py CIB, YOLOv10): dw -> pw-expand
     -> [large-kernel dw | dw] -> pw -> dw, residual when channels match."""
@@ -794,8 +817,7 @@ class CIB(nn.Module):
         y = Conv(c1, 3, g=c1, dtype=self.dtype, name="cv1_0")(x, train)
         y = Conv(2 * c_, 1, dtype=self.dtype, name="cv1_1")(y, train)
         if self.lk:
-            # RepVGGDW at inference == one large dw conv (7x7) here
-            y = Conv(2 * c_, 7, g=2 * c_, dtype=self.dtype, name="cv1_2lk")(y, train)
+            y = RepVGGDW(2 * c_, dtype=self.dtype, name="cv1_2")(y, train)
         else:
             y = Conv(2 * c_, 3, g=2 * c_, dtype=self.dtype, name="cv1_2")(y, train)
         y = Conv(self.c2, 1, dtype=self.dtype, name="cv1_3")(y, train)

@@ -42,11 +42,15 @@ def translate_torch_state_dict(state_dict, verbose: bool = False):
         if leaf == "num_batches_tracked":
             continue
 
+        # v10Detect one2one branch copies: one2one_cv2/... -> our o2o_ prefix
+        mid = [m.replace("one2one_cv", "o2o_cv") if m.startswith("one2one_cv") else m
+               for m in mid]
+
         # path translation
         out: list[str] = [layer]
-        is_head = any(p.startswith("cv") and i + 2 < len(mid) and mid[i + 1].isdigit()
-                      and mid[i + 2].isdigit()
-                      for i, p in enumerate(mid) if p in ("cv2", "cv3", "cv4"))
+        is_head = any(i + 2 < len(mid) and mid[i + 1].isdigit() and mid[i + 2].isdigit()
+                      for i, p in enumerate(mid)
+                      if p in ("cv2", "cv3", "cv4", "o2o_cv2", "o2o_cv3"))
         i = 0
         while i < len(mid):
             p = mid[i]
@@ -60,8 +64,8 @@ def translate_torch_state_dict(state_dict, verbose: bool = False):
                 out.append(f"m{mid[i + 1]}")
                 i += 2
                 continue
-            if p in ("cv2", "cv3", "cv4") and is_head and i + 2 < len(mid) and \
-                    mid[i + 1].isdigit() and mid[i + 2].isdigit():
+            if p in ("cv2", "cv3", "cv4", "o2o_cv2", "o2o_cv3") and is_head and \
+                    i + 2 < len(mid) and mid[i + 1].isdigit() and mid[i + 2].isdigit():
                 # Detect branches: cv2.{level}.{stage}
                 level, stage = mid[i + 1], mid[i + 2]
                 if stage == "2":
@@ -69,7 +73,7 @@ def translate_torch_state_dict(state_dict, verbose: bool = False):
                     i += 3
                     continue
                 # non-legacy cls branch: cv3.{l}.{s}.{0|1} = Sequential(DWConv, Conv)
-                if p == "cv3" and i + 3 < len(mid) and mid[i + 3] in ("0", "1"):
+                if p.endswith("cv3") and i + 3 < len(mid) and mid[i + 3] in ("0", "1"):
                     sub = mid[i + 3]
                     if sub == "0":
                         out.append(f"{p}_{level}_{stage}dw")
@@ -95,9 +99,19 @@ def translate_torch_state_dict(state_dict, verbose: bool = False):
                 i += 2
                 continue
             if p == "ffn" and i + 1 < len(mid) and mid[i + 1].isdigit():
-                # PSABlock ffn = Sequential(Conv, Conv): ffn.0/ffn.1 -> ffn1/ffn2
+                # PSABlock ffn = Sequential(Conv, Conv): ffn.0/ffn.1 -> ffn1/ffn2;
+                # torch PSA (v10) holds attn/ffn directly — ours nests them in a
+                # PSABlock named 'm', so top-level ffn/attn gain that wrapper
+                if len(out) == 1:
+                    out.append("m")
                 out.append(f"ffn{int(mid[i + 1]) + 1}")
                 i += 2
+                continue
+            if p == "attn" and len(out) == 1 and i == 0:
+                # torch PSA.attn at top level -> our m/attn
+                out.append("m")
+                out.append("attn")
+                i += 1
                 continue
             if p == "mlp" and i + 1 < len(mid) and mid[i + 1].isdigit():
                 out.append(f"mlp{int(mid[i + 1]) + 1}")  # mlp.0/mlp.1 -> mlp1/mlp2

@@ -64,3 +64,17 @@ def test_predict_runs_fused(tmp_path):
     pred = m._predictor_cache[1]
     assert getattr(pred.model, "fused", False) is True
     assert res is not None
+
+
+def test_repvggdw_fuse_exact():
+    """v10 CIB large-kernel branch: parallel 7x7+3x3 dw fold to one 7x7."""
+    from sar_yolo_tpu.nn.modules.block import RepVGGDW
+    rng = jax.random.PRNGKey(5)
+    x = jax.random.normal(rng, (2, 16, 16, 24))
+    m = RepVGGDW(24)
+    v = _randomize_stats(m.init(rng, x, train=False))
+    out = m.apply(v, x, train=False)
+    fv = fuse_variables(v)
+    with fused_mode(True):
+        fout = m.apply(fv, x, train=False)
+    assert float(jnp.abs(out - fout).max()) < 1e-4
