@@ -31,6 +31,11 @@ from .conv import CBAM, Conv, DSConv
 Dtype = Any
 
 
+def _gelu_exact(x):
+    """erf-form GELU (torch nn.GELU default), not the tanh approximation."""
+    return nn.gelu(x, approximate=False)
+
+
 class Bottleneck(nn.Module):
     """Standard residual bottleneck: Conv(k1) -> Conv(k2), add if channels match."""
 
@@ -458,10 +463,10 @@ class AdaHGConv(nn.Module):
                             self.dropout, self.context, dtype=self.dtype,
                             name="edge_generator")(X, train)
         He = jnp.einsum("bne,bnd->bed", A, X)
-        He = nn.gelu(nn.Dense(self.embed_dim, dtype=self.dtype, param_dtype=jnp.float32,
+        He = _gelu_exact(nn.Dense(self.embed_dim, dtype=self.dtype, param_dtype=jnp.float32,
                               name="edge_proj")(He))
         Xn = jnp.einsum("bne,bed->bnd", A, He)
-        Xn = nn.gelu(nn.Dense(self.embed_dim, dtype=self.dtype, param_dtype=jnp.float32,
+        Xn = _gelu_exact(nn.Dense(self.embed_dim, dtype=self.dtype, param_dtype=jnp.float32,
                               name="node_proj")(Xn))
         return Xn + X
 

@@ -130,8 +130,13 @@ class DWConv(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         c1 = x.shape[-1]
-        return Conv(self.c2, self.k, self.s, None, math.gcd(c1, self.c2), self.d, self.act,
-                    dtype=self.dtype, name="conv")(x, train)
+        # nn.share_scope: the inner Conv's conv/bn params live directly in THIS
+        # module's scope, mirroring the torch DWConv(Conv) param layout so
+        # converted checkpoints map 1:1
+        inner = Conv(self.c2, self.k, self.s, None, math.gcd(c1, self.c2), self.d,
+                     self.act, dtype=self.dtype)
+        nn.share_scope(self, inner)
+        return inner(x, train)
 
 
 class DSConv(nn.Module):

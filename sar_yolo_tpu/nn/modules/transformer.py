@@ -30,17 +30,27 @@ Dtype = Any
 
 
 def sincos_pos_embed_2d(h: int, w: int, dim: int, temperature: float = 10000.0):
-    """2D sine-cosine positional embedding (reference AIFI build_2d_sincos...)."""
-    grid_w = jnp.arange(w, dtype=jnp.float32)
-    grid_h = jnp.arange(h, dtype=jnp.float32)
-    gw, gh = jnp.meshgrid(grid_w, grid_h, indexing="ij")
+    """2D sine-cosine positional embedding (reference AIFI build_2d_sincos...).
+
+    Computed host-side in float64 and rounded to f32: h/w/dim are static, so
+    this is a true compile-time constant (XLA embeds it), and the f64 sin/cos
+    avoids the ~1e-5 argument-reduction error of device f32 transcendentals.
+    """
+    import numpy as np
+    grid_w = np.arange(w, dtype=np.float64)
+    grid_h = np.arange(h, dtype=np.float64)
+    gw, gh = np.meshgrid(grid_w, grid_h, indexing="ij")
     pos_dim = dim // 4
-    omega = jnp.arange(pos_dim, dtype=jnp.float32) / pos_dim
+    omega = np.arange(pos_dim, dtype=np.float64) / pos_dim
     omega = 1.0 / (temperature ** omega)
-    out_w = gw.T.reshape(-1)[..., None] * omega[None]
-    out_h = gh.T.reshape(-1)[..., None] * omega[None]
-    return jnp.concatenate([jnp.sin(out_w), jnp.cos(out_w),
-                            jnp.sin(out_h), jnp.cos(out_h)], axis=1)[None]  # (1, h*w, dim)
+    # NOTE: flattened w-major (no transpose) to match the reference exactly —
+    # its grid is built over (w, h) and flattened as-is, while tokens flatten
+    # h-major; the resulting pairing is part of the trained weights' contract
+    out_w = gw.reshape(-1)[..., None] * omega[None]
+    out_h = gh.reshape(-1)[..., None] * omega[None]
+    pos = np.concatenate([np.sin(out_w), np.cos(out_w),
+                          np.sin(out_h), np.cos(out_h)], axis=1)[None]
+    return jnp.asarray(pos, jnp.float32)  # (1, h*w, dim)
 
 
 class MultiHeadAttention(nn.Module):
@@ -80,7 +90,7 @@ class TransformerEncoderLayer(nn.Module):
         attn = MultiHeadAttention(self.num_heads, dtype=self.dtype, name="ma")(q, k, x)
         x = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm1")(x + attn)
         ff = nn.Dense(self.cm, dtype=self.dtype, param_dtype=jnp.float32, name="fc1")(x)
-        ff = nn.Dense(self.c, dtype=self.dtype, param_dtype=jnp.float32, name="fc2")(nn.gelu(ff))
+        ff = nn.Dense(self.c, dtype=self.dtype, param_dtype=jnp.float32, name="fc2")(nn.gelu(ff, approximate=False))  # torch GELU is exact erf
         return nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm2")(x + ff)
 
 
@@ -311,9 +321,9 @@ class RTDETRDecoder(nn.Module):
         for i, x in enumerate(xs):
             p = nn.Conv(self.hd, (1, 1), use_bias=False, dtype=self.dtype,
                         param_dtype=jnp.float32, name=f"input_proj_{i}")(x)
-            p = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
+            p = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-5,
                              dtype=self.dtype, param_dtype=jnp.float32,
-                             name=f"input_proj_bn_{i}")(p)
+                             name=f"input_proj_bn_{i}")(p)  # torch default eps (plain BatchNorm2d)
             feats.append(p.reshape(B, -1, self.hd))
         feats = jnp.concatenate(feats, 1)                     # (B, Lv, hd)
 

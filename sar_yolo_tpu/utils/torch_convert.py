@@ -75,11 +75,9 @@ def translate_torch_state_dict(state_dict, verbose: bool = False):
                 # non-legacy cls branch: cv3.{l}.{s}.{0|1} = Sequential(DWConv, Conv)
                 if p.endswith("cv3") and i + 3 < len(mid) and mid[i + 3] in ("0", "1"):
                     sub = mid[i + 3]
-                    if sub == "0":
-                        out.append(f"{p}_{level}_{stage}dw")
-                        out.append("conv")  # DWConv wraps an inner Conv block
-                    else:
-                        out.append(f"{p}_{level}_{stage}pw")
+                    # DWConv shares scope with its inner Conv (conv.py), so the
+                    # dw module maps flat: cv3.{l}.{s}.0 -> cv3_{l}_{s}dw
+                    out.append(f"{p}_{level}_{stage}{'dw' if sub == '0' else 'pw'}")
                     i += 4
                     continue
                 out.append(f"{p}_{level}_{stage}")
@@ -117,6 +115,34 @@ def translate_torch_state_dict(state_dict, verbose: bool = False):
                 out.append(f"mlp{int(mid[i + 1]) + 1}")  # mlp.0/mlp.1 -> mlp1/mlp2
                 i += 2
                 continue
+            # ---- RT-DETR transformer structures (nn/modules/transformer.py) ----
+            if p == "decoder" and i + 2 < len(mid) and mid[i + 1] == "layers" and \
+                    mid[i + 2].isdigit():
+                out.append(f"dec_layer_{mid[i + 2]}")
+                i += 3
+                continue
+            if p in ("dec_score_head", "dec_bbox_head") and i + 1 < len(mid) and \
+                    mid[i + 1].isdigit():
+                out.append(f"{p}_{mid[i + 1]}")
+                i += 2
+                continue
+            if p == "layers" and i + 1 < len(mid) and mid[i + 1].isdigit():
+                out.append(f"l{mid[i + 1]}")  # torch MLP layers.N -> our l{N}
+                i += 2
+                continue
+            if p == "input_proj" and i + 2 < len(mid) and mid[i + 1].isdigit():
+                n, sub = mid[i + 1], mid[i + 2]
+                out.append(f"input_proj_{n}" if sub == "0" else f"input_proj_bn_{n}")
+                i += 3
+                continue
+            if p == "enc_output" and i + 1 < len(mid) and mid[i + 1] == "1":
+                out.append("enc_norm")  # Sequential(Linear, LayerNorm)[1]
+                i += 2
+                continue
+            if p == "out_proj":  # nn.MultiheadAttention out projection -> our 'out'
+                out.append("out")
+                i += 1
+                continue
             if p in ("edge_proj", "node_proj", "enc_output") and i + 1 < len(mid) \
                     and mid[i + 1] == "0":
                 out.append(p)  # Sequential(Linear, GELU) -> single Dense
@@ -126,15 +152,27 @@ def translate_torch_state_dict(state_dict, verbose: bool = False):
                 out.append({"0": "state_fc1", "3": "state_fc2"}[mid[i + 1]])
                 i += 2
                 continue
+            if i == 0 and len(out) == 1 and p in ("ma", "fc1", "fc2", "norm1", "norm2"):
+                out.append("enc")  # AIFI wraps its encoder layer in scope 'enc'
             out.append(p)
             i += 1
+
+        # torch nn.MultiheadAttention packs qkv: split thirds into our q/k/v Dense
+        if leaf in ("in_proj_weight", "in_proj_bias") and out and \
+                out[-1] in ("ma", "self_attn"):
+            C = t.shape[0] // 3
+            for j, nm in enumerate(("q", "k", "v")):
+                part = t[j * C:(j + 1) * C]
+                _set(params, out + [nm, "kernel" if leaf.endswith("weight") else "bias"],
+                     part.T if part.ndim == 2 else part)
+            continue
 
         if leaf in ("gamma", "gate", "prototype_base"):
             _set(params, out + [leaf], t)
         elif leaf == "weight" and mid and mid[-1] in ("conv", "dw", "pw"):
             out.append("kernel")
             _set(params, out, np.transpose(t, (2, 3, 1, 0)))
-        elif mid and mid[-1] == "bn":
+        elif (mid and mid[-1] == "bn") or str(out[-1]).startswith("input_proj_bn"):
             name = {"weight": "scale", "bias": "bias"}.get(leaf)
             if name:
                 _set(params, out + [name], t)
@@ -142,6 +180,14 @@ def translate_torch_state_dict(state_dict, verbose: bool = False):
                 _set(batch_stats, out + ["mean"], t)
             elif leaf == "running_var":
                 _set(batch_stats, out + ["var"], t)
+        elif leaf == "weight" and str(out[-1]).startswith("input_proj_"):
+            _set(params, out + ["kernel"], np.transpose(t, (2, 3, 1, 0)))  # raw nn.Conv
+        elif leaf in ("weight", "bias") and t.ndim <= 1 and \
+                str(out[-1]).split("/")[-1].startswith(("norm", "enc_norm")):
+            # LayerNorm: torch weight -> flax scale
+            _set(params, out + ["scale" if leaf == "weight" else "bias"], t)
+        elif leaf == "weight" and str(out[-1]).endswith("_embed"):
+            _set(params, out + ["embedding"], t)  # nn.Embed, no transpose
         elif out[-1].endswith("_pred"):
             if leaf == "weight":
                 _set(params, out + ["kernel"], np.transpose(t, (2, 3, 1, 0)))

@@ -9,10 +9,14 @@ import os
 
 os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
 os.environ["SARYOLO_VERBOSE"] = "0"
+# this XLA CPU build runs f32 dots at bf16 precision by default (~7e-2 error on
+# a 64-dim matmul) — force true f32 so numeric/parity assertions are meaningful
+os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "highest")
 
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")
 
 import numpy as np
 import pytest

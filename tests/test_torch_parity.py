@@ -307,3 +307,59 @@ def test_v10_forward_parity():
         fr = fr.numpy().transpose(0, 2, 3, 1)
         err = float(np.abs(fr - np.asarray(fm)).max())
         assert err < 1e-3, f"one2one level {li} mismatch: {err}"
+
+
+@pytest.mark.slow
+def test_rtdetr_forward_parity():
+    """RT-DETR-l end to end: HGNetV2 backbone, AIFI encoder, deformable decoder
+    — eval boxes and scores match the reference with converted weights."""
+    import contextlib as _ctx
+    import io as _io
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from sar_yolo_tpu.nn.tasks import build_model
+    from sar_yolo_tpu.utils.torch_convert import translate_torch_state_dict
+
+    os.environ["YOLO_VERBOSE"] = "false"
+    try:
+        from ref_stubs import install_reference_stubs
+        install_reference_stubs()
+        with _ctx.redirect_stdout(_io.StringIO()), _ctx.redirect_stderr(_io.StringIO()):
+            from ultralytics.nn.tasks import RTDETRDetectionModel
+            ref = RTDETRDetectionModel("rtdetr-l.yaml", verbose=False)
+    except Exception as e:  # noqa: BLE001
+        pytest.skip(f"reference not importable: {e}")
+    ref.eval()
+    # Untrained enc_score_head outputs are bias-dominated: token scores tie to
+    # within float noise and torch/XLA transcendental ulp differences scramble
+    # the top-300 selection. Give the score head real spread so selection is
+    # determined by features, as it is for trained weights.
+    torch.manual_seed(0)
+    with torch.no_grad():
+        ref.model[-1].enc_score_head.weight.mul_(0).add_(
+            torch.randn_like(ref.model[-1].enc_score_head.weight) * 0.05)
+    rng = np.random.default_rng(6)
+    # 320px: the decoder's top-300 query selection needs >=300 anchors
+    x = rng.uniform(0, 1, (1, 320, 320, 3)).astype(np.float32)
+    with torch.no_grad():
+        out_ref = ref._predict_once(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    y_ref = (out_ref[0] if isinstance(out_ref, (tuple, list)) else out_ref).numpy()
+    boxes_ref, scores_ref = y_ref[..., :4], y_ref[..., 4:]
+
+    model, meta = build_model("rtdetr-l.yaml")
+    conv, skipped = translate_torch_state_dict(ref.state_dict())
+    assert not skipped, f"unmapped keys: {skipped[:10]}"
+    variables = {"params": conv["params"], "batch_stats": conv["batch_stats"]}
+    dec_b, dec_s, _, _ = model.apply(variables, jnp.asarray(x), train=False)
+    boxes_mine = np.asarray(dec_b[-1])
+    scores_mine = np.asarray(jax.nn.sigmoid(dec_s[-1]))
+
+    berr = float(np.abs(boxes_ref - boxes_mine).max())
+    serr = float(np.abs(scores_ref - scores_mine).max())
+    # tolerance reflects f32 transcendental noise amplified through AIFI + 6
+    # decoder layers (same weights, same math; see sincos_pos_embed_2d note)
+    assert berr < 2e-2, f"boxes mismatch: {berr}"
+    assert serr < 2e-2, f"scores mismatch: {serr}"
