@@ -1,15 +1,21 @@
 """Dataloaders: multi-threaded prefetching host pipeline feeding device batches.
 
-Replaces the reference's torch DataLoader workers + InfiniteDataLoader
-(data/build.py:28-180). Host threads do cv2 decode + augment; batches are
-stacked numpy and handed to the trainer, which device_puts them with a 'dp'
-batch sharding (per-host sharding replaces DistributedSampler).
+Replaces the reference's torch DataLoader worker processes + InfiniteDataLoader
+(data/build.py:28-180). A `workers`-sized thread pool does cv2 decode + augment
+— cv2 releases the GIL inside imread/resize/warpAffine, so threads genuinely
+parallelize the heavy work without the reference's process-fork + tensor-IPC
+overhead. Batches are stacked numpy and handed to the trainer, which
+device_puts them with a 'dp' batch sharding (per-host sharding replaces
+DistributedSampler). Sample RNG is keyed by (seed, epoch, index) so results
+are deterministic regardless of worker count (≙ reference seed_worker,
+data/build.py:38-43).
 """
 
 from __future__ import annotations
 
 import queue
 import threading
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
@@ -44,6 +50,8 @@ class DataLoader:
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
+        if hasattr(self.dataset, "epoch"):
+            self.dataset.epoch = epoch  # keys per-sample augmentation RNG
 
     def __iter__(self):
         n = len(self.dataset)
@@ -57,17 +65,36 @@ class DataLoader:
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
+        pool = ThreadPoolExecutor(max_workers=self.workers,
+                                  thread_name_prefix="dataloader")
 
         def producer():
             try:
-                for b in batches:
-                    if stop.is_set():
-                        break
+                # keep up to `prefetch` batches of item-futures in flight so the
+                # pool stays busy across batch boundaries
+                pending: list[tuple[list, int]] = []
+                bi = 0
+
+                def submit_next():
+                    nonlocal bi
+                    b = batches[bi]
+                    bi += 1
                     npad = 0
                     if self.pad_last and len(b) < self.batch_size:
                         npad = self.batch_size - len(b)
                         b = np.concatenate([b, np.repeat(b[-1:], npad)])
-                    items = [self.dataset[int(j)] for j in b]
+                    futs = [pool.submit(self.dataset.__getitem__, int(j)) for j in b]
+                    pending.append((futs, npad))
+
+                while bi < len(batches) and len(pending) <= self.prefetch:
+                    submit_next()
+                while pending:
+                    if stop.is_set():
+                        break
+                    futs, npad = pending.pop(0)
+                    items = [f.result() for f in futs]
+                    if bi < len(batches):
+                        submit_next()
                     out = collate(items)
                     if self.pad_last:
                         out["_pad"] = npad  # trailing samples are duplicates, skip in metrics
@@ -75,8 +102,6 @@ class DataLoader:
             finally:
                 q.put(None)
 
-        # one producer thread with an internal item pool keeps ordering deterministic;
-        # parallelism comes from cv2's internal threading + prefetch overlap
         t = threading.Thread(target=producer, daemon=True)
         t.start()
         try:
@@ -87,6 +112,7 @@ class DataLoader:
                 yield batch
         finally:
             stop.set()
+            pool.shutdown(wait=False, cancel_futures=True)
 
 
 def build_dataloader(dataset, batch_size=16, shuffle=True, workers=4, seed=0,

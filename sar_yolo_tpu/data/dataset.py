@@ -101,7 +101,9 @@ class YOLODataset:
         self.label_files = img2label_paths(self.im_files)
         self.shapes = None  # (n, 2) h,w per image; populated by the verify cache
         self._load_or_build_cache()
-        self.rng = np.random.default_rng(0)
+        self.seed = 0
+        self.epoch = 0  # set by DataLoader.set_epoch; keys per-sample RNG
+        self.rng = np.random.default_rng(0)  # legacy; __getitem__ uses _item_rng
         # image cache: 'ram' / True keeps decoded arrays in memory; 'disk' saves
         # .npy sidecars next to the images (reference BaseDataset cache modes)
         self.cache = bool(cache) and str(cache).lower() != "disk"
@@ -331,25 +333,31 @@ class YOLODataset:
             item["polygons"] = [p * np.array([w, h], np.float32) for p in lb.get("polygons", [])]
         return item
 
+    def _item_rng(self, i):
+        """Per-sample RNG keyed by (seed, epoch, index): deterministic regardless
+        of dataloader worker count, and safe under concurrent __getitem__."""
+        return np.random.default_rng((self.seed, self.epoch, i))
+
     def __getitem__(self, i):
         hyp = self.hyp
-        if self.augment and self.mosaic_enabled and self.rng.random() < getattr(hyp, "mosaic", 1.0):
+        rng = self._item_rng(i)
+        if self.augment and self.mosaic_enabled and rng.random() < getattr(hyp, "mosaic", 1.0):
             def one_mosaic():
-                use9 = getattr(hyp, "mosaic9", 0) and self.rng.random() < hyp.mosaic9
+                use9 = getattr(hyp, "mosaic9", 0) and rng.random() < hyp.mosaic9
                 n_extra = 8 if use9 else 3
-                idxs = [i] + list(self.rng.integers(0, len(self), n_extra))
+                idxs = [i] + list(rng.integers(0, len(self), n_extra))
                 items = [self._load_item(j) for j in idxs]
-                it = (mosaic9 if use9 else mosaic4)(items, self.imgsz, rng=self.rng)
+                it = (mosaic9 if use9 else mosaic4)(items, self.imgsz, rng=rng)
                 border = it.pop("mosaic_border")
                 if getattr(hyp, "copy_paste", 0):
-                    it = copy_paste(it, p=hyp.copy_paste, rng=self.rng)
+                    it = copy_paste(it, p=hyp.copy_paste, rng=rng)
                 return random_perspective(it, degrees=hyp.degrees, translate=hyp.translate,
                                           scale=hyp.scale, shear=hyp.shear,
                                           perspective=hyp.perspective, border=border,
-                                          rng=self.rng)
+                                          rng=rng)
             item = one_mosaic()
-            if getattr(hyp, "mixup", 0) and self.rng.random() < hyp.mixup:
-                item = mixup(item, one_mosaic(), rng=self.rng)
+            if getattr(hyp, "mixup", 0) and rng.random() < hyp.mixup:
+                item = mixup(item, one_mosaic(), rng=rng)
         else:
             item = self._load_item(i)
             shape = self.batch_shapes[self.batch_index[i]] if self.rect else self.imgsz
@@ -367,13 +375,13 @@ class YOLODataset:
             item["img"] = img
             if self.augment:
                 if getattr(hyp, "copy_paste", 0):
-                    item = copy_paste(item, p=hyp.copy_paste, rng=self.rng)
+                    item = copy_paste(item, p=hyp.copy_paste, rng=rng)
                 item = random_perspective(item, degrees=hyp.degrees, translate=hyp.translate,
                                           scale=hyp.scale, shear=hyp.shear,
-                                          perspective=hyp.perspective, rng=self.rng)
+                                          perspective=hyp.perspective, rng=rng)
         if self.augment:
-            augment_hsv(item["img"], hyp.hsv_h, hyp.hsv_s, hyp.hsv_v, rng=self.rng)
-            item = random_flip(item, fliplr=hyp.fliplr, flipud=hyp.flipud, rng=self.rng,
+            augment_hsv(item["img"], hyp.hsv_h, hyp.hsv_s, hyp.hsv_v, rng=rng)
+            item = random_flip(item, fliplr=hyp.fliplr, flipud=hyp.flipud, rng=rng,
                                flip_idx=self.flip_idx)
         return self._format(item)
 
@@ -541,12 +549,15 @@ class ClassificationDataset:
                     self.samples.append((str(f), ci))
         if not self.samples:
             raise FileNotFoundError(f"no images under {root}")
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
+        self.epoch = 0
+        self.rng = np.random.default_rng(seed)  # legacy; __getitem__ uses per-item rng
 
     def __len__(self):
         return len(self.samples)
 
     def __getitem__(self, i):
+        rng = np.random.default_rng((self.seed, self.epoch, i))
         path, ci = self.samples[i]
         img = cv2.imread(path)
         if img is None:
@@ -556,22 +567,22 @@ class ClassificationDataset:
         if self.augment:
             # random resized crop: area 0.25-1.0, ratio 3/4-4/3
             for _ in range(10):
-                area = self.rng.uniform(0.25, 1.0) * h * w
-                ratio = np.exp(self.rng.uniform(np.log(3 / 4), np.log(4 / 3)))
+                area = rng.uniform(0.25, 1.0) * h * w
+                ratio = np.exp(rng.uniform(np.log(3 / 4), np.log(4 / 3)))
                 cw = int(round(np.sqrt(area * ratio)))
                 ch = int(round(np.sqrt(area / ratio)))
                 if cw <= w and ch <= h:
-                    x0 = int(self.rng.integers(0, w - cw + 1))
-                    y0 = int(self.rng.integers(0, h - ch + 1))
+                    x0 = int(rng.integers(0, w - cw + 1))
+                    y0 = int(rng.integers(0, h - ch + 1))
                     img = img[y0:y0 + ch, x0:x0 + cw]
                     break
             img = cv2.resize(img, (s, s), interpolation=cv2.INTER_LINEAR)
-            if self.rng.random() < 0.5:
+            if rng.random() < 0.5:
                 img = np.fliplr(img).copy()
             if self.hyp is not None:
                 augment_hsv(img, getattr(self.hyp, "hsv_h", 0.015),
                             getattr(self.hyp, "hsv_s", 0.7),
-                            getattr(self.hyp, "hsv_v", 0.4), rng=self.rng)
+                            getattr(self.hyp, "hsv_v", 0.4), rng=rng)
         else:
             r = s / min(h, w)
             img = cv2.resize(img, (round(w * r), round(h * r)),
