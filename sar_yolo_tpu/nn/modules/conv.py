@@ -194,7 +194,7 @@ class SpatialAttention(nn.Module):
         pooled = jnp.concatenate([avg, mx], axis=-1)
         pad = self.kernel_size // 2
         attn = nn.Conv(1, (self.kernel_size, self.kernel_size),
-                       padding=[(pad, pad), (pad, pad)], use_bias=True,
+                       padding=[(pad, pad), (pad, pad)], use_bias=False,
                        dtype=self.dtype, param_dtype=jnp.float32, name="cv1")(pooled)
         return x * jax.nn.sigmoid(attn)
 

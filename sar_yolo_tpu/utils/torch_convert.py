@@ -148,6 +148,15 @@ def translate_torch_state_dict(state_dict, verbose: bool = False):
                 out.append(p)  # Sequential(Linear, GELU) -> single Dense
                 i += 2
                 continue
+            if p == "conv_adjusts" and i + 1 < len(mid) and mid[i + 1].isdigit():
+                # 4-scale FuseModule (P24): reference lazily creates the REAL fuse
+                # conv in a ModuleDict keyed by concat width (block.py:1895) and
+                # leaves the __init__-time conv_out dead; both torch paths map to
+                # our single conv_out — the live one is registered later in the
+                # state_dict, so it wins the overwrite
+                out.append("conv_out")
+                i += 2
+                continue
             if p == "state_predictor" and i + 1 < len(mid) and mid[i + 1].isdigit():
                 out.append({"0": "state_fc1", "3": "state_fc2"}[mid[i + 1]])
                 i += 2
@@ -189,6 +198,14 @@ def translate_torch_state_dict(state_dict, verbose: bool = False):
         elif leaf == "weight" and str(out[-1]).endswith("_embed"):
             _set(params, out + ["embedding"], t)  # nn.Embed, no transpose
         elif out[-1].endswith("_pred"):
+            if leaf == "weight":
+                _set(params, out + ["kernel"], np.transpose(t, (2, 3, 1, 0)))
+            else:
+                _set(params, out + ["bias"], t)
+        elif leaf in ("weight", "bias") and mid and \
+                (mid[-2:] == ["channel_attention", "fc"] or
+                 mid[-2:] == ["spatial_attention", "cv1"]):
+            # CBAM attention convs are raw nn.Conv2d (no BN wrapper, conv.py:304,320)
             if leaf == "weight":
                 _set(params, out + ["kernel"], np.transpose(t, (2, 3, 1, 0)))
             else:

@@ -123,6 +123,43 @@ def test_yolov13_jde_param_parity():
 
 
 @pytest.mark.slow
+def test_yolo11_jde_family_param_parity():
+    """Exact trainable-param parity with reference builds of the fork's
+    yolo11-JDE experiment matrix (JDEModel counts; the P24_CBAM golden is the
+    reference count minus its DEAD 4-scale FuseModule conv_out — the reference
+    creates Conv(4*c1, c1) in __init__ then never calls it in the 4-input
+    forward, using a lazily-created conv_adjusts[concat_width] instead,
+    reference block.py:1869-1899; 4*128*128+256 = 65,792 params at scale n)."""
+    gold = {
+        "yolo11n-JDE.yaml": 5_625_801,
+        "yolo11n-JDE_CBAM.yaml": 5_832_537,
+        "yolo11n-P24_JDE.yaml": 6_432_954,
+        "yolo11n-P24_CBAM_JDE.yaml": 6_645_102,
+        "yolov13n-P24_CBAM_JDE.yaml": 6_586_740 - 65_792,
+    }
+    for name, exp in gold.items():
+        model, meta = build_model(name)
+        variables = init_model(model, meta, jax.random.PRNGKey(0), imgsz=64)
+        assert n_params(variables) == exp, name
+        assert meta["head"] == "JDE"
+
+
+@pytest.mark.slow
+def test_yolo11_task_family_param_parity():
+    """Exact trainable-param parity with reference yolo11n-seg/pose/obb/cls."""
+    gold = {
+        "yolo11n-seg.yaml": 2_876_832,
+        "yolo11n-pose.yaml": 2_908_491,
+        "yolo11n-obb.yaml": 2_695_731,
+        "yolo11n-cls.yaml": 1_633_584,
+    }
+    for name, exp in gold.items():
+        model, meta = build_model(name)
+        variables = init_model(model, meta, jax.random.PRNGKey(0), imgsz=64)
+        assert n_params(variables) == exp, name
+
+
+@pytest.mark.slow
 def test_yolov13_jde_p24_builds_and_runs():
     """P24 variant: 4-scale HyperACE fuse + P2..P5 JDE head builds and runs."""
     model, meta = build_model("yolov13n-JDE_P24.yaml")

@@ -363,3 +363,49 @@ def test_rtdetr_forward_parity():
     # decoder layers (same weights, same math; see sincos_pos_embed_2d note)
     assert berr < 2e-2, f"boxes mismatch: {berr}"
     assert serr < 2e-2, f"scores mismatch: {serr}"
+
+
+@pytest.mark.slow
+def test_yolo11_jde_family_forward_parity():
+    """yolo11-JDE family (fork experiment matrix): C3k2/C2PSA backbone + JDE
+    head, CBAM attention, and the P2 high-resolution level all match the
+    reference forward with converted weights. Also exercises the converter's
+    conv_adjusts->conv_out rule for the 4-scale FuseModule (v13 P24_CBAM)."""
+    import jax.numpy as jnp
+    import torch
+
+    from sar_yolo_tpu.nn.tasks import build_model
+    from sar_yolo_tpu.utils.torch_convert import translate_torch_state_dict
+
+    try:
+        from ref_stubs import install_reference_stubs
+        install_reference_stubs()
+        with contextlib.redirect_stdout(io.StringIO()), \
+                contextlib.redirect_stderr(io.StringIO()):
+            from ultralytics.nn.tasks import JDEModel
+    except Exception as e:  # noqa: BLE001
+        pytest.skip(f"reference not importable: {e}")
+
+    for name in ("yolo11n-JDE_CBAM.yaml", "yolov13n-P24_CBAM_JDE.yaml"):
+        ref_yaml = name.replace("11n-", "11-").replace("13n-", "13-")
+        sub = "11" if name.startswith("yolo11") else "v13"
+        with contextlib.redirect_stdout(io.StringIO()), \
+                contextlib.redirect_stderr(io.StringIO()):
+            ref = JDEModel(f"/root/reference/ultralytics/cfg/models/{sub}/{ref_yaml}",
+                           verbose=False)
+        ref.eval()
+        model, meta = build_model(name)
+        conv, skipped = translate_torch_state_dict(ref.state_dict())
+        assert not skipped, f"{name}: unmapped torch keys {skipped[:5]}"
+        variables = {"params": conv["params"], "batch_stats": conv["batch_stats"]}
+        rng = np.random.default_rng(0)
+        x = rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)
+        ref.model[-1].training = True  # raw per-level maps
+        with torch.no_grad():
+            feats_ref = ref._predict_once(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+        feats_mine = model.apply(variables, jnp.asarray(x), train=False)
+        assert len(feats_ref) == len(feats_mine)
+        for fr, fm in zip(feats_ref, feats_mine):
+            fr = fr.numpy().transpose(0, 2, 3, 1)
+            err = float(np.abs(fr - np.asarray(fm)).max())
+            assert err < 1e-3, f"{name} forward mismatch: {err}"
