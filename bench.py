@@ -1,12 +1,20 @@
-"""Benchmark: end-to-end detection throughput (letterbox + forward + decode + NMS).
+"""Benchmark: end-to-end detection throughput (letterbox + forward + decode + NMS)
+plus TRAIN-step throughput (device-augment + fwd + bwd + optimizer + EMA).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 
-Measures the BASELINE.json north-star metric — end-to-end images/sec/chip at
+Headline = the BASELINE.json north-star metric — end-to-end images/sec/chip at
 640px on yolov8n, where "end-to-end" now really means it: raw RAGGED uint8
 frames (480x640, video-camera geometry) are letterboxed to 640x640 ON DEVICE
 inside the same jit as the model + NMS (cv2-parity bilinear, see
 sar_yolo_tpu/ops/preprocess.py), weights run in bfloat16 on TPU.
+
+"extra" adds: sustained TRAIN img/s/chip at 640px for yolov8n and the flagship
+yolov13n-JDE (the real jitted SPMD train step from engine/trainer.py with the
+fused on-device mosaic/affine/HSV/flip augmentation of data/device_augment.py —
+the raw uint8 batch is device-resident, augmentation is re-randomized per step
+inside the jit, so the number measures the chip-side training pipeline with
+the host out of the loop), and flagship JDE e2e inference throughput.
 
 `vs_baseline` compares against an A100 TensorRT-FP16 class figure for yolov8n
 end-to-end batched inference (~1150 img/s — public TRT benchmark class, the
@@ -24,6 +32,86 @@ import jax.numpy as jnp
 import numpy as np
 
 A100_TRT_E2E_IMGS_PER_SEC = 1150.0  # A100 TensorRT-FP16 batched e2e class figure
+
+
+def bench_train(model_yaml: str, task: str, B: int, imgsz: int = 640,
+                n_iter: int = 12) -> float:
+    """Sustained train-step img/s: the trainer's own jitted SPMD step (donated
+    state threading makes the chain sequential; one scalar fetch at the end
+    forces everything through the remote-device tunnel)."""
+    from sar_yolo_tpu.engine.trainer import DetectionTrainer, JDETrainer
+    from sar_yolo_tpu.parallel import shard_batch
+    cls = JDETrainer if task == "jde" else DetectionTrainer
+    tr = cls(overrides=dict(model=model_yaml, data="synthetic", imgsz=imgsz,
+                            batch=B, epochs=2, workers=1, val=False, save=False,
+                            plots=False, device_augment=True, max_labels=64,
+                            mesh_shape=[1]))
+    tr._setup_train()
+    batch = next(iter(tr.train_loader))
+    batch = shard_batch(tr.mesh, batch)  # device-resident raw uint8 tiles
+    rng = jax.random.PRNGKey(0)
+    state, total, _ = tr._train_step(tr.state, batch, rng, tr._mosaic_on)
+    float(total)  # compile + settle
+    t0 = time.perf_counter()
+    for i in range(n_iter):
+        rng, sub = jax.random.split(rng)
+        state, total, _ = tr._train_step(state, batch, sub, tr._mosaic_on)
+    float(total)  # forces the whole sequential chain
+    dt = time.perf_counter() - t0
+    return B * n_iter / dt
+
+
+def bench_jde_e2e(B: int, imgsz: int = 640, n_iter: int = 20) -> float:
+    """Flagship yolov13n-JDE end-to-end inference: device letterbox + bf16
+    fused forward + JDE decode (boxes/conf/emb/state) + NMS."""
+    import dataclasses
+
+    from sar_yolo_tpu.nn.fuse import fuse
+    from sar_yolo_tpu.nn.tasks import build_model, init_model
+    from sar_yolo_tpu.ops.decode import decode_detect
+    from sar_yolo_tpu.ops.nms import non_max_suppression
+    from sar_yolo_tpu.ops.preprocess import letterbox_device
+
+    model, meta = build_model("yolov13n-JDE.yaml")
+    variables = init_model(model, meta, jax.random.PRNGKey(0), imgsz=imgsz)
+    model, variables = fuse(model, variables)
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        model = dataclasses.replace(model, dtype=jnp.bfloat16)
+        variables = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+            variables)
+    strides = tuple(meta["strides"])
+    nc = meta["nc"]
+
+    @jax.jit
+    def e2e(variables, frames_u8, acc):
+        def prep(f):
+            lb, _, _ = letterbox_device(f[..., ::-1], imgsz)
+            return lb / 255.0
+        x = jax.vmap(prep)(frames_u8)
+        if on_tpu:
+            x = x.astype(jnp.bfloat16)
+        feats = model.apply(variables, x, train=False)
+        feats = [f.astype(jnp.float32) for f in feats]
+        # JDE level maps carry [box64, cls, emb256, state6]; decode keeps the
+        # extra columns alongside (emb raw, state sigmoid via extra_sigmoid)
+        preds = decode_detect(feats, strides, nc, meta["reg_max"],
+                              extra_sigmoid=meta["state_classes"] or 0)
+        dets = non_max_suppression(preds, conf_thres=0.25, iou_thres=0.7,
+                                   max_det=300, pre_topk=512, nc=nc)
+        return acc + jnp.sum(dets)
+
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.integers(0, 255, (B, 480, 640, 3), dtype=np.uint8))
+    acc = jnp.zeros((), jnp.float32)
+    float(e2e(variables, img, acc))  # compile + settle
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        acc = e2e(variables, img, acc)
+    float(acc)
+    dt = time.perf_counter() - t0
+    return B * n_iter / dt
 
 
 def main():
@@ -94,11 +182,29 @@ def main():
         ips = B * n_iter / dt
         best = max(best, ips)
 
+    extra = {}
+    for key, fn in [
+        ("train_yolov8n_640_imgs_per_sec",
+         lambda: bench_train("yolov8n.yaml", "detect", B=64 if on_tpu else 2,
+                             n_iter=12 if on_tpu else 2)),
+        ("train_yolov13njde_640_imgs_per_sec",
+         lambda: bench_train("yolov13n-JDE.yaml", "jde", B=32 if on_tpu else 2,
+                             n_iter=10 if on_tpu else 2)),
+        ("e2e_yolov13njde_640_imgs_per_sec",
+         lambda: bench_jde_e2e(B=128 if on_tpu else 2,
+                               n_iter=20 if on_tpu else 2)),
+    ]:
+        try:
+            extra[key] = round(fn(), 2)
+        except Exception as e:  # noqa: BLE001 — extras must never kill the headline
+            extra[key] = f"error: {type(e).__name__}: {e}"
+
     print(json.dumps({
         "metric": "e2e_images_per_sec_per_chip_640px_yolov8n_raggedinput",
         "value": round(best, 2),
         "unit": "img/s",
         "vs_baseline": round(best / A100_TRT_E2E_IMGS_PER_SEC, 2),
+        "extra": extra,
     }))
 
 

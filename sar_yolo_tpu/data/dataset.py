@@ -82,9 +82,15 @@ class YOLODataset:
 
     def __init__(self, img_path, imgsz=640, augment=False, hyp=None, use_tags=False,
                  max_labels=128, single_cls=False, fraction=1.0, rect=False,
-                 task="detect", kpt_shape=(17, 3), cache=False, flip_idx=None):
+                 task="detect", kpt_shape=(17, 3), cache=False, flip_idx=None,
+                 device_augment=False):
         self.imgsz = imgsz
-        self.augment = augment
+        # device_augment: host yields raw letterboxed tiles (scaleup like train)
+        # and the fused on-device pipeline (data/device_augment.py) does
+        # mosaic/affine/HSV/flip inside the train step
+        self.device_augment = device_augment and augment
+        self.scaleup = augment  # train letterbox upscales (reference LetterBox)
+        self.augment = augment and not self.device_augment
         self.hyp = hyp
         self.use_tags = use_tags or task == "jde"
         self.max_labels = max_labels
@@ -94,7 +100,7 @@ class YOLODataset:
         self.flip_idx = flip_idx  # keypoint lr-symmetry permutation (pose yaml)
         # full geometric augmentation for every task: mosaic/affine/flip carry
         # boxes, tags, keypoints AND polygons (reference augment.py:966-1318)
-        self.mosaic_enabled = bool(augment and hyp is not None and getattr(hyp, "mosaic", 0) > 0)
+        self.mosaic_enabled = bool(self.augment and hyp is not None and getattr(hyp, "mosaic", 0) > 0)
         self.im_files = self._scan_images(img_path)
         if fraction < 1.0:
             self.im_files = self.im_files[: max(1, int(len(self.im_files) * fraction))]
@@ -361,7 +367,7 @@ class YOLODataset:
         else:
             item = self._load_item(i)
             shape = self.batch_shapes[self.batch_index[i]] if self.rect else self.imgsz
-            img, r, (padx, pady) = letterbox(item["img"], shape, scaleup=self.augment)
+            img, r, (padx, pady) = letterbox(item["img"], shape, scaleup=self.scaleup)
             if len(item["bboxes"]):
                 item["bboxes"] = item["bboxes"] * r
                 item["bboxes"][:, [0, 2]] += padx

@@ -180,6 +180,10 @@ class BaseTrainer(HasCallbacks):
             train = SyntheticDataset(n=64, imgsz=self.args.imgsz, nc=nc,
                                      max_labels=self.args.max_labels, use_tags=use_tags,
                                      task=self.task, kpt_shape=kpt_shape)
+            # synthetic data trains un-augmented by default (overfit proofs);
+            # opt in to the device pipeline explicitly
+            train.device_augment = self.args.device_augment is True and \
+                self._device_augment_enabled()
             val = SyntheticDataset(n=16, imgsz=self.args.imgsz, nc=nc,
                                    max_labels=self.args.max_labels, use_tags=use_tags, seed=1,
                                    task=self.task, kpt_shape=kpt_shape)
@@ -187,14 +191,39 @@ class BaseTrainer(HasCallbacks):
             return train, val, info
         info = check_det_dataset(data)
         kpt_shape = tuple(info.get("kpt_shape", (17, 3)))
+        flip_idx = info.get("flip_idx")
         train = YOLODataset(info["train"], imgsz=self.args.imgsz, augment=True, hyp=self.args,
                             use_tags=use_tags, max_labels=self.args.max_labels,
                             single_cls=self.args.single_cls, fraction=self.args.fraction,
-                            task=self.task, kpt_shape=kpt_shape, cache=self.args.cache)
+                            task=self.task, kpt_shape=kpt_shape, cache=self.args.cache,
+                            flip_idx=flip_idx,
+                            device_augment=self._device_augment_enabled())
         val = YOLODataset(info.get("val") or info["train"], imgsz=self.args.imgsz, augment=False,
                           hyp=self.args, use_tags=use_tags, max_labels=self.args.max_labels,
-                          single_cls=self.args.single_cls, task=self.task, kpt_shape=kpt_shape)
+                          single_cls=self.args.single_cls, task=self.task, kpt_shape=kpt_shape,
+                          flip_idx=flip_idx)
         return train, val, info
+
+    def _device_augment_enabled(self) -> bool:
+        """Gate for the fused on-device augmentation path (data/device_augment.py).
+
+        The device pipeline expresses mosaic placement + affine as axis-separable
+        matmuls, so it covers the DEFAULT hyp set exactly (degrees/shear/
+        perspective = 0, mosaic prob 0 or 1, no copy_paste/mosaic9 — those need
+        polygons or non-separable warps and stay on the host path)."""
+        v = getattr(self.args, "device_augment", "auto")
+        if v in (False, "False", "off", 0):
+            return False
+        g = lambda k: float(getattr(self.args, k, 0) or 0)  # noqa: E731
+        expressible = (self.task in ("detect", "jde", "pose")
+                       and g("degrees") == 0 and g("shear") == 0
+                       and g("perspective") == 0 and g("copy_paste") == 0
+                       and g("mosaic9") == 0 and g("mosaic") in (0.0, 1.0))
+        if v in (True, "True", "on", 1) and not expressible:
+            LOGGER.warning("device_augment=True but the hyp set needs host cv2 "
+                           "(degrees/shear/perspective/copy_paste/mosaic9/fractional "
+                           "mosaic or non-box task); using host augmentation")
+        return expressible
 
     def make_loss_fn(self) -> Callable:
         """Returns loss(feats, batch, cb_counts) -> (total, items, new_cb)."""
@@ -315,7 +344,29 @@ class BaseTrainer(HasCallbacks):
         model = self.model
         is_detr = self.meta.get("head") == "RTDETRDecoder"
 
-        def train_step(state: TrainState, batch, rng):
+        # fused on-device augmentation (north star): host workers only decode +
+        # letterbox; mosaic/affine/HSV/flip run inside this jit on the uint8 batch
+        self._dev_aug = self._device_augment_enabled() and \
+            getattr(self.train_set, "device_augment", False)
+        self._mosaic_on = bool(self._dev_aug and float(args.mosaic or 0) > 0)
+        aug_hyp = {k: float(getattr(args, k, 0) or 0)
+                   for k in ("scale", "translate", "fliplr", "flipud",
+                             "hsv_h", "hsv_s", "hsv_v", "mixup")}
+        flip_idx = getattr(self.train_set, "flip_idx", None)
+        if flip_idx is not None:
+            aug_hyp["flip_idx"] = tuple(int(i) for i in flip_idx)
+        dev_aug = self._dev_aug
+        if dev_aug:
+            LOGGER.info("device_augment: mosaic/affine/HSV/flip fused into the "
+                        "jitted train step (host does decode+letterbox only)")
+
+        def train_step(state: TrainState, batch, rng, mosaic_on):
+            if dev_aug:
+                from sar_yolo_tpu.data.device_augment import device_train_augment
+                rng, kaug = jax.random.split(rng)
+                batch = device_train_augment(batch, kaug, aug_hyp, mosaic=mosaic_on,
+                                             dtype=dtype)
+
             def loss_fn(p):
                 img = batch["img"]
                 if img.dtype == jnp.uint8:  # device-side normalize (fused by XLA)
@@ -344,7 +395,7 @@ class BaseTrainer(HasCallbacks):
                                       opt_state=new_opt, ema_params=new_ema, cb_counts=new_cb)
             return new_state, total, items
 
-        self._train_step = jax.jit(train_step, donate_argnums=(0,))
+        self._train_step = jax.jit(train_step, donate_argnums=(0,), static_argnums=(3,))
         self.run_callbacks("on_pretrain_routine_end")
 
     # ------------------------------------------------------------------ train
@@ -364,9 +415,10 @@ class BaseTrainer(HasCallbacks):
             self.run_callbacks("on_train_epoch_start")
             # close_mosaic: disable mosaic for the final N epochs (reference trainer)
             if args.close_mosaic and epoch == max(args.epochs - args.close_mosaic, 0) \
-                    and getattr(self.train_set, "mosaic_enabled", False):
+                    and (getattr(self.train_set, "mosaic_enabled", False) or self._mosaic_on):
                 LOGGER.info("Closing dataloader mosaic")
                 self.train_set.mosaic_enabled = False
+                self._mosaic_on = False  # device path: one retrace, then cached
             self.train_loader.set_epoch(epoch)
             mloss = None
             n_seen = 0
@@ -386,7 +438,8 @@ class BaseTrainer(HasCallbacks):
                     batch = self._multi_scale(batch, i)
                 batch = shard_batch(self.mesh, batch)
                 rng, sub = jax.random.split(rng)
-                self.state, total, items = self._train_step(self.state, batch, sub)
+                self.state, total, items = self._train_step(self.state, batch, sub,
+                                                            self._mosaic_on)
                 items = np.asarray(items)
                 mloss = items if mloss is None else (mloss * n_seen + items) / (n_seen + 1)
                 n_seen += 1

@@ -231,19 +231,28 @@ class JDEValidator(BaseValidator):
         if len(d) == 0 or len(gt_boxes) == 0:
             return
         iou = box_iou_np(gt_boxes, d[:, :4])
-        # match each gt to best pred at IoU>=0.5
-        for g in range(len(gt_boxes)):
-            p = iou[g].argmax()
-            if iou[g, p] >= 0.5:
-                emb = d[p, 6:6 + embed_dim]
-                self.embeds.append(emb)
-                self.embed_tags.append(gt_tags[g])
-                if sc:
-                    state_pred = int(d[p, 6 + embed_dim:6 + embed_dim + sc].argmax())
-                    state_gt = int(self._state_gt(gt_tags[g:g + 1], sc)[0])
-                    self.state_correct += int(state_pred == state_gt)
-                    self.state_total += 1
-                    self.state_confusion[state_pred, state_gt] += 1
+        # one-to-one gt<->pred assignment, greedy by IoU (>=0.5): each prediction
+        # credits at most ONE gt, matching the reference's unique-assignment
+        # match_predictions (jde/val.py:683) — the old per-gt argmax let a single
+        # prediction inflate state/ReID stats in crowded scenes
+        pairs = np.argwhere(iou >= 0.5)
+        if len(pairs) == 0:
+            return
+        pairs = pairs[iou[pairs[:, 0], pairs[:, 1]].argsort()[::-1]]
+        used_g = np.zeros(len(gt_boxes), bool)
+        used_p = np.zeros(len(d), bool)
+        for g, p in pairs:
+            if used_g[g] or used_p[p]:
+                continue
+            used_g[g] = used_p[p] = True
+            self.embeds.append(d[p, 6:6 + embed_dim])
+            self.embed_tags.append(gt_tags[g])
+            if sc:
+                state_pred = int(d[p, 6 + embed_dim:6 + embed_dim + sc].argmax())
+                state_gt = int(self._state_gt(gt_tags[g:g + 1], sc)[0])
+                self.state_correct += int(state_pred == state_gt)
+                self.state_total += 1
+                self.state_confusion[state_pred, state_gt] += 1
 
     def finalize_metrics(self) -> dict:
         results = super().finalize_metrics()
