@@ -343,7 +343,7 @@ class Results:
         if self.boxes is None or len(self.boxes) == 0:
             return "(no detections)"
         cls, counts = np.unique(self.boxes.cls.astype(int), return_counts=True)
-        return ", ".join(f"{n} {self.names.get(int(c), c)}{'s' * (n > 1)}"
+        return ", ".join(f"{n} {self.names.get(int(c), c)}{'s' * int(n > 1)}"
                          for c, n in zip(cls, counts))
 
     def cpu(self):

@@ -204,8 +204,15 @@ class BYTETracker:
         self.tracked_stracks = joint_stracks(self.tracked_stracks, refind)
         self.lost_stracks = sub_stracks(self.lost_stracks, self.tracked_stracks)
         self.lost_stracks.extend(lost)
-        self.lost_stracks = sub_stracks(self.lost_stracks, removed)
+        # reference semantics (byte_tracker.py:399-404): subtract the CUMULATIVE
+        # removed list (this frame's removals prune next frame), dedup
+        # tracked-vs-lost keeping the older track, then extend + cap removals
+        self.lost_stracks = sub_stracks(self.lost_stracks, self.removed_stracks)
+        self.tracked_stracks, self.lost_stracks = remove_duplicate_stracks(
+            self.tracked_stracks, self.lost_stracks)
         self.removed_stracks.extend(removed)
+        if len(self.removed_stracks) > 1000:
+            self.removed_stracks = self.removed_stracks[-999:]
 
         out = [np.concatenate([t.xyxy, [t.score, t.cls, t.track_id]])
                for t in self.tracked_stracks if t.is_activated]
@@ -226,3 +233,19 @@ def joint_stracks(a, b):
 def sub_stracks(a, b):
     ids = {t.track_id for t in b}
     return [t for t in a if t.track_id not in ids]
+
+
+def remove_duplicate_stracks(a, b):
+    """Drop tracks that overlap a track in the other list at IoU > 0.85,
+    keeping whichever has the longer history (reference byte_tracker.py:462)."""
+    pdist = iou_distance(a, b)
+    dup_a, dup_b = set(), set()
+    for p, q in zip(*np.where(pdist < 0.15)):
+        time_a = a[p].frame_id - a[p].start_frame
+        time_b = b[q].frame_id - b[q].start_frame
+        if time_a > time_b:
+            dup_b.add(q)
+        else:
+            dup_a.add(p)
+    return ([t for i, t in enumerate(a) if i not in dup_a],
+            [t for i, t in enumerate(b) if i not in dup_b])

@@ -30,5 +30,39 @@ def install_reference_stubs():
     pml = sys.modules["pytorch_metric_learning"]
     for sub in ("miners", "distances", "losses", "reducers"):
         setattr(pml, sub, sys.modules[f"pytorch_metric_learning.{sub}"])
+    if "lap" not in sys.modules:
+        sys.modules["lap"] = _make_lap_stub()
     if "/root/reference" not in sys.path:
         sys.path.insert(0, "/root/reference")
+
+
+def _make_lap_stub():
+    """lap.lapjv stand-in (not pip-installable here): scipy Hungarian on the
+    standard cost_limit extension [[C, L/2], [L/2, 0]], which is exactly how
+    lapjv realizes extend_cost+cost_limit — optimal gated assignments agree
+    whenever no cost ties the limit."""
+    import numpy as np
+    from scipy.optimize import linear_sum_assignment
+
+    def lapjv(cost, extend_cost=False, cost_limit=np.inf):
+        cost = np.asarray(cost, float)
+        n, m = cost.shape
+        if not np.isfinite(cost_limit):
+            cost_limit = cost.max() + 1.0 if cost.size else 1.0
+        ext = np.full((n + m, n + m), cost_limit / 2.0)
+        ext[n:, m:] = 0.0
+        ext[:n, :m] = cost
+        rows, cols = linear_sum_assignment(ext)
+        x = np.full(n, -1, int)
+        y = np.full(m, -1, int)
+        total = 0.0
+        for r, c in zip(rows, cols):
+            if r < n and c < m:
+                x[r], y[c] = c, r
+                total += cost[r, c]
+        return total, x, y
+
+    mod = types.ModuleType("lap")
+    mod.__version__ = "0.5.12-stub"
+    mod.lapjv = lapjv
+    return mod

@@ -121,3 +121,69 @@ def test_detmetrics_pipeline_matches_reference_end_to_end():
     ref_ap = ref_out[5]
     np.testing.assert_allclose(ours["metrics/mAP50(B)"], ref_ap[:, 0].mean(), atol=1e-9)
     np.testing.assert_allclose(ours["metrics/mAP50-95(B)"], ref_ap.mean(), atol=1e-9)
+
+
+def test_bytetrack_matches_reference():
+    """Identical detection sequences -> identical track ids, boxes, scores from
+    the reference's own BYTETracker (trackers/byte_tracker.py:235, numpy CPU).
+
+    The sequence exercises every code path: high/low-conf split, lost->refind,
+    unconfirmed removal, new-track gating, expiry, and duplicate pruning."""
+    from ref_stubs import install_reference_stubs
+    install_reference_stubs()
+    from ultralytics.trackers.byte_tracker import BYTETracker as RefTracker
+    from ultralytics.trackers.basetrack import BaseTrack as RefBase
+
+    from sar_yolo_tpu.trackers.byte_tracker import BYTETracker, STrack
+
+    args = types.SimpleNamespace(track_high_thresh=0.5, track_low_thresh=0.1,
+                                 new_track_thresh=0.6, track_buffer=30,
+                                 match_thresh=0.8, fuse_score=True)
+    RefBase.reset_id()
+    ref = RefTracker(args, frame_rate=30)
+    STrack._count = 0
+    ours = BYTETracker(track_high_thresh=0.5, track_low_thresh=0.1,
+                       new_track_thresh=0.6, track_buffer=30,
+                       match_thresh=0.8, fuse_score_flag=True, frame_rate=30)
+
+    rng = np.random.default_rng(7)
+    # 5 objects on linear trajectories; per-frame conf noise, dropouts, clutter
+    pos0 = rng.uniform(50, 500, (5, 2))
+    vel = rng.uniform(-4, 4, (5, 2))
+    wh = rng.uniform(30, 90, (5, 2))
+    for frame in range(1, 61):
+        boxes, confs, clss = [], [], []
+        for k in range(5):
+            if k == 2 and 20 <= frame < 28:
+                continue  # dropout -> lost -> refind
+            if k == 4 and frame >= 40:
+                continue  # permanent loss -> expiry
+            c = pos0[k] + vel[k] * frame + rng.normal(0, 1.5, 2)
+            boxes.append(np.r_[c - wh[k] / 2, c + wh[k] / 2])
+            confs.append(0.25 if (k == 3 and frame % 4 == 0) else
+                         float(np.clip(rng.uniform(0.55, 0.95), 0, 1)))
+            clss.append(float(k % 3))
+        if frame % 5 == 0:  # clutter: low-conf false positive
+            fp = rng.uniform(100, 400, 2)
+            boxes.append(np.r_[fp, fp + 40])
+            confs.append(float(rng.uniform(0.15, 0.45)))
+            clss.append(0.0)
+        boxes = np.asarray(boxes, np.float32)
+        confs = np.asarray(confs, np.float32)
+        clss = np.asarray(clss, np.float32)
+
+        xywh = np.concatenate([(boxes[:, :2] + boxes[:, 2:]) / 2,
+                               boxes[:, 2:] - boxes[:, :2]], 1)
+        ref_out = ref.update(types.SimpleNamespace(conf=confs, xywh=xywh, cls=clss))
+        our_out = ours.update(np.concatenate([boxes, confs[:, None], clss[:, None]], 1))
+
+        # ref rows: x1,y1,x2,y2,id,score,cls,idx — ours: x1,y1,x2,y2,score,cls,id
+        ref_rows = {int(r[4]): r for r in np.asarray(ref_out).reshape(-1, 8)}
+        our_rows = {int(r[6]): r for r in our_out}
+        assert set(ref_rows) == set(our_rows), f"frame {frame}: ids diverge"
+        for tid, rr in ref_rows.items():
+            np.testing.assert_allclose(our_rows[tid][:4], rr[:4], atol=1e-3,
+                                       err_msg=f"frame {frame} id {tid} box")
+            np.testing.assert_allclose(our_rows[tid][4], rr[5], atol=1e-6)
+            assert our_rows[tid][5] == rr[6]
+    assert STrack._count == RefBase._count  # same total tracks ever created
