@@ -116,13 +116,25 @@ class BasePredictor:
         extra_sig = meta.get("state_classes") or 0
 
         end2end = meta.get("head") == "v10Detect"
+        use_tta = bool(getattr(args, "augment", False))
+        if use_tta and meta.get("head") != "Detect":
+            from sar_yolo_tpu.utils import LOGGER
+            LOGGER.warning("augment=True is Detect-only (reference nn/tasks.py:360); "
+                           "reverting to single-scale prediction")
+            use_tta = False
 
         @jax.jit
         def run(variables, frame_u8):
             """frame_u8: raw (H, W, 3) uint8 BGR frame."""
             x, r, pad = self._preprocess_jit(frame_u8)
-            feats = model.apply(variables, x, train=False)
-            preds = decode_detect(feats, strides, nc, meta["reg_max"], extra_sigmoid=extra_sig)
+            if use_tta:
+                from sar_yolo_tpu.ops.tta import forward_tta
+                preds = forward_tta(lambda xi: model.apply(variables, xi, train=False),
+                                    x, strides, nc, meta["reg_max"])
+            else:
+                feats = model.apply(variables, x, train=False)
+                preds = decode_detect(feats, strides, nc, meta["reg_max"],
+                                      extra_sigmoid=extra_sig)
             if end2end:  # NMS-free (v10) serve path
                 from sar_yolo_tpu.ops.nms import postprocess_end2end
                 dets = postprocess_end2end(preds, max_det=args.max_det,

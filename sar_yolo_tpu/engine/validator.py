@@ -47,11 +47,24 @@ class BaseValidator:
             meta.get("head") == "Pose" else None
 
         end2end = meta.get("head") == "v10Detect"
+        use_tta = bool(getattr(args, "augment", False))
+        if use_tta and meta.get("head") != "Detect":
+            from sar_yolo_tpu.utils import LOGGER
+            LOGGER.warning("augment=True is Detect-only (reference nn/tasks.py:360); "
+                           "reverting to single-scale eval")
+            use_tta = False
 
         @jax.jit
         def predict(variables, img):
             if img.dtype == jnp.uint8:
                 img = img.astype(jnp.float32) / 255.0
+            if use_tta:
+                from sar_yolo_tpu.ops.tta import forward_tta
+                preds = forward_tta(lambda xi: model.apply(variables, xi, train=False),
+                                    img, strides, nc, meta["reg_max"])
+                dets = non_max_suppression(preds, conf_thres=conf, iou_thres=args.iou,
+                                           max_det=max_det, nc=nc)
+                return dets
             out = model.apply(variables, img, train=False)
             protos = None
             if isinstance(out, tuple):

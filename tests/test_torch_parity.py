@@ -409,3 +409,42 @@ def test_yolo11_jde_family_forward_parity():
             fr = fr.numpy().transpose(0, 2, 3, 1)
             err = float(np.abs(fr - np.asarray(fm)).max())
             assert err < 1e-3, f"{name} forward mismatch: {err}"
+
+
+@pytest.mark.slow
+def test_tta_forward_parity_with_reference():
+    """forward_tta (ops/tta.py) matches the reference's _predict_augment
+    (nn/tasks.py:357-395) — scale/flip passes, descale, and tail clipping —
+    on converted yolov8n weights."""
+    import jax.numpy as jnp
+    import torch
+
+    from sar_yolo_tpu.nn.tasks import build_model, infer_strides
+    from sar_yolo_tpu.ops.tta import forward_tta
+    from sar_yolo_tpu.utils.torch_convert import translate_torch_state_dict
+
+    ref = _load_reference_model("yolov8n.yaml")
+    ref.eval()
+    model, meta = build_model("yolov8n.yaml")
+    meta["strides"] = infer_strides(model, meta)
+    conv, skipped = translate_torch_state_dict(ref.state_dict())
+    assert not skipped
+    variables = {"params": conv["params"], "batch_stats": conv["batch_stats"]}
+
+    rng = np.random.default_rng(3)
+    x = rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref.predict(torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                              augment=True)[0]  # (B, 4+nc, N)
+    ref_out = ref_out.numpy().transpose(0, 2, 1)  # -> (B, N, 4+nc)
+
+    mine = np.asarray(forward_tta(
+        lambda xi: model.apply(variables, xi, train=False),
+        jnp.asarray(x), meta["strides"], meta["nc"], meta["reg_max"]))
+
+    assert mine.shape == ref_out.shape, (mine.shape, ref_out.shape)
+    # boxes are in pixels (<=64), scores in [0,1]
+    err_box = np.abs(mine[..., :4] - ref_out[..., :4]).max()
+    err_cls = np.abs(mine[..., 4:] - ref_out[..., 4:]).max()
+    assert err_box < 5e-3, f"TTA box mismatch: {err_box}"
+    assert err_cls < 1e-4, f"TTA cls mismatch: {err_cls}"
