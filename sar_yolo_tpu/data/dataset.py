@@ -326,7 +326,9 @@ class YOLODataset:
             # normalized xywh -> pixel xyxy at current size
             cx, cy, bw, bh = boxes[:, 0] * w, boxes[:, 1] * h, boxes[:, 2] * w, boxes[:, 3] * h
             boxes = np.stack([cx - bw / 2, cy - bh / 2, cx + bw / 2, cy + bh / 2], 1)
-        item = {"img": img, "cls": lb["cls"].copy(), "bboxes": boxes.astype(np.float32)}
+        item = {"img": img, "cls": lb["cls"].copy(), "bboxes": boxes.astype(np.float32),
+                "ori_shape": np.array([h0, w0], np.float32), "r0": float(r),
+                "im_file": self.im_files[i]}
         if self.use_tags:
             item["tags"] = lb["tags"].copy()
         if self.task == "pose" and "keypoints" in lb:
@@ -368,6 +370,12 @@ class YOLODataset:
             item = self._load_item(i)
             shape = self.batch_shapes[self.batch_index[i]] if self.rect else self.imgsz
             img, r, (padx, pady) = letterbox(item["img"], shape, scaleup=self.scaleup)
+            if not self.augment:
+                # original-image mapping for COCO-comparable predictions.json
+                # (reference detect/val.py pred_to_json + scale_boxes): total
+                # resize ratio and letterbox pad back to native pixels — val
+                # batches only (train batches go to device, strings can't)
+                item["ratio_pad"] = np.array([item["r0"] * r, padx, pady], np.float32)
             if len(item["bboxes"]):
                 item["bboxes"] = item["bboxes"] * r
                 item["bboxes"][:, [0, 2]] += padx
@@ -414,6 +422,10 @@ class YOLODataset:
             if self.use_tags:
                 tags[:n] = item["tags"][:n]
         out = {"img": img, "cls": cls, "bboxes": boxes, "mask": mask}
+        if "ratio_pad" in item:  # val path: native-space mapping metadata
+            out["ratio_pad"] = item["ratio_pad"]
+            out["ori_shape"] = item["ori_shape"]
+            out["im_file"] = item["im_file"]
         if self.use_tags:
             out["tags"] = tags
         if self.task == "pose":

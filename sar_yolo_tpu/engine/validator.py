@@ -49,7 +49,6 @@ class BaseValidator:
         end2end = meta.get("head") == "v10Detect"
         use_tta = bool(getattr(args, "augment", False))
         if use_tta and meta.get("head") != "Detect":
-            from sar_yolo_tpu.utils import LOGGER
             LOGGER.warning("augment=True is Detect-only (reference nn/tasks.py:360); "
                            "reverting to single-scale eval")
             use_tta = False
@@ -108,12 +107,34 @@ class BaseValidator:
                 scale = np.array([w, h, w, h], np.float32)
                 for bi in range(n_eff):
                     d = dets[bi]
+                    # COCO-comparable rows (reference detect/val.py pred_to_json
+                    # + scale_boxes): boxes back in NATIVE image pixels, ids
+                    # from the real file stem — scoreable against an external
+                    # instances_*.json. Datasets without file metadata
+                    # (synthetic) fall back to letterbox space + sequential ids.
+                    if "im_file" in batch:
+                        from pathlib import Path as _P
+                        stem = _P(str(batch["im_file"][bi])).stem
+                        image_id = int(stem) if stem.isnumeric() else stem
+                        rt, padx, pady = (float(v) for v in batch["ratio_pad"][bi])
+                        oh, ow = (float(v) for v in batch["ori_shape"][bi])
+                    else:
+                        image_id, rt, padx, pady, oh, ow = n_img + bi, 1.0, 0.0, 0.0, h, w
+
+                    def to_native(x1, y1, x2, y2):
+                        x1, y1, x2, y2 = float(x1), float(y1), float(x2), float(y2)
+                        x1 = min(max((x1 - padx) / rt, 0.0), ow)
+                        x2 = min(max((x2 - padx) / rt, 0.0), ow)
+                        y1 = min(max((y1 - pady) / rt, 0.0), oh)
+                        y2 = min(max((y2 - pady) / rt, 0.0), oh)
+                        return [round(x1, 3), round(y1, 3),
+                                round(x2 - x1, 3), round(y2 - y1, 3)]
+
                     for row in d[d[:, 4] > 0]:
-                        x1, y1, x2, y2 = (float(v) for v in row[:4])
                         self.jdict.append({
-                            "image_id": n_img + bi,
+                            "image_id": image_id,
                             "category_id": int(row[5]),
-                            "bbox": [x1, y1, x2 - x1, y2 - y1],
+                            "bbox": to_native(*(float(v) for v in row[:4])),
                             "score": round(float(row[4]), 5),
                         })
                     gmask = batch["mask"][bi] > 0
@@ -121,10 +142,10 @@ class BaseValidator:
                     gc = batch["cls"][bi][gmask]
                     for (cx, cy, bw, bh), c in zip(gb, gc):
                         self.gt_anns.append({
-                            "image_id": n_img + bi,
+                            "image_id": image_id,
                             "category_id": int(c),
-                            "bbox": [float(cx - bw / 2), float(cy - bh / 2),
-                                     float(bw), float(bh)],
+                            "bbox": to_native(cx - bw / 2, cy - bh / 2,
+                                              cx + bw / 2, cy + bh / 2),
                         })
             self.update_metrics(dets[:n_eff], _trim_batch(batch, n_eff), img.shape[1:3])
             n_img += n_eff

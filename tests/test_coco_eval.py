@@ -97,3 +97,40 @@ def test_score_ordering_matters():
     dt = [_dt(0, 0, 300, 300, 20, 20, 0.95), _dt(0, 0, 10, 10, 50, 50, 0.9)]
     s = CocoEval(gt, dt).accumulate().summarize()
     assert abs(s["AP"] - 0.5) < 1e-9  # precision 0.5 at every recall point
+
+
+def test_predictions_json_native_space(tmp_path):
+    """save_json writes COCO-comparable rows: numeric image ids from file
+    stems and boxes mapped back to NATIVE image pixels (reference
+    detect/val.py pred_to_json + scale_boxes semantics)."""
+    import json
+
+    import cv2
+    import numpy as np
+
+    from sar_yolo_tpu import YOLO
+
+    root = tmp_path / "ds"
+    (root / "images").mkdir(parents=True)
+    (root / "labels").mkdir(parents=True)
+    oh, ow = 80, 120  # non-square natives so letterbox pad + ratio both matter
+    for i in range(4):
+        img = np.full((oh, ow, 3), 30, np.uint8)
+        img[20:60, 30:90] = (40, 220, 40)
+        cv2.imwrite(str(root / "images" / f"{i:03d}.jpg"), img)
+        # one box: cx=0.5, cy=0.5, w=0.5, h=0.5 -> native (30, 20, 60, 40) xywh
+        (root / "labels" / f"{i:03d}.txt").write_text("0 0.5 0.5 0.5 0.5")
+    (root / "data.yaml").write_text(
+        f"path: {root}\ntrain: images\nval: images\nnc: 1\nnames: {{0: person}}\n")
+
+    m = YOLO("tinydet.yaml", task="detect")
+    m.val(data=str(root / "data.yaml"), imgsz=64, batch=4, save_json=True,
+          conf=1e-6, project=str(tmp_path / "out"), name="v", plots=False)
+    jfiles = list((tmp_path / "out").rglob("predictions.json"))
+    assert jfiles, "predictions.json not written under project dir"
+    rows = json.loads(jfiles[0].read_text())
+    assert rows
+    for r in rows:
+        assert isinstance(r["image_id"], int) and 0 <= r["image_id"] < 4
+        x, y, w, h = r["bbox"]
+        assert 0 <= x <= ow and 0 <= y <= oh and x + w <= ow + 1e-6 and y + h <= oh + 1e-6
