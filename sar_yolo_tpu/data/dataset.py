@@ -446,6 +446,77 @@ class YOLODataset:
         return out
 
 
+class GroundingDataset(YOLODataset):
+    """Grounding-annotation detection dataset (caption-derived classes).
+
+    Capability parity with reference data/dataset.py:306 GroundingDataset:
+    labels come from ONE COCO-style json whose per-image `caption` plus each
+    annotation's `tokens_positive` spans name the category. Per-image category
+    vocabularies are independent; the phrase list is kept on every label dict
+    as `texts` (list of [phrase]) for open-vocabulary training.
+
+    Detect-only like the reference. Shapes come from the json height/width so
+    verification needs no image decode pass.
+    """
+
+    def __init__(self, img_path, json_file, task="detect", **kwargs):
+        assert task == "detect", "GroundingDataset only supports task='detect'"
+        self.json_file = json_file
+        super().__init__(img_path, task=task, **kwargs)
+
+    def _scan_images(self, img_path):
+        self._img_root = Path(img_path)
+        return []  # populated from the json in _load_or_build_cache
+
+    def _load_or_build_cache(self):
+        import json
+        from collections import defaultdict
+
+        with open(self.json_file) as f:
+            ann_json = json.load(f)
+        images = {int(x["id"]): x for x in ann_json["images"]}
+        by_img = defaultdict(list)
+        for ann in ann_json["annotations"]:
+            by_img[int(ann["image_id"])].append(ann)
+
+        self.im_files, self.label_files, self.labels, shapes = [], [], [], []
+        for img_id, anns in by_img.items():
+            img = images[img_id]
+            h, w = img["height"], img["width"]
+            im_file = self._img_root / img["file_name"]
+            if not im_file.exists():
+                continue
+            caption = img.get("caption", "")
+            cat2id, texts, rows, tags = {}, [], [], []
+            for ann in anns:
+                if ann.get("iscrowd"):
+                    continue
+                x, y, bw, bh = (float(v) for v in ann["bbox"])  # xywh top-left px
+                box = np.array([(x + bw / 2) / w, (y + bh / 2) / h, bw / w, bh / h],
+                               np.float32)
+                if box[2] <= 0 or box[3] <= 0:
+                    continue
+                phrase = " ".join(caption[t0:t1] for t0, t1 in
+                                  ann.get("tokens_positive", [])) or "object"
+                if phrase not in cat2id:
+                    cat2id[phrase] = len(cat2id)
+                    texts.append([phrase])
+                row = [float(cat2id[phrase]), *box.tolist()]
+                if row not in rows:  # reference dedups exact duplicates
+                    rows.append(row)
+            lb = np.array(rows, np.float32) if rows else np.zeros((0, 5), np.float32)
+            self.im_files.append(str(im_file))
+            self.label_files.append(str(self.json_file))
+            self.labels.append({"cls": lb[:, 0], "bboxes": lb[:, 1:5],
+                                "tags": np.zeros(len(lb), np.float32),
+                                "texts": texts})
+            shapes.append((h, w))
+        if not self.im_files:
+            raise FileNotFoundError(f"no images from {self.json_file} exist under "
+                                    f"{self._img_root}")
+        self.shapes = np.array(shapes, np.int64)
+
+
 class SyntheticDataset:
     """Procedural detection dataset (colored rectangles on noise) for tests/bench.
 

@@ -141,3 +141,91 @@ def test_disk_cache(tmp_path):
     npys = list(pathlib.Path(info["train"]).glob("*.npy"))
     assert npys, "disk cache sidecar not written"
     _ = ds[0]  # served from sidecar
+
+
+def test_grounding_dataset(tmp_path):
+    """GroundingDataset parses caption+tokens_positive grounding json into
+    per-image class vocabularies (reference data/dataset.py:306)."""
+    import json
+    from pathlib import Path
+    root = tmp_path / "g"
+    (root / "images").mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        img = rng.integers(0, 255, (60, 80, 3), dtype=np.uint8)
+        cv2.imwrite(str(root / "images" / f"img{i}.jpg"), img)
+    cap = "a red car next to a person"
+    ann = {
+        "images": [
+            {"id": 1, "file_name": "img0.jpg", "height": 60, "width": 80, "caption": cap},
+            {"id": 2, "file_name": "img1.jpg", "height": 60, "width": 80, "caption": cap},
+        ],
+        "annotations": [
+            {"image_id": 1, "bbox": [8, 6, 24, 18], "iscrowd": 0,
+             "tokens_positive": [[2, 9]]},          # "red car"
+            {"image_id": 1, "bbox": [40, 20, 16, 30], "iscrowd": 0,
+             "tokens_positive": [[20, 26]]},        # "person"
+            {"image_id": 1, "bbox": [8, 6, 24, 18], "iscrowd": 0,
+             "tokens_positive": [[2, 9]]},          # exact duplicate -> dropped
+            {"image_id": 2, "bbox": [0, 0, 10, 10], "iscrowd": 1,
+             "tokens_positive": [[20, 26]]},        # crowd -> dropped
+            {"image_id": 2, "bbox": [10, 10, 20, 20], "iscrowd": 0,
+             "tokens_positive": [[20, 26]]},
+        ],
+    }
+    jf = root / "ann.json"
+    jf.write_text(json.dumps(ann))
+
+    from sar_yolo_tpu.data import GroundingDataset
+    ds = GroundingDataset(str(root / "images"), json_file=str(jf), imgsz=64, max_labels=8)
+    assert len(ds) == 2
+    lb0 = ds.labels[[Path(f).stem for f in ds.im_files].index("img0")]
+    assert len(lb0["cls"]) == 2  # duplicate dropped
+    assert lb0["texts"] == [["red car"], ["person"]]
+    # normalized xywh of the first box: center (20, 15)/(80, 60), wh (24, 18)
+    np.testing.assert_allclose(lb0["bboxes"][0], [20 / 80, 15 / 60, 24 / 80, 18 / 60],
+                               atol=1e-6)
+    item = ds[0]  # full pipeline works
+    assert item["img"].shape == (64, 64, 3)
+
+
+def test_split_dota(tmp_path):
+    """split_trainval tiles images into overlapping windows with renormalized
+    OBB labels (reference data/split_dota.py:230), IoF via rect clipping."""
+    from pathlib import Path as _P
+
+    from sar_yolo_tpu.data.split_dota import bbox_iof, get_windows, split_trainval
+
+    # IoF sanity: quad fully inside -> 1; half-in -> 0.5
+    win = np.array([[0, 0, 100, 100]], np.float64)
+    inside = np.array([[10, 10, 30, 10, 30, 30, 10, 30]], np.float64)
+    straddle = np.array([[80, 10, 120, 10, 120, 30, 80, 30]], np.float64)
+    iof = bbox_iof(np.concatenate([inside, straddle]), win)
+    np.testing.assert_allclose(iof[:, 0], [1.0, 0.5], atol=1e-9)
+
+    # windows cover the image and the edge window is shifted flush
+    w = get_windows((200, 300), crop_sizes=(128,), gaps=(32,))
+    assert (w[:, 2] <= 300).all() and (w[:, 3] <= 200).all()
+    assert (w[:, 0] >= 0).all() and (w[:, 1] >= 0).all()
+
+    root = tmp_path / "dota"
+    for split in ("train", "val"):
+        (root / "images" / split).mkdir(parents=True)
+        (root / "labels" / split).mkdir(parents=True)
+        img = np.full((200, 300, 3), 128, np.uint8)
+        cv2.imwrite(str(root / "images" / split / "P0001.jpg"), img)
+        # one OBB: axis-aligned square at (30..60, 30..60) px, normalized
+        quad = np.array([30, 30, 60, 30, 60, 60, 30, 60], np.float32)
+        quad[0::2] /= 300
+        quad[1::2] /= 200
+        (root / "labels" / split / "P0001.txt").write_text(
+            "1 " + " ".join(f"{v:.6g}" for v in quad) + "\n")
+    out = tmp_path / "out"
+    split_trainval(str(root), str(out), crop_size=128, gap=32)
+    crops = sorted((out / "images" / "train").glob("*.jpg"))
+    labels = sorted((out / "labels" / "train").glob("*.txt"))
+    assert crops and labels
+    # the window at origin contains the full box: label renormalized to 128px
+    lb = dict((p.stem, p) for p in labels)["P0001__128__0___0"].read_text().split()
+    got = np.array([float(v) for v in lb[1:]]).reshape(4, 2) * 128
+    np.testing.assert_allclose(got, [[30, 30], [60, 30], [60, 60], [30, 60]], atol=0.5)
