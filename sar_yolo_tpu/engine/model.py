@@ -256,9 +256,14 @@ class YOLO:
         from sar_yolo_tpu.utils.benchmarks import benchmark
         return benchmark(self, **kwargs)
 
-    def tune(self, iterations: int = 10, **kwargs):
-        """Mutation-evolution hyperparameter search (reference Model.tune
-        engine/model.py:817 -> Tuner engine/tuner.py:33)."""
+    def tune(self, iterations: int = 10, use_ray: bool = False, **kwargs):
+        """Hyperparameter search (reference Model.tune engine/model.py:817):
+        mutation evolution by default, ASHA via use_ray=True (reference routes
+        to utils/tuner.py run_ray_tune — ours falls back to a built-in
+        sequential ASHA when ray isn't installed)."""
+        if use_ray:
+            from sar_yolo_tpu.utils.tuner import run_ray_tune
+            return run_ray_tune(self, max_samples=iterations, **kwargs)
         from sar_yolo_tpu.engine.tuner import Tuner
         overrides = {**self.overrides, **kwargs, "mode": "train"}
         return Tuner(overrides)(iterations=iterations)

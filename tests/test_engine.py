@@ -256,3 +256,47 @@ def test_cli_track_and_tune_modes(tmp_path):
                       "epochs=1", "imgsz=32", "batch=2", "workers=1",
                       f"project={tmp_path}", "plots=False", "mesh_shape=[1]"])
     assert out is not None
+
+
+def test_run_ray_tune_builtin_asha(monkeypatch, tmp_path):
+    """run_ray_tune (reference utils/tuner.py:7): built-in ASHA fallback runs
+    successive-halving rungs over the default space and returns best-first rows."""
+    from sar_yolo_tpu.utils.tuner import run_ray_tune
+
+    calls = []
+
+    def fake_train(self, **kw):
+        # fitness = lr0 (deterministic, config-dependent) so ASHA ranking is testable
+        calls.append({"epochs": kw["epochs"], "lr0": kw["lr0"]})
+        return {"fitness": kw["lr0"]}
+
+    monkeypatch.setattr(YOLO, "train", fake_train)
+    m = YOLO("tinydet.yaml")
+    rows = run_ray_tune(m, grace_period=1, max_samples=6, data="synthetic",
+                        epochs=9, project=str(tmp_path), seed=0)
+    # rungs at 1, 3, 9 epochs with 6 -> 2 -> 1 survivors
+    assert [c["epochs"] for c in calls] == [1] * 6 + [3] * 2 + [9]
+    # best-first, and the winner is the max-lr0 config (fitness == lr0)
+    assert rows[0]["fitness"] == max(r["fitness"] for r in rows)
+    assert rows[0]["fitness"] >= rows[-1]["fitness"]
+    assert (tmp_path / "ray_tune" / "asha_results.csv").exists()
+    # survivors at rung 3 are the top-2 lr0s from rung 1
+    rung1 = sorted(calls[:6], key=lambda c: -c["lr0"])
+    assert {c["lr0"] for c in calls[6:8]} == {c["lr0"] for c in rung1[:2]}
+
+
+def test_yolo_tune_use_ray_routing(monkeypatch):
+    """YOLO.tune(use_ray=True) routes to run_ray_tune (reference Model.tune
+    engine/model.py:817 use_ray branch)."""
+    from sar_yolo_tpu.utils import tuner as rt
+
+    seen = {}
+
+    def fake(model, max_samples=10, **kw):
+        seen["n"] = max_samples
+        return [{"config": {}, "fitness": 1.0}]
+
+    monkeypatch.setattr(rt, "run_ray_tune", fake)
+    m = YOLO("tinydet.yaml")
+    rows = m.tune(iterations=4, use_ray=True, data="synthetic")
+    assert seen["n"] == 4 and rows[0]["fitness"] == 1.0

@@ -97,3 +97,51 @@ def test_onnx_export_gated_actionable(tmp_path):
         pass
     with pytest.raises(ExportError, match="tf2onnx"):
         m.export(format="onnx", imgsz=64, project=str(tmp_path))
+
+
+def test_profile_models_sweep(tmp_path):
+    """ProfileModels (reference utils/benchmarks.py:315): yaml list -> per-model
+    {params, GFLOPs, mean/std ms} dicts via the deploy-fused jitted forward."""
+    from sar_yolo_tpu.utils.benchmarks import ProfileModels
+    prof = ProfileModels(["tinydet.yaml"], num_timed_runs=3, num_warmup_runs=1,
+                         min_time=0.0, imgsz=32, half=False)
+    out = prof.profile()
+    assert len(out) == 1
+    r = out[0]
+    assert r["model/name"] == "tinydet"
+    assert r["model/parameters"] > 0
+    assert r["model/GFLOPs"] > 0
+    assert r["model/speed_JAX(ms)"] > 0
+
+
+def test_profile_models_sigma_clipping():
+    from sar_yolo_tpu.utils.benchmarks import ProfileModels
+    data = [1.0, 1.1, 0.9, 1.05, 0.95, 1.02, 0.98, 1.08, 0.92, 1.0, 50.0]
+    clipped = ProfileModels.iterative_sigma_clipping(data, sigma=2, max_iters=3)
+    assert 50.0 not in clipped and len(clipped) == len(data) - 1
+
+
+def test_rf100_local_benchmark(tmp_path, monkeypatch):
+    """RF100Benchmark local-dataset path (reference utils/benchmarks.py:180):
+    registered yamls -> per-dataset mAP50 + appended eval log."""
+    from sar_yolo_tpu.utils.benchmarks import RF100Benchmark
+
+    class FakeModel:
+        def val(self, data=None, imgsz=640, **kw):
+            return {"metrics/mAP50(B)": 0.5 if "dsa" in data else 0.25}
+
+    ya, yb = tmp_path / "dsa" / "a.yaml", tmp_path / "dsb" / "b.yaml"
+    for y in (ya, yb):
+        y.parent.mkdir()
+        y.write_text("train: train/images\nval: x\nnames: {0: p}\n")
+    rb = RF100Benchmark()
+    names, cfgs = rb.add_local_datasets([ya, yb])
+    assert names == ["dsa", "dsb"]
+    log = tmp_path / "eval.txt"
+    res = rb.benchmark(FakeModel(), eval_log_file=log)
+    assert res == {"dsa": 0.5, "dsb": 0.25}
+    assert log.read_text() == "dsa: 0.5\ndsb: 0.25\n"
+    # fix_yaml normalizes val path
+    RF100Benchmark.fix_yaml(yb)
+    import yaml
+    assert yaml.safe_load(yb.read_text())["val"] == "valid/images"
