@@ -152,12 +152,83 @@ def find_model_yaml(name: str) -> Path | None:
     return None
 
 
+def _version() -> str:
+    import sar_yolo_tpu
+    return f"sar_yolo_tpu {getattr(sar_yolo_tpu, '__version__', 'dev')}"
+
+
+def _handle_settings(rest: list[str]):
+    """`saryolo settings [reset | key=value ...]` (reference handle_yolo_settings)."""
+    from sar_yolo_tpu.utils import settings as S
+    if rest and rest[0] == "reset":
+        S.SETTINGS.clear()
+        S.SETTINGS.update(S._DEFAULTS)
+        S.SETTINGS_FILE.parent.mkdir(parents=True, exist_ok=True)
+        S.SETTINGS_FILE.write_text("{}")
+        LOGGER.info("settings reset to defaults")
+        rest = rest[1:]
+    updates = {}
+    for a in rest:
+        if "=" in a:
+            k, v = a.split("=", 1)
+            import ast
+            try:
+                v = ast.literal_eval(v)
+            except (ValueError, SyntaxError):
+                pass
+            updates[k] = v
+    if updates:
+        S.update_settings(**updates)
+    LOGGER.info("\n".join(f"{k}={v}" for k, v in S.SETTINGS.items()))
+    return dict(S.SETTINGS)
+
+
+def _run_checks():
+    import jax
+
+    from sar_yolo_tpu.utils.checks import check_version
+    import numpy, flax, optax  # noqa: E401
+    info = {"jax": jax.__version__, "numpy": numpy.__version__,
+            "flax": flax.__version__, "optax": optax.__version__,
+            "backend": jax.default_backend(),
+            "devices": [str(d) for d in jax.devices()]}
+    LOGGER.info("\n".join(f"{k}: {v}" for k, v in info.items()))
+    return info
+
+
+def _copy_default_cfg():
+    """Copy default.yaml to cwd as default_copy.yaml (reference copy_default_cfg)."""
+    import shutil
+    dst = Path.cwd() / "default_copy.yaml"
+    shutil.copy2(Path(__file__).parent / "default.yaml", dst)
+    LOGGER.info(f"{dst} created — use with: saryolo cfg=default_copy.yaml ...")
+    return dst
+
+
 def entrypoint(argv: list[str] | None = None) -> Any:
     """CLI: `saryolo TASK MODE key=value ...` (mirrors the reference `yolo` CLI)."""
     args = argv if argv is not None else sys.argv[1:]
     if not args:
         LOGGER.info(f"Usage: saryolo TASK MODE key=value ...\n  TASK in {sorted(TASKS)}\n  MODE in {sorted(MODES)}")
         return None
+
+    # special shell modes (reference entrypoint cfg/__init__.py:862-930)
+    special = {
+        "help": lambda _: LOGGER.info(
+            f"Usage: saryolo TASK MODE key=value ...\n  TASK in {sorted(TASKS)}\n"
+            f"  MODE in {sorted(MODES)}\nSpecial: help version settings cfg "
+            f"checks copy-cfg\nDocs: docs/ in the repo"),
+        "version": lambda _: LOGGER.info(_version()),
+        "settings": _handle_settings,
+        "cfg": lambda _: LOGGER.info(
+            (Path(__file__).parent / "default.yaml").read_text()),
+        "checks": lambda _: _run_checks(),
+        "copy-cfg": lambda _: _copy_default_cfg(),
+    }
+    for k in list(special):
+        special[f"-{k}"] = special[f"--{k}"] = special[k]
+    if args[0].lower() in special:
+        return special[args[0].lower()](args[1:])
 
     overrides: dict[str, Any] = {}
     task, mode = None, None

@@ -40,6 +40,53 @@ class Exporter:
     def __init__(self, args):
         self.args = args
 
+    def _representative_images(self, imgsz: int, n: int = 100):
+        """Calibration frames for int8 quantization (reference exporter.py
+        tflite int8 path: ~100 letterboxed images from `args.data`).
+
+        Yields (1, imgsz, imgsz, 3) uint8 RGB arrays. When no dataset is
+        given, deterministic synthetic frames keep the pipeline runnable but
+        calibration quality is degraded — a warning says so.
+        """
+        paths = []
+        if getattr(self.args, "data", None):
+            from pathlib import Path as _P
+
+            from sar_yolo_tpu.data.dataset import IMG_FORMATS, check_det_dataset
+            d = check_det_dataset(self.args.data)
+            for split in ("val", "train", "test"):
+                src = d.get(split)
+                if not src:
+                    continue
+                p = _P(src)
+                if p.is_dir():
+                    paths = sorted(str(f) for f in p.rglob("*")
+                                   if f.suffix[1:].lower() in IMG_FORMATS)
+                elif p.is_file() and p.suffix == ".txt":
+                    base = p.parent
+                    paths = [str((base / ln.strip()).resolve())
+                             for ln in p.read_text().splitlines() if ln.strip()]
+                if paths:
+                    break
+        if paths:
+            import cv2
+
+            from sar_yolo_tpu.data.augment import letterbox
+            for f in paths[:n]:
+                img = cv2.imread(f)
+                if img is None:
+                    continue
+                lb, _, _ = letterbox(img, imgsz, scaleup=False)
+                yield [np.ascontiguousarray(lb[..., ::-1])[None]]
+        else:
+            LOGGER.warning(
+                "int8 calibration: no dataset images found (set `data=` to a "
+                "dataset yaml for representative calibration); using synthetic "
+                "frames — expect degraded quantized accuracy.")
+            rng = np.random.default_rng(0)
+            for _ in range(min(n, 32)):
+                yield [rng.integers(0, 256, (1, imgsz, imgsz, 3), np.uint8)]
+
     def _build_infer_fn(self, model, variables, meta, with_nms: bool):
         strides = tuple(meta["strides"])
         nc = meta["nc"]
@@ -101,6 +148,15 @@ class Exporter:
                 converter = tf.lite.TFLiteConverter.from_saved_model(str(sm_path))
                 converter.target_spec.supported_ops = [
                     tf.lite.OpsSet.TFLITE_BUILTINS, tf.lite.OpsSet.SELECT_TF_OPS]
+                if getattr(self.args, "int8", False):
+                    # Post-training full-integer quantization with float
+                    # fallback (reference export_tflite int8 path,
+                    # exporter.py:1055): conv/matmul kernels calibrate to int8
+                    # from representative frames; NMS/control ops stay float.
+                    converter.optimizations = [tf.lite.Optimize.DEFAULT]
+                    rep = list(self._representative_images(imgsz))
+                    converter.representative_dataset = lambda: iter(rep)
+                    sidecar["int8"] = True
                 tfl = converter.convert()
                 path = out_dir / f"{stem}.tflite"
                 path.write_bytes(tfl)

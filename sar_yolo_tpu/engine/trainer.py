@@ -432,6 +432,19 @@ class BaseTrainer(HasCallbacks):
                         if "bboxes" in batch and batch["bboxes"].ndim == 3 and \
                                 batch["bboxes"].shape[-1] == 4:
                             plot_images(batch, self.save_dir / "train_batch0.png")
+                        lbs = getattr(self.train_set, "labels", None)
+                        if lbs:  # dataset label statistics (reference plot_labels)
+                            import numpy as _np
+
+                            from sar_yolo_tpu.utils.plotting import plot_labels
+                            bb = [_np.asarray(l["bboxes"], _np.float32).reshape(-1, 4)[:, :4]
+                                  for l in lbs if len(l.get("bboxes", ()))]
+                            cc = [_np.asarray(l["cls"]).reshape(-1)
+                                  for l in lbs if len(l.get("bboxes", ()))]
+                            if bb:
+                                plot_labels(_np.concatenate(bb), _np.concatenate(cc),
+                                            names=self.data.get("names"),
+                                            save_dir=self.save_dir)
                     except Exception as e:  # noqa: BLE001 — plotting is best-effort
                         LOGGER.warning(f"plot_images failed: {e}")
                 if args.multi_scale:

@@ -147,6 +147,25 @@ class BaseValidator:
                             "bbox": to_native(cx - bw / 2, cy - bh / 2,
                                               cx + bw / 2, cy + bh / 2),
                         })
+            if args.plots and n_img == 0:
+                # first-batch GT + prediction overlay mosaics (reference
+                # BaseValidator plot_val_samples/plot_predictions)
+                try:
+                    from pathlib import Path as _P
+
+                    from sar_yolo_tpu.utils.plotting import plot_images, plot_predictions
+                    save_dir = _P(getattr(args, "save_dir", None) or ".")
+                    save_dir.mkdir(parents=True, exist_ok=True)
+                    nb = {k: np.asarray(v) for k, v in batch.items()
+                          if k in ("img", "bboxes", "mask", "cls")}
+                    plot_images(nb, save_dir / "val_batch0_labels.jpg",
+                                names=self.data.get("names"))
+                    plot_predictions(np.asarray(batch["img"]), list(dets[:n_eff]),
+                                     save_dir / "val_batch0_pred.jpg",
+                                     names=self.data.get("names"),
+                                     conf=max(conf, 0.25))
+                except Exception as e:  # noqa: BLE001 — plots never fail a val run
+                    LOGGER.warning(f"val batch plotting failed: {e}")
             self.update_metrics(dets[:n_eff], _trim_batch(batch, n_eff), img.shape[1:3])
             n_img += n_eff
         results = self.finalize_metrics()
@@ -164,6 +183,15 @@ class BaseValidator:
                 results.update(eval_json(self.jdict, {"annotations": self.gt_anns}))
             except Exception as e:  # never fail a val run on the audit pass
                 LOGGER.warning(f"COCO eval failed: {e}")
+        if getattr(self, "confusion_matrix", None) is not None and n_img:
+            try:
+                from pathlib import Path as _P
+                save_dir = _P(getattr(args, "save_dir", None) or ".")
+                save_dir.mkdir(parents=True, exist_ok=True)
+                self.confusion_matrix.plot(save_dir / "confusion_matrix.png",
+                                           names=self.data.get("names"))
+            except Exception as e:  # noqa: BLE001
+                LOGGER.warning(f"confusion matrix plot failed: {e}")
         dt = time.time() - t0
         if n_img:
             results["speed/ms_per_image"] = dt / n_img * 1000
@@ -173,6 +201,10 @@ class BaseValidator:
     # ---- hooks -----------------------------------------------------------
     def init_metrics(self):
         self.det_metrics = DetMetrics(self.data.get("names"))
+        self.confusion_matrix = None
+        if getattr(self.args, "plots", False):
+            from sar_yolo_tpu.utils.plotting import ConfusionMatrix
+            self.confusion_matrix = ConfusionMatrix(self.meta["nc"])
 
     def update_metrics(self, dets, batch, hw):
         h, w = hw
@@ -188,6 +220,8 @@ class BaseValidator:
                 if len(gb) else np.zeros((0, 4), np.float32)
             tp = match_predictions(d[:, :4], d[:, 5], gt_boxes, gt_cls)
             self.det_metrics.update(tp, d[:, 4], d[:, 5], gt_cls)
+            if self.confusion_matrix is not None:
+                self.confusion_matrix.process_batch(d, gt_boxes, gt_cls)
             self._extra_update(d, gt_boxes, gt_cls, batch, bi)
 
     def _extra_update(self, d, gt_boxes, gt_cls, batch, bi):

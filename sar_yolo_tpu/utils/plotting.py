@@ -129,6 +129,79 @@ class ConfusionMatrix:
         return save_path
 
 
+def plot_labels(boxes, cls, names=None, save_dir="."):
+    """Dataset label statistics figure (reference plot_labels, plotting.py:~500):
+    class histogram, normalized xy center heatmap, wh scatter, and a sample of
+    box geometries. boxes: (N, 4) normalized cxcywh; cls: (N,) ids."""
+    boxes = np.asarray(boxes, np.float32).reshape(-1, 4)
+    cls = np.asarray(cls).reshape(-1).astype(int)
+    fig, axes = plt.subplots(2, 2, figsize=(10, 8))
+    nc = int(cls.max()) + 1 if len(cls) else 1
+    counts = np.bincount(cls, minlength=nc)
+    axes[0][0].bar(range(nc), counts,
+                   color=[PALETTE[i % len(PALETTE)] / 255.0 for i in range(nc)])
+    axes[0][0].set_ylabel("instances")
+    if names and nc <= 30:
+        axes[0][0].set_xticks(range(nc))
+        axes[0][0].set_xticklabels([str((names or {}).get(i, i)) for i in range(nc)],
+                                   rotation=90, fontsize=7)
+    if len(boxes):
+        axes[0][1].hist2d(boxes[:, 0], boxes[:, 1], bins=50, cmap="Blues")
+        axes[0][1].set_xlabel("x")
+        axes[0][1].set_ylabel("y")
+        axes[1][0].scatter(boxes[:, 2], boxes[:, 3], s=2, alpha=0.3)
+        axes[1][0].set_xlabel("width")
+        axes[1][0].set_ylabel("height")
+        # sample of up to 500 box outlines centered at (0.5, 0.5)
+        ax = axes[1][1]
+        for b, c in list(zip(boxes, cls))[:500]:
+            w2, h2 = b[2] / 2, b[3] / 2
+            col = PALETTE[int(c) % len(PALETTE)] / 255.0
+            ax.add_patch(plt.Rectangle((0.5 - w2, 0.5 - h2), b[2], b[3],
+                                       fill=False, edgecolor=col, lw=0.5, alpha=0.5))
+        ax.set_xlim(0, 1)
+        ax.set_ylim(0, 1)
+        ax.set_title("box shapes", fontsize=9)
+    fig.tight_layout()
+    out = Path(save_dir) / "labels.jpg"
+    fig.savefig(out, dpi=120)
+    plt.close(fig)
+    return out
+
+
+def plot_predictions(imgs, dets, save_path="val_batch_pred.png", names=None,
+                     max_images: int = 16, conf: float = 0.25):
+    """Prediction-overlay mosaic for val batches (reference plot_images with
+    preds, used by BaseValidator.plot_predictions). dets: list per image of
+    (n, >=6) [x1 y1 x2 y2 conf cls] in letterbox pixel space."""
+    import cv2
+    imgs = np.asarray(imgs)
+    if imgs.dtype != np.uint8:
+        imgs = (imgs * 255).clip(0, 255).astype(np.uint8)
+    B = min(len(imgs), max_images)
+    s = imgs.shape[1]
+    cols = int(np.ceil(np.sqrt(B)))
+    rows = int(np.ceil(B / cols))
+    canvas = np.full((rows * s, cols * s, 3), 255, np.uint8)
+    for b in range(B):
+        img = np.ascontiguousarray(imgs[b])
+        d = np.asarray(dets[b]) if b < len(dets) and dets[b] is not None else np.zeros((0, 6))
+        for row in d:
+            if row[4] < conf:
+                continue
+            c = int(row[5])
+            color = tuple(int(v) for v in PALETTE[c % len(PALETTE)])
+            cv2.rectangle(img, (int(row[0]), int(row[1])), (int(row[2]), int(row[3])),
+                          color, 1)
+            label = f"{(names or {}).get(c, c)} {row[4]:.2f}"
+            cv2.putText(img, label, (int(row[0]), max(10, int(row[1]) - 2)),
+                        cv2.FONT_HERSHEY_SIMPLEX, 0.35, color, 1)
+        r, col = divmod(b, cols)
+        canvas[r * s:(r + 1) * s, col * s:(col + 1) * s] = img
+    cv2.imwrite(str(save_path), canvas[..., ::-1])
+    return save_path
+
+
 def plot_images(batch, save_path="train_batch.png", max_images: int = 16, names=None):
     """Labeled image mosaic of a training batch (reference plot_images)."""
     import cv2

@@ -18,6 +18,13 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent XLA compilation cache: the suite is compile-dominated (whole-model
+# jits for every family), so re-runs on the same machine skip nearly all of it.
+_cache = os.path.join(os.path.dirname(__file__), "..", ".jax_test_cache")
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 import numpy as np
 import pytest
 

@@ -68,8 +68,31 @@ def test_train_on_disk_dataset(tmp_path):
     m = YOLO("tinydet.yaml")
     metrics = m.train(data=str(yaml_path), epochs=1, imgsz=64, batch=4, workers=1,
                       project=str(tmp_path), name="t", exist_ok=True, max_labels=16,
-                      mesh_shape=[1], plots=False, mosaic=0.0)
+                      mesh_shape=[1], plots=True, mosaic=0.0)
     assert np.isfinite(metrics["train/box"])
+    # plots=True writes the batch mosaic + dataset label statistics
+    d = tmp_path / "detect" / "t"
+    assert (d / "train_batch0.png").exists()
+    assert (d / "labels.jpg").exists()
+
+
+def test_dataset_yamls_parse():
+    """Every shipped dataset yaml parses with consistent nc/names (and pose
+    yamls carry kpt_shape + a valid flip_idx permutation)."""
+    from pathlib import Path
+
+    from sar_yolo_tpu.utils import yaml_load
+    files = sorted((Path(__file__).parent.parent / "sar_yolo_tpu" / "cfg" /
+                    "datasets").glob("*.yaml"))
+    assert len(files) >= 29
+    for f in files:
+        d = yaml_load(f)
+        names = d.get("names")
+        n = len(names) if names is not None else 0
+        assert d.get("nc", n) == n, f"{f.name}: nc={d.get('nc')} != {n}"
+        if "kpt_shape" in d and d.get("flip_idx"):
+            k = d["kpt_shape"][0]
+            assert sorted(d["flip_idx"]) == list(range(k)), f.name
 
 
 def test_label_cache_and_verify(tmp_path):

@@ -159,6 +159,26 @@ def test_cli_entrypoint_help(capsys):
     entrypoint([])  # prints usage, no crash
 
 
+def test_cli_special_modes(tmp_path, monkeypatch):
+    """settings/cfg/help/version/checks/copy-cfg shells (reference
+    cfg/__init__.py:862-930 special modes)."""
+    monkeypatch.setenv("SARYOLO_SETTINGS", str(tmp_path / "settings.json"))
+    monkeypatch.chdir(tmp_path)
+    import importlib
+
+    import sar_yolo_tpu.utils.settings as S
+    importlib.reload(S)  # pick up the patched settings file
+    from sar_yolo_tpu.cfg import entrypoint
+    entrypoint(["help"])
+    entrypoint(["version"])
+    out = entrypoint(["settings", "tensorboard=True"])
+    assert out["tensorboard"] is True
+    out = entrypoint(["settings", "reset"])
+    assert out["tensorboard"] is False
+    p = entrypoint(["copy-cfg"])
+    assert p.exists()
+
+
 @pytest.mark.slow
 def test_obb_train_and_predict(tmp_path):
     m = YOLO("tinyobb.yaml")

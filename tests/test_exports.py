@@ -64,6 +64,31 @@ def test_tflite_roundtrip(native, tmp_path):
     assert path.endswith(".tflite")
 
 
+@pytest.mark.slow
+def test_tflite_int8_calibrated_roundtrip(native, tmp_path):
+    """int8=True runs post-training quantization with representative-frame
+    calibration (reference export_tflite int8, exporter.py:1055). Quantization
+    moves values, so only box geometry parity is asserted (loose px atol)."""
+    from sar_yolo_tpu.nn.autobackend import AutoBackend
+    m, img, _ = native
+    path = m.export(format="tflite", imgsz=64, int8=True, project=str(tmp_path))
+    import json as _json
+    meta = _json.loads((tmp_path / "tinydet.tflite.json").read_text())
+    assert meta.get("int8") is True
+    # compare raw prediction tensors against the float jax forward on the same
+    # letterboxed frame: quantization noise must stay small and correlated
+    from sar_yolo_tpu.data.augment import letterbox
+    lb, _, _ = letterbox(img, 64, scaleup=False)
+    x = np.ascontiguousarray(lb[..., ::-1])[None]
+    q = np.asarray(AutoBackend(path)(x), np.float32).ravel()
+    ref = np.asarray(
+        AutoBackend(m.export(format="stablehlo", imgsz=64, project=str(tmp_path)))(x),
+        np.float32).ravel()
+    assert q.shape == ref.shape
+    corr = np.corrcoef(q, ref)[0, 1]
+    assert corr > 0.99, f"int8 output decorrelated from float: corr={corr}"
+
+
 def test_stablehlo_with_embedded_nms(native, tmp_path):
     m, img, ref_boxes = native
     path = m.export(format="stablehlo", imgsz=64, nms=True, project=str(tmp_path))

@@ -157,10 +157,14 @@ def test_rtdetr_cdn_denoising():
     B, M, hd, nq, nc = 2, 8, 32, 16, 3
     batch = _batch(B=B, M=M)
     batch["cls"] = batch["cls"].astype(jnp.int32)
-    dec = RTDETRDecoder(nc=nc, ch=(hd, hd, hd), hd=hd, nq=nq, ndl=2, nh=4, d_ffn=64)
+    # ndl=1 keeps the compile small (multi-layer covered by slow rtdetr parity)
+    dec = RTDETRDecoder(nc=nc, ch=(hd, hd, hd), hd=hd, nq=nq, ndl=1, nh=4, d_ffn=64)
     xs = [jnp.ones((B, s, s, hd), jnp.float32) * 0.1 for s in (8, 4, 2)]
     rng = jax.random.PRNGKey(0)
-    variables = dec.init({"params": rng, "dn": rng}, xs, train=True, batch_gt=batch)
+    # jit init/grad/inference: one (persistently cached) compile each instead
+    # of eager per-op dispatch, which dominated this test's wall time
+    variables = jax.jit(lambda r: dec.init({"params": r, "dn": r}, xs,
+                                           train=True, batch_gt=batch))(rng)
 
     def loss_fn(params):
         out, _ = dec.apply({"params": params["params"],
@@ -171,13 +175,15 @@ def test_rtdetr_cdn_denoising():
         dn = out[4]
         G = dn["G"]
         DN = dn["dn_bboxes"].shape[2]
-        assert DN == G * 2 * M and dn["dn_scores"].shape == (2, B, DN, nc)
-        # pos/neg layout: first M of each group positive
-        pf = np.asarray(dn["pos_flag"]).reshape(G, 2 * M)
-        assert (pf[:, :M] == 1).all() and (pf[:, M:] == 0).all()
-        return detr_loss(out, batch, None, nc=nc).total
+        assert DN == G * 2 * M and dn["dn_scores"].shape == (1, B, DN, nc)
+        return detr_loss(out, batch, None, nc=nc).total, dn["pos_flag"]
 
-    total, grads = jax.value_and_grad(lambda p: loss_fn(p))({"params": variables["params"]})
+    (total, pos_flag), grads = jax.jit(
+        lambda p: jax.value_and_grad(loss_fn, has_aux=True)(p))(
+        {"params": variables["params"]})
+    # pos/neg layout: first M of each group positive
+    pf = np.asarray(pos_flag).reshape(-1, 2 * M)
+    assert (pf[:, :M] == 1).all() and (pf[:, M:] == 0).all()
     assert np.isfinite(float(total))
     leaves = jax.tree.leaves(grads)
     assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
@@ -186,6 +192,6 @@ def test_rtdetr_cdn_denoising():
     assert float(jnp.abs(emb_g).sum()) > 0
 
     # inference path unchanged: 4-tuple, no dn slots in outputs
-    out_inf = dec.apply({"params": variables["params"],
-                         "batch_stats": variables["batch_stats"]}, xs, train=False)
+    out_inf = jax.jit(lambda v: dec.apply(v, xs, train=False))(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]})
     assert len(out_inf) == 4 and out_inf[0].shape[2] == min(nq, sum(s * s for s in (8, 4, 2)))

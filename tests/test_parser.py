@@ -196,12 +196,16 @@ def test_yolov9e_dual_branch_param_parity():
     assert meta["strides"] == [8, 16, 32]
 
 
-def test_v9t_parse_and_forward():
+def test_v9t_parse():
     d = yaml_model_load("yolov9t.yaml")
     specs, save, meta = parse_model(d)
     assert specs[2].name == "ELAN1" and specs[2].c2 == 32
     assert specs[4].name == "RepNCSPELAN4" and specs[4].args == (64, 64, 32, 3)
     assert specs[9].name == "SPPELAN" and specs[9].c2 == 128
+
+
+@pytest.mark.slow  # whole-model compile; v9 forward parity also covered in test_torch_parity
+def test_v9t_forward():
     model, meta = build_model("yolov9t.yaml")
     variables = init_model(model, meta, jax.random.PRNGKey(0), imgsz=128)
     out = model.apply(variables, jnp.zeros((1, 128, 128, 3)), train=False)

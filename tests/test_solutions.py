@@ -71,6 +71,33 @@ def test_plotting(tmp_path):
     assert (tmp_path / "cm.png").exists()
 
 
+def test_plot_labels_and_predictions(tmp_path):
+    from sar_yolo_tpu.utils.plotting import plot_labels, plot_predictions
+    rng = np.random.default_rng(0)
+    boxes = np.clip(rng.normal(0.5, 0.15, (40, 4)), 0.05, 0.95).astype(np.float32)
+    cls = rng.integers(0, 3, 40)
+    out = plot_labels(boxes, cls, names={0: "a", 1: "b", 2: "c"}, save_dir=tmp_path)
+    assert out.exists()
+    imgs = np.full((2, 64, 64, 3), 100, np.uint8)
+    dets = [np.array([[5, 5, 30, 30, 0.9, 0], [10, 10, 50, 50, 0.1, 1]]),
+            np.zeros((0, 6))]
+    p = plot_predictions(imgs, dets, tmp_path / "pred.jpg", names={0: "a"}, conf=0.25)
+    assert (tmp_path / "pred.jpg").exists()
+
+
+def test_val_plots_artifacts(tmp_path):
+    """plots=True during val writes GT/pred overlays + confusion matrix
+    (reference BaseValidator plot_val_samples/plot_predictions)."""
+    from sar_yolo_tpu import YOLO
+    m = YOLO("tinydet.yaml")
+    m.val(data="synthetic", imgsz=64, batch=4, workers=1, plots=True,
+          mesh_shape=[1], project=str(tmp_path), name="v")
+    d = tmp_path / "detect" / "v"
+    assert (d / "val_batch0_labels.jpg").exists()
+    assert (d / "val_batch0_pred.jpg").exists()
+    assert (d / "confusion_matrix.png").exists()
+
+
 def test_checks():
     from sar_yolo_tpu.utils.checks import check_imgsz, check_version, parse_version
     assert parse_version("1.2.3rc1") == (1, 2, 3)
