@@ -88,12 +88,13 @@ def bench_jde_e2e(B: int, imgsz: int = 640, n_iter: int = 20) -> float:
 
     @jax.jit
     def e2e(variables, frames_u8, acc):
+        dt = jnp.bfloat16 if on_tpu else jnp.float32
+
         def prep(f):
-            lb, _, _ = letterbox_device(f[..., ::-1], imgsz)
-            return lb / 255.0
+            # identity-r letterbox: uint8 pad, cast+/255 fuse into the conv
+            lb, _, _ = letterbox_device(f[..., ::-1], imgsz, dtype=dt)
+            return lb / jnp.asarray(255.0, dt)
         x = jax.vmap(prep)(frames_u8)
-        if on_tpu:
-            x = x.astype(jnp.bfloat16)
         feats = model.apply(variables, x, train=False)
         feats = [f.astype(jnp.float32) for f in feats]
         # JDE level maps carry [box64, cls, emb256, state6]; decode keeps the
@@ -156,12 +157,13 @@ def main():
     @jax.jit
     def e2e(variables, frames_u8, acc):
         # device-side preprocess: BGR ragged uint8 -> letterboxed normalized float
+        dt = jnp.bfloat16 if on_tpu else jnp.float32
+
         def prep(f):
-            lb, _, _ = letterbox_device(f[..., ::-1], imgsz)
-            return lb / 255.0
+            # identity-r letterbox: uint8 pad, cast+/255 fuse into the conv
+            lb, _, _ = letterbox_device(f[..., ::-1], imgsz, dtype=dt)
+            return lb / jnp.asarray(255.0, dt)
         x = jax.vmap(prep)(frames_u8)
-        if on_tpu:
-            x = x.astype(jnp.bfloat16)
         feats = model.apply(variables, x, train=False)
         feats = [f.astype(jnp.float32) for f in feats]
         preds = decode_detect(feats, strides, nc, meta["reg_max"])

@@ -41,28 +41,41 @@ def _resize_bilinear_cv2(img: jnp.ndarray, new_h: int, new_w: int) -> jnp.ndarra
     zero entries contribute exactly 0 so numerics match the gather+lerp form).
     """
     H, W = img.shape[:2]
-    wh = jnp.asarray(_resize_weights(new_h, H))
-    ww = jnp.asarray(_resize_weights(new_w, W))
+    wh = jnp.asarray(_resize_weights(new_h, H), img.dtype)
+    ww = jnp.asarray(_resize_weights(new_w, W), img.dtype)
     t = jnp.einsum("hH,HWc->hWc", wh, img, precision=jax.lax.Precision.HIGHEST)
     return jnp.einsum("wW,hWc->hwc", ww, t, precision=jax.lax.Precision.HIGHEST)
 
 
 def letterbox_device(img: jnp.ndarray, imgsz: int, pad_value: int = 114,
-                     scaleup: bool = True):
+                     scaleup: bool = True, dtype=jnp.float32):
     """Letterbox a uint8 (H, W, 3) image to (imgsz, imgsz, 3) on device.
 
-    Returns (out_f32, r, (dw, dh)) — static python floats for the given H/W,
-    so XLA bakes the scale constants into one executable per source geometry.
+    Returns (out, r, (dw, dh)) with `out` in `dtype` (0..255 range) — r/dw/dh
+    are static python floats for the given H/W, so XLA bakes the scale
+    constants into one executable per source geometry.
+
+    When r == 1 (source already fits, e.g. 480x640 -> 640) the resize is the
+    identity — exactly like cv2's `if r != 1: resize` short-circuit — so the
+    image stays uint8 through the pad and only the final cast touches `dtype`:
+    no dense matmuls, no float image materialization (the cast fuses into the
+    consumer). `dtype=bfloat16` is exact for integer pixel values (<=255 fits
+    bf16's 8-bit mantissa); fractional-r resizes in bf16 carry ~0.4% weight
+    rounding — use the f32 default where cv2 parity matters.
     """
     H, W = img.shape[:2]
     r = min(imgsz / H, imgsz / W)
     if not scaleup:
         r = min(r, 1.0)
     new_h, new_w = round(H * r), round(W * r)
-    resized = _resize_bilinear_cv2(img.astype(jnp.float32), new_h, new_w)
     dh, dw = imgsz - new_h, imgsz - new_w
     top, left = dh // 2, dw // 2
-    out = jnp.full((imgsz, imgsz, 3), float(pad_value), jnp.float32)
+    if (new_h, new_w) == (H, W):  # identity resize: pad in uint8, cast last
+        out = jnp.full((imgsz, imgsz, 3), pad_value, img.dtype)
+        out = jax.lax.dynamic_update_slice(out, img, (top, left, 0))
+        return out.astype(dtype), r, (left, top)
+    resized = _resize_bilinear_cv2(img.astype(dtype), new_h, new_w)
+    out = jnp.full((imgsz, imgsz, 3), jnp.asarray(pad_value, dtype), dtype)
     out = jax.lax.dynamic_update_slice(out, resized, (top, left, 0))
     return out, r, (left, top)
 

@@ -192,3 +192,24 @@ def test_letterbox_device_matches_host():
         diff = np.abs(dev_np.astype(np.float32) - host.astype(np.float32))
         assert diff.mean() < 0.5 and diff.max() < 1.5, \
             f"diff mean {diff.mean()} max {diff.max()} at {(H, W)}"
+
+
+def test_letterbox_device_identity_geometry():
+    """r == 1 (e.g. 480x640 -> 640): cv2 skips resize entirely; the device path
+    must be BIT-exact (uint8 pad + cast, no matmuls) — and bf16 output is exact
+    too since integer pixel values <= 255 fit bf16's mantissa."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sar_yolo_tpu.data.augment import letterbox
+    from sar_yolo_tpu.ops.preprocess import letterbox_device
+
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 255, (480, 640, 3), dtype=np.uint8)
+    host, r_h, (dw_h, dh_h) = letterbox(img, 640, scaleup=False)
+    for dt in (jnp.float32, jnp.bfloat16):
+        dev, r_d, (dw_d, dh_d) = letterbox_device(jnp.asarray(img), 640,
+                                                  scaleup=False, dtype=dt)
+        assert r_d == r_h == 1.0 and (dw_d, dh_d) == (dw_h, dh_h)
+        np.testing.assert_array_equal(np.asarray(dev, np.float32),
+                                      host.astype(np.float32))
