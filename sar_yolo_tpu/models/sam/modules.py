@@ -375,7 +375,7 @@ class TwoWayAttentionBlock(nn.Module):
 
     @nn.compact
     def __call__(self, queries, keys, query_pe, key_pe):
-        ln = lambda n: nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name=n)
+        ln = lambda n: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32, name=n)
         if self.skip_first_layer_pe:
             queries = DownsampleAttention(self.embedding_dim, self.num_heads,
                                           dtype=self.dtype, name="self_attn")(
@@ -432,7 +432,7 @@ class TwoWayTransformer(nn.Module):
         queries = queries + DownsampleAttention(self.embedding_dim, self.num_heads, 2,
                                                 dtype=self.dtype,
                                                 name="final_attn_token_to_image")(q, k, keys)
-        queries = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
+        queries = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32,
                                name="norm_final_attn")(queries)
         return queries, keys
 

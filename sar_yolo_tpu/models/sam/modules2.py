@@ -398,7 +398,7 @@ class MemoryAttentionLayer(nn.Module):
 
     @nn.compact
     def __call__(self, tgt, memory, pos, query_pos, grid_hw, n_skip_k: int = 0):
-        ln = lambda n: nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name=n)
+        ln = lambda n: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32, name=n)
         t2 = ln("norm1")(tgt)
         tgt = tgt + RoPEAttention(self.d_model, dtype=self.dtype, name="self_attn")(
             t2, t2, t2, grid_hw)
@@ -429,7 +429,7 @@ class MemoryAttention(nn.Module):
             x = MemoryAttentionLayer(self.d_model, dtype=self.dtype,
                                      name=f"layer_{i}")(
                 x, memory, memory_pos, curr_pos, grid_hw, n_skip_k=n_skip_k)
-        return nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm")(x)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32, name="norm")(x)
 
 
 class SAM2Model(nn.Module):

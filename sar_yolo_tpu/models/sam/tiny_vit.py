@@ -88,7 +88,7 @@ class BiasAttention(nn.Module):
         B, N, _ = x.shape
         nh, kd = self.num_heads, self.key_dim
         d = int(self.attn_ratio * kd)
-        x = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32, name="norm")(x)
         qkv = nn.Dense(nh * (2 * kd + d), dtype=self.dtype, param_dtype=jnp.float32,
                        name="qkv")(x).reshape(B, N, nh, 2 * kd + d)
         q, k, v = jnp.split(qkv, [kd, 2 * kd], -1)
@@ -134,7 +134,7 @@ class TinyViTBlock(nn.Module):
         x = res + x
         x = ConvBN(self.dim, 3, 1, 1, groups=self.dim, dtype=self.dtype,
                    name="local_conv")(x, train)
-        y = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="mlp_norm")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32, name="mlp_norm")(x)
         y = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype,
                      param_dtype=jnp.float32, name="mlp_fc1")(y)
         y = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32,

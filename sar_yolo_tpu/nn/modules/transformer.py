@@ -88,10 +88,10 @@ class TransformerEncoderLayer(nn.Module):
     def __call__(self, x, pos=None, train: bool = False):
         q = k = x + pos if pos is not None else x
         attn = MultiHeadAttention(self.num_heads, dtype=self.dtype, name="ma")(q, k, x)
-        x = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm1")(x + attn)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32, name="norm1")(x + attn)
         ff = nn.Dense(self.cm, dtype=self.dtype, param_dtype=jnp.float32, name="fc1")(x)
         ff = nn.Dense(self.c, dtype=self.dtype, param_dtype=jnp.float32, name="fc2")(nn.gelu(ff, approximate=False))  # torch GELU is exact erf
-        return nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm2")(x + ff)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32, name="norm2")(x + ff)
 
 
 class AIFI(nn.Module):
@@ -235,17 +235,17 @@ class DeformableTransformerDecoderLayer(nn.Module):
         q = k = embed + query_pos
         tgt = MultiHeadAttention(self.n_heads, dtype=self.dtype, name="self_attn")(
             q, k, embed, mask=attn_mask)
-        embed = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
+        embed = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32,
                              name="norm1")(embed + tgt)
         tgt = MSDeformAttn(self.d_model, self.n_levels, self.n_heads, self.n_points,
                            shapes=self.shapes, dtype=self.dtype, name="cross_attn")(
             embed + query_pos, refer_bbox, feats, self.shapes)
-        embed = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
+        embed = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32,
                              name="norm2")(embed + tgt)
         ff = nn.Dense(self.d_ffn, dtype=self.dtype, param_dtype=jnp.float32, name="linear1")(embed)
         ff = nn.Dense(self.d_model, dtype=self.dtype, param_dtype=jnp.float32,
                       name="linear2")(nn.relu(ff))
-        return nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm3")(embed + ff)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32, name="norm3")(embed + ff)
 
 
 def inverse_sigmoid(x, eps: float = 1e-5):
@@ -345,7 +345,7 @@ class RTDETRDecoder(nn.Module):
         nq = min(self.nq, feats.shape[1])
         features = nn.Dense(self.hd, dtype=self.dtype, param_dtype=jnp.float32,
                             name="enc_output")(feats * valid.astype(feats.dtype))
-        features = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
+        features = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32,
                                 name="enc_norm")(features)
         enc_scores_all = nn.Dense(self.nc, dtype=self.dtype, param_dtype=jnp.float32,
                                   bias_init=nn.initializers.constant(-4.6),

@@ -357,12 +357,17 @@ def test_rtdetr_forward_parity():
     boxes_mine = np.asarray(dec_b[-1])
     scores_mine = np.asarray(jax.nn.sigmoid(dec_s[-1]))
 
-    berr = float(np.abs(boxes_ref - boxes_mine).max())
-    serr = float(np.abs(scores_ref - scores_mine).max())
-    # tolerance reflects f32 transcendental noise amplified through AIFI + 6
-    # decoder layers (same weights, same math; see sincos_pos_embed_2d note)
-    assert berr < 2e-2, f"boxes mismatch: {berr}"
-    assert serr < 2e-2, f"scores mismatch: {serr}"
+    # The untrained model's encoder scores span <0.02 across all tokens, so
+    # f32 noise permutes torch.topk vs lax.top_k ordering of the 300 queries.
+    # Compare as a one-to-one set: each reference query must have a unique
+    # near-identical counterpart (boxes AND scores jointly).
+    q_ref = np.concatenate([boxes_ref[0], scores_ref[0]], -1)   # (300, 4+nc)
+    q_mine = np.concatenate([boxes_mine[0], scores_mine[0]], -1)
+    d = np.abs(q_ref[:, None] - q_mine[None]).max(-1)           # (300, 300)
+    col = d.argmin(1)
+    nn_err = d[np.arange(len(col)), col]
+    assert float(nn_err.max()) < 1e-3, f"query set mismatch: {nn_err.max()}"
+    assert len(set(col.tolist())) == len(col), "matching is not one-to-one"
 
 
 @pytest.mark.slow
