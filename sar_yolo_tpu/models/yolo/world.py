@@ -96,12 +96,14 @@ class YOLOWorld(YOLO):
         import flax
         import jax.numpy as jnp
 
-        from sar_yolo_tpu.nn.tasks import build_model, init_model
-
-        head_key = f"blocks_{self.meta['head_index']}"
         self._ensure_variables()
         old_params = self.variables["params"]
-        embed_dim = int(old_params[head_key]["text_embeddings"].shape[-1])
+        # graph-level text param (GraphModel._walk); older checkpoints kept it
+        # on the head — fall back for those
+        head_key = f"blocks_{self.meta['head_index']}"
+        top_level = "text_embeddings" in old_params
+        owner = old_params if top_level else old_params[head_key]
+        embed_dim = int(owner["text_embeddings"].shape[-1])
         if isinstance(embeddings, (str, bytes)) or hasattr(embeddings, "read"):
             ref_names, emb = load_text_embeddings(embeddings)
             if [str(n) for n in names] != ref_names:
@@ -127,24 +129,19 @@ class YOLOWorld(YOLO):
         if emb.shape != (len(names), embed_dim):
             raise ValueError(f"embeddings must be ({len(names)}, {embed_dim}), got {emb.shape}")
 
+        # The graph is NOT rebuilt on vocabulary change: like the reference
+        # (WorldModel.set_classes, nn/tasks.py:629-647), only the text rows and
+        # the head's class count change; every conv keeps its built (nc-at-init)
+        # shape and the logits channel count follows the text row count.
         if len(names) != self.meta["nc"]:
-            # nc changed: rebuild the graph (only text_embeddings depends on nc)
-            model, meta = build_model(self.overrides.get("model", self.cfg),
-                                      nc=len(names))
-            new_vars = init_model(model, meta, jax.random.PRNGKey(0))
-            params = flax.core.unfreeze(new_vars["params"])
-            for k in params:
-                if k == head_key:
-                    for sub in params[k]:
-                        if sub != "text_embeddings":
-                            params[k][sub] = old_params[k][sub]
-                elif k in old_params:
-                    params[k] = old_params[k]
-            self.model, self.meta = model, meta
-            self.variables = {"params": params,
-                              "batch_stats": self.variables.get("batch_stats", {})}
+            self.meta = {**self.meta, "nc": len(names)}
+            if top_level:  # re-declare the text rows without touching conv shapes
+                self.model = self.model.clone(txt_nc=len(names))
         params = flax.core.unfreeze(self.variables["params"])
-        params[head_key]["text_embeddings"] = jnp.asarray(emb)
+        if top_level or "text_embeddings" in params:
+            params["text_embeddings"] = jnp.asarray(emb)
+        else:
+            params[head_key]["text_embeddings"] = jnp.asarray(emb)
         self.variables = {**self.variables, "params": params}
         self.meta["names"] = dict(enumerate(str(n) for n in names))
         self._predictor_cache = None  # vocabulary changed: invalidate executables

@@ -76,6 +76,27 @@ class C2f(nn.Module):
         return Conv(self.c2, 1, dtype=self.dtype, name="cv2")(jnp.concatenate(ys, -1), train)
 
 
+class C2(nn.Module):
+    """CSP bottleneck with 2 convs, sequential m-stack (ref block.py:213)."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = int(self.c2 * self.e)
+        y = Conv(2 * c, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        a, b = y[..., :c], y[..., c:]
+        for i in range(self.n):
+            a = Bottleneck(c, self.shortcut, self.g, (3, 3), 1.0,
+                           dtype=self.dtype, name=f"m{i}")(a, train)
+        return Conv(self.c2, 1, dtype=self.dtype, name="cv2")(jnp.concatenate([a, b], -1), train)
+
+
 class C3(nn.Module):
     """CSP bottleneck with 3 convs."""
 
@@ -868,6 +889,164 @@ class SPP(nn.Module):
             pad = [(k // 2, k // 2)] * 2
             ys.append(nn.max_pool(y, (k, k), strides=(1, 1), padding=pad))
         return Conv(self.c2, 1, 1, dtype=self.dtype, name="cv2")(jnp.concatenate(ys, -1), train)
+
+
+class MaxSigmoidAttnBlock(nn.Module):
+    """Text-guided max-sigmoid attention (ref block.py:418): per-head similarity
+    of image features against guide embeddings, max over prompts, sigmoid-gated."""
+
+    c2: int
+    nh: int = 1
+    ec: int = 128
+    gc: int = 512
+    scale: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, guide, train: bool = False):
+        B, H, W, c1 = x.shape
+        hc = self.c2 // self.nh
+        g = nn.Dense(self.ec, dtype=self.dtype, param_dtype=jnp.float32, name="gl")(guide)
+        g = g.reshape(B, -1, self.nh, self.ec // self.nh)           # (B, n, nh, hc_e)
+        embed = Conv(self.ec, 1, act=False, dtype=self.dtype, name="ec")(x, train) \
+            if c1 != self.ec else x
+        e = embed.reshape(B, H, W, self.nh, self.ec // self.nh)
+        aw = jnp.einsum("bhwmc,bnmc->bmhwn", e, g)                  # (B, nh, H, W, n)
+        aw = aw.max(-1) / jnp.sqrt(self.ec // self.nh).astype(aw.dtype)
+        bias = self.param("bias", nn.initializers.zeros, (self.nh,), jnp.float32)
+        aw = aw + bias[None, :, None, None].astype(aw.dtype)
+        aw = jax.nn.sigmoid(aw)
+        if self.scale:
+            sc = self.param("scale", nn.initializers.ones, (1, self.nh, 1, 1), jnp.float32)
+            aw = aw * sc.astype(aw.dtype)
+        y = Conv(self.c2, 3, act=False, dtype=self.dtype, name="proj_conv")(x, train)
+        y = y.reshape(B, H, W, self.nh, hc) * aw.transpose(0, 2, 3, 1)[..., None]
+        return y.reshape(B, H, W, self.c2)
+
+
+class C2fAttn(nn.Module):
+    """C2f with a text-guided MaxSigmoidAttnBlock branch (ref block.py:453)."""
+
+    c2: int
+    n: int = 1
+    ec: int = 128
+    nh: int = 1
+    gc: int = 512
+    shortcut: bool = False
+    g: int = 1
+    e: float = 0.5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, guide, train: bool = False):
+        c = int(self.c2 * self.e)
+        y = Conv(2 * c, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        ys = [y[..., :c], y[..., c:]]
+        for i in range(self.n):
+            ys.append(Bottleneck(c, self.shortcut, self.g, (3, 3), 1.0,
+                                 dtype=self.dtype, name=f"m{i}")(ys[-1], train))
+        ys.append(MaxSigmoidAttnBlock(c, self.nh, self.ec, self.gc,
+                                      dtype=self.dtype, name="attn")(ys[-1], guide, train))
+        return Conv(self.c2, 1, dtype=self.dtype, name="cv2")(jnp.concatenate(ys, -1), train)
+
+
+def _adaptive_max_pool(x, k: int):
+    """AdaptiveMaxPool2d((k, k)) on NHWC with static shapes: per-cell slice max."""
+    B, H, W, C = x.shape
+    rows = []
+    for i in range(k):
+        h0, h1 = (i * H) // k, -(-((i + 1) * H) // k)
+        cols = []
+        for j in range(k):
+            w0, w1 = (j * W) // k, -(-((j + 1) * W) // k)
+            cols.append(x[:, h0:h1, w0:w1].max((1, 2)))
+        rows.append(jnp.stack(cols, 1))
+    return jnp.stack(rows, 1)  # (B, k, k, C)
+
+
+class ImagePoolingAttn(nn.Module):
+    """Image-conditioned text-embedding update (ref block.py:480): pooled
+    multi-level image patches attend into the text features."""
+
+    ec: int = 256
+    ch: tuple = ()
+    ct: int = 512
+    nh: int = 8
+    k: int = 3
+    scale: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs, text, train: bool = False):
+        B = xs[0].shape[0]
+        hc = self.ec // self.nh
+        patches = []
+        for i, x in enumerate(xs):
+            p = nn.Conv(self.ec, (1, 1), use_bias=True, dtype=self.dtype,
+                        param_dtype=jnp.float32, name=f"projections_{i}")(x)
+            patches.append(_adaptive_max_pool(p, self.k).reshape(B, self.k * self.k, self.ec))
+        img = jnp.concatenate(patches, 1)                            # (B, nf*k^2, ec)
+        ln = lambda n: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                                    param_dtype=jnp.float32, name=n)
+        fc = lambda d, n: nn.Dense(d, dtype=self.dtype, param_dtype=jnp.float32, name=n)
+        q = fc(self.ec, "query_fc")(ln("query_ln")(text))
+        kk = fc(self.ec, "key_fc")(ln("key_ln")(img))
+        v = fc(self.ec, "value_fc")(ln("value_ln")(img))
+        q = q.reshape(B, -1, self.nh, hc)
+        kk = kk.reshape(B, -1, self.nh, hc)
+        v = v.reshape(B, -1, self.nh, hc)
+        aw = jnp.einsum("bnmc,bkmc->bmnk", q, kk) / jnp.sqrt(hc).astype(q.dtype)
+        aw = jax.nn.softmax(aw.astype(jnp.float32), -1).astype(v.dtype)
+        o = jnp.einsum("bmnk,bkmc->bnmc", aw, v).reshape(B, -1, self.ec)
+        o = fc(self.ct, "proj")(o)
+        if self.scale:
+            sc = self.param("scale", nn.initializers.zeros, (1,), jnp.float32)
+            o = o * sc.astype(o.dtype)
+        return o + text
+
+
+class ResNetBlock(nn.Module):
+    """Bottleneck ResNet block (ref block.py:379): 1x1 -> 3x3/s -> 1x1(e*c2),
+    relu(residual) — the reference's inner convs keep YOLO's default act."""
+
+    c2: int
+    s: int = 1
+    e: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c1 = x.shape[-1]
+        c3 = self.e * self.c2
+        y = Conv(self.c2, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        y = Conv(self.c2, 3, self.s, p=1, dtype=self.dtype, name="cv2")(y, train)
+        y = Conv(c3, 1, act=False, dtype=self.dtype, name="cv3")(y, train)
+        if self.s != 1 or c1 != c3:
+            x = Conv(c3, 1, self.s, act=False, dtype=self.dtype, name="shortcut_0")(x, train)
+        return nn.relu(y + x)
+
+
+class ResNetLayer(nn.Module):
+    """ResNet stage (ref block.py:396): 7x7/2+maxpool stem when is_first, else a
+    stack of n ResNetBlocks. yaml args (c1, c2, s, is_first, n); c1 inferred."""
+
+    c1: int
+    c2: int
+    s: int = 1
+    is_first: bool = False
+    n: int = 1
+    e: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.is_first:
+            x = Conv(self.c2, 7, 2, p=3, dtype=self.dtype, name="layer_0")(x, train)
+            return nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        x = ResNetBlock(self.c2, self.s, self.e, dtype=self.dtype, name="layer_0")(x, train)
+        for j in range(1, self.n):
+            x = ResNetBlock(self.c2, 1, self.e, dtype=self.dtype, name=f"layer_{j}")(x, train)
+        return x
 
 
 class GhostBottleneck(nn.Module):

@@ -10,6 +10,7 @@ compose functionally instead of branching on a module flag.
 
 from __future__ import annotations
 
+import math
 from typing import Any
 
 import flax.linen as nn
@@ -105,27 +106,43 @@ class WorldDetect(Detect):
     """
 
     embed_dim: int = 512
+    with_bn: bool = False
 
     @nn.compact
-    def __call__(self, xs, train: bool = False):
-        txt = self.param("text_embeddings",
-                         nn.initializers.normal(0.02), (self.nc, self.embed_dim),
-                         jnp.float32)
-        logit_scale = self.param("logit_scale", nn.initializers.constant(1.0), (),
-                                 jnp.float32)
-        bias = self.param("logit_bias", nn.initializers.constant(-10.0), (),
-                          jnp.float32)
-        t = txt / (jnp.linalg.norm(txt, axis=-1, keepdims=True) + 1e-6)
+    def __call__(self, xs, train: bool = False, txt=None):
+        if txt is None:  # standalone use: the graph usually owns the text param
+            txt = self.param("text_embeddings",
+                             nn.initializers.normal(0.02), (self.nc, self.embed_dim),
+                             jnp.float32)
+        # both contrastive heads l2-normalize the text side; BN replaces only
+        # the image-side normalization (reference block.py:540,580)
+        t = txt.astype(jnp.float32)
+        t = t / (jnp.linalg.norm(t, axis=-1, keepdims=True) + 1e-6)
         outs = []
         for i, x in enumerate(xs):
             box = self._box_branch(x, i, train)
-            c3 = max(self.ch[0], min(self.nc, 100), self.embed_dim)
+            c3 = max(self.ch[0], min(self.nc, 100))
             y = Conv(c3, 3, dtype=self.dtype, name=f"cv3_{i}_0")(x, train)
             y = Conv(c3, 3, dtype=self.dtype, name=f"cv3_{i}_1")(y, train)
-            emb = _pred_conv(self.embed_dim, f"cv4_{i}_pred", self.dtype)(y)
+            emb = _pred_conv(self.embed_dim, f"cv3_{i}_pred", self.dtype)(y)
             e = emb.astype(jnp.float32)
-            e = e / (jnp.linalg.norm(e, axis=-1, keepdims=True) + 1e-6)
-            logits = jnp.einsum("bhwe,ce->bhwc", e, t) * jnp.exp(logit_scale) + bias
+            # per-level contrastive head (reference cv4: ContrastiveHead /
+            # BNContrastiveHead, head.py:392 + block.py:529-585)
+            bias = self.param(f"cv4_{i}_bias", nn.initializers.constant(-10.0), (),
+                              jnp.float32)
+            if self.with_bn:
+                scale = self.param(f"cv4_{i}_logit_scale",
+                                   nn.initializers.constant(-1.0), (), jnp.float32)
+                e = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                 epsilon=1e-5, dtype=jnp.float32,
+                                 param_dtype=jnp.float32, name=f"cv4_{i}_norm")(e)
+            else:
+                scale = self.param(f"cv4_{i}_logit_scale",
+                                   nn.initializers.constant(math.log(1 / 0.07)),
+                                   (), jnp.float32)
+                e = e / (jnp.linalg.norm(e, axis=-1, keepdims=True) + 1e-6)
+            tq = t if t.ndim == 2 else t[0]
+            logits = jnp.einsum("bhwe,ce->bhwc", e, tq) * jnp.exp(scale) + bias
             outs.append(jnp.concatenate([box, logits.astype(box.dtype)], -1))
         return outs
 

@@ -47,14 +47,14 @@ class LayerSpec:
 
 
 # set of modules whose first yaml arg is out-channels (width-scaled)
-_CH_SCALED = {"Conv", "DWConv", "DSConv", "Bottleneck", "SPPF", "C2f", "C3", "C3k",
-              "C3k2", "C3k2_CBAM", "A2C2f", "DSC3k2", "DSC3k2_CBAM", "Classify", "RepC3",
+_CH_SCALED = {"Conv", "DWConv", "DSConv", "Bottleneck", "SPPF", "C2", "C2f", "C3", "C3k",
+              "C3k2", "C3k2_CBAM", "A2C2f", "C2fAttn", "DSC3k2", "DSC3k2_CBAM", "Classify", "RepC3",
               "PSA", "C2PSA", "SCDown", "C2fCIB", "GhostConv", "Conv2", "ConvTranspose2d",
               "SPP", "RepNCSPELAN4", "ELAN1", "AConv", "ADown", "SPPELAN",
               "GhostBottleneck", "C3Ghost", "RepConv"}
 # subset that takes an inserted repeat count n
-_REPEAT_ARG = {"C2f", "C3", "C3k", "C3k2", "C3k2_CBAM", "A2C2f", "DSC3k2", "DSC3k2_CBAM",
-               "RepC3", "C2PSA", "C2fCIB", "C3Ghost"}
+_REPEAT_ARG = {"C2", "C2f", "C2fAttn", "C3", "C3k", "C3k2", "C3k2_CBAM", "A2C2f",
+               "DSC3k2", "DSC3k2_CBAM", "RepC3", "C2PSA", "C2fCIB", "C3Ghost"}
 # torch-layer yaml aliases -> our module names
 _NN_ALIAS = {"nn.ConvTranspose2d": "ConvTranspose2d", "nn.MaxPool2d": "MaxPool2d",
              "nn.ZeroPad2d": "ZeroPad2d", "nn.Identity": "Identity"}
@@ -133,6 +133,11 @@ def parse_model(d: dict, ch: int = 3, verbose: bool = False):
                         args[2] = True
                     else:
                         args.append(True)
+            if m == "C2fAttn":
+                # embed channels + num heads scale (reference tasks.py:1029-1032)
+                args[2] = make_divisible(min(args[2], max_channels // 2) * width, 8)
+                args[3] = int(max(round(min(args[3], max_channels // 2 // 32)) * width, 1)
+                              if args[3] > 1 else args[3])
             if m == "A2C2f":
                 legacy = False
                 if scale in "lx":
@@ -191,6 +196,14 @@ def parse_model(d: dict, ch: int = 3, verbose: bool = False):
         elif m == "FullPAD_Tunnel":
             c2 = chs[f[0]]
             args = []
+        elif m == "ImagePoolingAttn":
+            # text-embedding side-update (reference tasks.py:1081): takes the
+            # multi-level feature list, emits updated txt_feats; x passes through
+            kwargs["ch"] = tuple(chs[x] for x in f)
+            c2 = chs[f[0]]
+        elif m == "ResNetLayer":
+            # c2 not width-scaled (reference tasks.py:1075)
+            c2 = args[1] if args[3] else args[1] * 4
         elif m == "CBLinear":
             # c2s list is NOT width-scaled (reference tasks.py:1090-1093)
             c2 = tuple(args[0])
@@ -272,6 +285,8 @@ def _build_module(spec: LayerSpec, nc: int, dtype, dropout: float = 0.0):
         return C.CBAM(*a, dtype=dtype)
     if name == "Bottleneck":
         return B.Bottleneck(*a, dtype=dtype)
+    if name == "C2":
+        return B.C2(*a, dtype=dtype)
     if name == "C2f":
         return B.C2f(*a, dtype=dtype)
     if name == "C3":
@@ -303,7 +318,12 @@ def _build_module(spec: LayerSpec, nc: int, dtype, dropout: float = 0.0):
         return H.v10Detect(nc=a[0] if a else nc, ch=kw["ch"], legacy=False, dtype=dtype)
     if name == "WorldDetect":
         return H.WorldDetect(nc=a[0] if a else nc, embed_dim=a[1] if len(a) > 1 else 512,
+                             with_bn=bool(a[2]) if len(a) > 2 else False,
                              ch=kw["ch"], legacy=kw["legacy"], dtype=dtype)
+    if name == "C2fAttn":
+        return B.C2fAttn(*a, dtype=dtype)
+    if name == "ImagePoolingAttn":
+        return B.ImagePoolingAttn(ec=a[0] if a else 256, ch=kw["ch"], dtype=dtype)
     if name == "C2fCIB":
         return B.C2fCIB(*a, dtype=dtype)
     if name == "CIB":
@@ -330,6 +350,8 @@ def _build_module(spec: LayerSpec, nc: int, dtype, dropout: float = 0.0):
         return B.GhostBottleneck(*a, dtype=dtype)
     if name == "C3Ghost":
         return B.C3Ghost(*a, dtype=dtype)
+    if name == "ResNetLayer":
+        return B.ResNetLayer(*a, dtype=dtype)
     if name == "RepNCSPELAN4":
         return B.RepNCSPELAN4(*a, dtype=dtype)
     if name == "ELAN1":
@@ -403,10 +425,23 @@ class GraphModel(nn.Module):
     act: str = "silu"
     fused: bool = False
     dropout: float = 0.0  # classify-head dropout (reference ClassificationModel arg)
+    txt_nc: int = 0       # world vocabulary row count override (0 -> nc); lets
+                          # set_classes change the text rows without touching
+                          # the built conv shapes (reference nn/tasks.py:646)
 
     def setup(self):
         self.blocks = [_build_module(s, self.nc, self.dtype, dropout=self.dropout)
                        for s in self.specs]
+        # YOLO-World graphs own ONE graph-level text-embedding param (reference
+        # WorldModel.txt_feats, nn/tasks.py:626) threaded into the text-guided
+        # blocks by _walk; set_classes swaps it by functional param surgery.
+        if any(s.name in ("C2fAttn", "ImagePoolingAttn", "WorldDetect")
+               for s in self.specs):
+            heads = [s for s in self.specs if s.name == "WorldDetect"]
+            embed = heads[0].args[1] if heads and len(heads[0].args) > 1 else 512
+            self.text_embeddings = self.param(
+                "text_embeddings", nn.initializers.normal(0.02),
+                (self.txt_nc or self.nc, embed), jnp.float32)
 
     def __call__(self, x, train: bool = False, batch_gt=None):
         with C.default_act(C.ACTIVATIONS[self.act]), C.fused_mode(self.fused):
@@ -416,6 +451,13 @@ class GraphModel(nn.Module):
         saved = {}
         out = x
         last = self.specs[-1]
+        # YOLO-World graphs: C2fAttn gets the (possibly ImagePoolingAttn-updated)
+        # running text copy, WorldDetect always gets the original (reference
+        # WorldModel.predict, nn/tasks.py:666-681).
+        txt = txt0 = None
+        if hasattr(self, "text_embeddings"):
+            txt0 = self.text_embeddings
+            txt = jnp.broadcast_to(txt0[None], (x.shape[0],) + txt0.shape)
         for spec, blk in zip(self.specs, self.blocks):
             f = spec.f
             if f == -1:
@@ -426,6 +468,13 @@ class GraphModel(nn.Module):
                 inp = [out if j == -1 else saved[j] for j in f]
             if spec is last and spec.name == "RTDETRDecoder" and batch_gt is not None:
                 out = blk(inp, train=train, batch_gt=batch_gt)  # denoising queries
+            elif spec.name == "C2fAttn":
+                out = blk(inp, txt, train=train)
+            elif spec.name == "ImagePoolingAttn":
+                txt = blk(inp, txt, train=train)
+                out = inp  # text side-channel update; x passes through (ref :681)
+            elif spec.name == "WorldDetect":
+                out = blk(inp, train=train, txt=txt0)
             else:
                 out = blk(inp, train=train)
             if spec.i in self.save:

@@ -83,12 +83,38 @@ def translate_torch_state_dict(state_dict, verbose: bool = False):
                 out.append(f"{p}_{level}_{stage}")
                 i += 3
                 continue
+            if p == "cv4" and i + 1 < len(mid) and mid[i + 1].isdigit() and \
+                    (i + 2 >= len(mid) or mid[i + 2] == "norm"):
+                # WorldDetect contrastive heads: cv4.{i}.{bias,logit_scale,norm.*}
+                lvl = mid[i + 1]
+                if i + 2 < len(mid) and mid[i + 2] == "norm":
+                    out.append(f"cv4_{lvl}_norm")
+                    i += 3
+                else:
+                    out.append(f"cv4_{lvl}")  # leaf renamed below
+                    i += 2
+                continue
             if re.fullmatch(r"cv\d", p) and i + 1 < len(mid) and mid[i + 1].isdigit() \
                     and not (i + 2 < len(mid) and mid[i + 2].isdigit()):
                 # ELAN-style Sequential containers (RepNCSPELAN4 cv2/cv3 =
                 # Sequential(RepCSP, Conv)): cv2.0 -> cv2_0 (single digit —
                 # two consecutive digits is the Detect-head case above)
                 out.append(f"{p}_{mid[i + 1]}")
+                i += 2
+                continue
+            if p in ("query", "key", "value") and i + 1 < len(mid) and \
+                    mid[i + 1] in ("0", "1"):
+                # ImagePoolingAttn Sequential(LayerNorm, Linear)
+                out.append(f"{p}_ln" if mid[i + 1] == "0" else f"{p}_fc")
+                i += 2
+                continue
+            if p == "projections" and i + 1 < len(mid) and mid[i + 1].isdigit():
+                out.append(f"projections_{mid[i + 1]}")  # raw nn.Conv2d, bias=True
+                i += 2
+                continue
+            if p == "layer" and i + 1 < len(mid) and mid[i + 1].isdigit():
+                # ResNetLayer Sequential: layer.{j} -> layer_{j}
+                out.append(f"layer_{mid[i + 1]}")
                 i += 2
                 continue
             if p in ("conv", "shortcut") and i + 1 < len(mid) and mid[i + 1].isdigit():
@@ -105,8 +131,10 @@ def translate_torch_state_dict(state_dict, verbose: bool = False):
                 out.append(f"ffn{int(mid[i + 1]) + 1}")
                 i += 2
                 continue
-            if p == "attn" and len(out) == 1 and i == 0:
-                # torch PSA.attn at top level -> our m/attn
+            if p == "attn" and len(out) == 1 and i == 0 and \
+                    i + 1 < len(mid) and mid[i + 1] in ("qkv", "proj", "pe"):
+                # torch PSA.attn at top level -> our m/attn (qkv/proj/pe children;
+                # C2fAttn's attn.{gl,ec,proj_conv} maps verbatim instead)
                 out.append("m")
                 out.append("attn")
                 i += 1
@@ -176,12 +204,23 @@ def translate_torch_state_dict(state_dict, verbose: bool = False):
                      part.T if part.ndim == 2 else part)
             continue
 
-        if leaf in ("gamma", "gate", "prototype_base"):
+        if out and str(out[-1]).startswith("cv4_") and not str(out[-1]).endswith("_norm") \
+                and leaf in ("bias", "logit_scale"):
+            # WorldDetect contrastive-head scalars: flat params on the head scope
+            _set(params, out[:-1] + [f"{out[-1]}_{leaf}"], t.reshape(()))
+            continue
+        if out and str(out[-1]).startswith("projections_") and leaf in ("weight", "bias"):
+            # ImagePoolingAttn raw nn.Conv2d level projections
+            _set(params, out + ["kernel" if leaf == "weight" else "bias"],
+                 np.transpose(t, (2, 3, 1, 0)) if leaf == "weight" else t)
+            continue
+        if leaf in ("gamma", "gate", "prototype_base", "scale"):
             _set(params, out + [leaf], t)
         elif leaf == "weight" and mid and mid[-1] in ("conv", "dw", "pw"):
             out.append("kernel")
             _set(params, out, np.transpose(t, (2, 3, 1, 0)))
-        elif (mid and mid[-1] == "bn") or str(out[-1]).startswith("input_proj_bn"):
+        elif (mid and mid[-1] == "bn") or str(out[-1]).startswith("input_proj_bn") \
+                or str(out[-1]).endswith("_norm"):  # BNContrastiveHead cv4_{i}_norm
             name = {"weight": "scale", "bias": "bias"}.get(leaf)
             if name:
                 _set(params, out + [name], t)
@@ -192,7 +231,8 @@ def translate_torch_state_dict(state_dict, verbose: bool = False):
         elif leaf == "weight" and str(out[-1]).startswith("input_proj_"):
             _set(params, out + ["kernel"], np.transpose(t, (2, 3, 1, 0)))  # raw nn.Conv
         elif leaf in ("weight", "bias") and t.ndim <= 1 and \
-                str(out[-1]).split("/")[-1].startswith(("norm", "enc_norm")):
+                (str(out[-1]).split("/")[-1].startswith(("norm", "enc_norm"))
+                 or str(out[-1]).endswith("_ln")):
             # LayerNorm: torch weight -> flax scale
             _set(params, out + ["scale" if leaf == "weight" else "bias"], t)
         elif leaf == "weight" and str(out[-1]).endswith("_embed"):

@@ -453,3 +453,100 @@ def test_tta_forward_parity_with_reference():
     err_cls = np.abs(mine[..., 4:] - ref_out[..., 4:]).max()
     assert err_box < 5e-3, f"TTA box mismatch: {err_box}"
     assert err_cls < 1e-4, f"TTA cls mismatch: {err_cls}"
+
+
+@pytest.mark.slow
+def test_world_forward_parity():
+    """YOLO-World v1 (C2fAttn + ImagePoolingAttn + ContrastiveHead) and v2
+    (BNContrastiveHead) forward-match the reference WorldModel with converted
+    weights and identical injected text features (ref nn/tasks.py:620-693)."""
+    import jax.numpy as jnp
+    import torch
+
+    from sar_yolo_tpu.nn.tasks import build_model
+    from sar_yolo_tpu.utils.torch_convert import translate_torch_state_dict
+
+    try:
+        from ref_stubs import install_reference_stubs
+        install_reference_stubs()
+        with contextlib.redirect_stdout(io.StringIO()), \
+                contextlib.redirect_stderr(io.StringIO()):
+            from ultralytics.nn.tasks import WorldModel
+    except Exception as e:  # noqa: BLE001
+        pytest.skip(f"reference not importable: {e}")
+
+    for name in ("yolov8-world.yaml", "yolov8-worldv2.yaml"):
+        with contextlib.redirect_stdout(io.StringIO()), \
+                contextlib.redirect_stderr(io.StringIO()):
+            ref = WorldModel(f"/root/reference/ultralytics/cfg/models/v8/{name}",
+                             verbose=False)
+        ref.eval()
+        torch.manual_seed(0)
+        txt = torch.randn(1, 80, 512)
+
+        model, meta = build_model(name)
+        conv, skipped = translate_torch_state_dict(ref.state_dict())
+        assert not skipped, f"{name}: unmapped torch keys {skipped[:5]}"
+        conv["params"]["text_embeddings"] = txt.numpy()[0]
+        variables = {"params": conv["params"], "batch_stats": conv["batch_stats"]}
+
+        rng = np.random.default_rng(3)
+        x = rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)
+        ref.model[-1].training = True  # raw per-level maps
+        with torch.no_grad():
+            feats_ref = ref.predict(torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                                    txt_feats=txt)
+        feats_mine = model.apply(variables, jnp.asarray(x), train=False)
+        assert len(feats_ref) == len(feats_mine)
+        for li, (fr, fm) in enumerate(zip(feats_ref, feats_mine)):
+            fr = fr.numpy().transpose(0, 2, 3, 1)
+            err = float(np.abs(fr - np.asarray(fm)).max())
+            assert err < 1e-3, f"{name} level {li} mismatch: {err}"
+
+
+@pytest.mark.slow
+def test_variant_forward_parity_c2_resnet():
+    """New variant modules: C2 (yolov8-p6 neck, ref block.py:213) and
+    ResNetBlock/ResNetLayer (resnet50 classifier, ref block.py:379-415) match
+    the reference forward with converted weights."""
+    import jax.numpy as jnp
+    import torch
+
+    from sar_yolo_tpu.nn.tasks import build_model
+    from sar_yolo_tpu.utils.torch_convert import translate_torch_state_dict
+
+    try:
+        from ref_stubs import install_reference_stubs
+        install_reference_stubs()
+        with contextlib.redirect_stdout(io.StringIO()), \
+                contextlib.redirect_stderr(io.StringIO()):
+            from ultralytics.nn.tasks import ClassificationModel, DetectionModel
+    except Exception as e:  # noqa: BLE001
+        pytest.skip(f"reference not importable: {e}")
+
+    rng = np.random.default_rng(4)
+    x = rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+
+    for name, cls in (("yolov8n-p6.yaml", DetectionModel),
+                      ("yolov8n-cls-resnet50.yaml", ClassificationModel)):
+        with contextlib.redirect_stdout(io.StringIO()), \
+                contextlib.redirect_stderr(io.StringIO()):
+            ref = cls(name, verbose=False)
+        ref.eval()
+        model, meta = build_model(name)
+        conv, skipped = translate_torch_state_dict(ref.state_dict())
+        assert not skipped, f"{name}: unmapped torch keys {skipped[:5]}"
+        variables = {"params": conv["params"], "batch_stats": conv["batch_stats"]}
+        ref.model[-1].training = True
+        with torch.no_grad():
+            out_ref = ref._predict_once(xt)
+        out_mine = model.apply(variables, jnp.asarray(x), train=False)
+        if isinstance(out_ref, (list, tuple)):
+            for li, (fr, fm) in enumerate(zip(out_ref, out_mine)):
+                fr = fr.numpy().transpose(0, 2, 3, 1)
+                err = float(np.abs(fr - np.asarray(fm)).max())
+                assert err < 1e-3, f"{name} level {li} mismatch: {err}"
+        else:
+            err = float(np.abs(out_ref.numpy() - np.asarray(out_mine)).max())
+            assert err < 1e-3, f"{name} mismatch: {err}"
