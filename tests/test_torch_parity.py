@@ -550,3 +550,35 @@ def test_variant_forward_parity_c2_resnet():
         else:
             err = float(np.abs(out_ref.numpy() - np.asarray(out_mine)).max())
             assert err < 1e-3, f"{name} mismatch: {err}"
+
+
+@pytest.mark.slow
+def test_v10_per_scale_param_parity():
+    """v10 per-scale yamls: the C2f->C2fCIB swaps differ per scale (reference
+    ships six separate files); param counts pinned vs reference builds
+    (offset 16 = the reference's frozen DFL conv, functional here)."""
+    import jax
+
+    from sar_yolo_tpu.nn.tasks import build_model, init_model
+
+    GOLDEN = {"yolov10s.yaml": 8128272, "yolov10x.yaml": 31808960}
+    try:
+        from ref_stubs import install_reference_stubs
+        install_reference_stubs()
+        with contextlib.redirect_stdout(io.StringIO()), \
+                contextlib.redirect_stderr(io.StringIO()):
+            from ultralytics.nn.tasks import DetectionModel
+    except Exception as e:  # noqa: BLE001
+        pytest.skip(f"reference not importable: {e}")
+
+    for yml in GOLDEN:
+        with contextlib.redirect_stdout(io.StringIO()), \
+                contextlib.redirect_stderr(io.StringIO()):
+            ref = DetectionModel(yml, verbose=False)
+        n_ref = sum(p.numel() for p in ref.parameters())
+        if GOLDEN[yml] is not None:
+            assert n_ref == GOLDEN[yml]  # guards against reference drift
+        model, meta = build_model(yml)
+        v = init_model(model, meta, jax.random.PRNGKey(0), imgsz=64)
+        n_mine = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(v["params"]))
+        assert n_mine + 16 == n_ref, f"{yml}: {n_mine}+16 != {n_ref}"
