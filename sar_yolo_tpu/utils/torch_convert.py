@@ -204,9 +204,10 @@ def translate_torch_state_dict(state_dict, verbose: bool = False):
                      part.T if part.ndim == 2 else part)
             continue
 
-        if out and str(out[-1]).startswith("cv4_") and not str(out[-1]).endswith("_norm") \
+        if out and re.fullmatch(r"cv4_\d+", str(out[-1])) and t.size == 1 \
                 and leaf in ("bias", "logit_scale"):
             # WorldDetect contrastive-head scalars: flat params on the head scope
+            # (JDE/Segment cv4_{l}_{s}/_pred conv leaves never match this shape)
             _set(params, out[:-1] + [f"{out[-1]}_{leaf}"], t.reshape(()))
             continue
         if out and str(out[-1]).startswith("projections_") and leaf in ("weight", "bias"):
