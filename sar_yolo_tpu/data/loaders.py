@@ -217,7 +217,15 @@ class LoadPilAndNumpy:
         if arr.dtype != np.uint8:
             arr = (arr.clip(0, 1) * 255).astype(np.uint8) if arr.max() <= 1.0 \
                 else arr.clip(0, 255).astype(np.uint8)
-        return arr
+        # grey (H, W)/(H, W, 1) and 4-channel (BGRA/RGBA) arrays normalize to
+        # 3 channels like the reference accepts (its test_python.py:138)
+        if arr.ndim == 2:
+            arr = np.repeat(arr[..., None], 3, axis=-1)
+        elif arr.shape[-1] == 1:
+            arr = np.repeat(arr, 3, axis=-1)
+        elif arr.shape[-1] == 4:
+            arr = arr[..., :3]
+        return np.ascontiguousarray(arr)
 
     def __iter__(self):
         for i, im in enumerate(self.items):
@@ -240,6 +248,8 @@ class LoadTensor:
             arr = (arr * 255).astype(np.uint8)
         if arr.shape[-1] == 1:
             arr = np.repeat(arr, 3, -1)
+        elif arr.shape[-1] == 4:  # RGBA batch: drop alpha
+            arr = arr[..., :3]
         self.batch = arr[..., ::-1]  # RGB tensor convention -> BGR pipeline
 
     def __iter__(self):

@@ -48,6 +48,19 @@ def test_load_pil_and_numpy():
     assert items[0][1][0, 0, 2] == 255 and items[0][1][0, 0, 0] == 0
 
 
+def test_grey_and_rgba_sources_normalize_to_3ch():
+    """Grey (H,W)/(H,W,1) and 4-channel arrays are accepted like the reference
+    (its test_python.py:138 grey/4-ch cases)."""
+    grey = np.full((16, 16), 7, np.uint8)
+    rgba = np.zeros((16, 16, 4), np.uint8)
+    for src in (grey, grey[..., None], rgba):
+        items = list(LoadPilAndNumpy(src))
+        assert items[0][1].shape == (16, 16, 3)
+    t = np.zeros((2, 16, 16, 4), np.uint8)  # RGBA batch through LoadTensor
+    items = list(LoadTensor(t))
+    assert items[0][1].shape == (16, 16, 3)
+
+
 def test_load_tensor_nchw_float():
     t = np.random.rand(2, 3, 16, 16).astype(np.float32)
     items = list(LoadTensor(t))
