@@ -416,3 +416,42 @@ def mosaic9(items: list[dict], imgsz: int, rng=None) -> dict:
     if has_polys:
         out["polygons"] = [pp - np.array([xc, yc], np.float32) for pp in polys9]
     return out
+
+
+class Albumentations:
+    """Optional pixel-level Albumentations augmentations (reference
+    data/augment.py:1749): Blur/MedianBlur/ToGray/CLAHE + brightness-contrast/
+    gamma/compression at the reference's default probabilities. Import-gated —
+    a silent no-op when the library is absent (it is not baked into the TPU
+    image). The default list is pixel-only, so boxes/masks/kpts are untouched
+    (the reference routes spatial transforms through a different path too).
+    """
+
+    def __init__(self, p: float = 1.0):
+        self.p = p
+        self.transform = None
+        try:
+            import albumentations as A
+            self.transform = A.Compose([
+                A.Blur(p=0.01),
+                A.MedianBlur(p=0.01),
+                A.ToGray(p=0.01),
+                A.CLAHE(p=0.01),
+                A.RandomBrightnessContrast(p=0.0),
+                A.RandomGamma(p=0.0),
+                A.ImageCompression(quality_range=(75, 100), p=0.0),
+            ])
+        except ImportError:
+            pass
+        except Exception as e:  # noqa: BLE001 - any albumentations init issue
+            from sar_yolo_tpu.utils import LOGGER
+            LOGGER.info(f"albumentations disabled: {e}")
+
+    def __call__(self, item: dict, rng=None) -> dict:
+        if self.transform is None:
+            return item
+        rng = rng or np.random.default_rng()
+        if rng.random() > self.p:
+            return item
+        item["img"] = self.transform(image=item["img"])["image"]
+        return item

@@ -17,8 +17,8 @@ import cv2
 import numpy as np
 
 from sar_yolo_tpu.utils import LOGGER, yaml_load
-from .augment import (augment_hsv, copy_paste, letterbox, mixup, mosaic4, mosaic9,
-                      random_flip, random_perspective)
+from .augment import (Albumentations, augment_hsv, copy_paste, letterbox, mixup,
+                      mosaic4, mosaic9, random_flip, random_perspective)
 
 IMG_FORMATS = {"bmp", "dng", "jpeg", "jpg", "mpo", "png", "tif", "tiff", "webp", "pfm"}
 
@@ -101,6 +101,8 @@ class YOLODataset:
         # full geometric augmentation for every task: mosaic/affine/flip carry
         # boxes, tags, keypoints AND polygons (reference augment.py:966-1318)
         self.mosaic_enabled = bool(self.augment and hyp is not None and getattr(hyp, "mosaic", 0) > 0)
+        # optional pixel-level albumentations (no-op unless the lib is present)
+        self.albumentations = Albumentations(p=1.0) if self.augment else None
         self.im_files = self._scan_images(img_path)
         if fraction < 1.0:
             self.im_files = self.im_files[: max(1, int(len(self.im_files) * fraction))]
@@ -394,6 +396,8 @@ class YOLODataset:
                                           scale=hyp.scale, shear=hyp.shear,
                                           perspective=hyp.perspective, rng=rng)
         if self.augment:
+            if self.albumentations is not None:
+                item = self.albumentations(item, rng=rng)
             augment_hsv(item["img"], hyp.hsv_h, hyp.hsv_s, hyp.hsv_v, rng=rng)
             item = random_flip(item, fliplr=hyp.fliplr, flipud=hyp.flipud, rng=rng,
                                flip_idx=self.flip_idx)

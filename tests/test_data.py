@@ -252,3 +252,21 @@ def test_split_dota(tmp_path):
     lb = dict((p.stem, p) for p in labels)["P0001__128__0___0"].read_text().split()
     got = np.array([float(v) for v in lb[1:]]).reshape(4, 2) * 128
     np.testing.assert_allclose(got, [[30, 30], [60, 30], [60, 60], [30, 60]], atol=0.5)
+
+
+def test_albumentations_noop_without_lib():
+    """The Albumentations adapter is a silent no-op when the lib is absent
+    (reference data/augment.py:1749 is import-gated the same way)."""
+    import numpy as np
+
+    from sar_yolo_tpu.data.augment import Albumentations
+
+    t = Albumentations(p=1.0)
+    img = np.full((32, 32, 3), 7, np.uint8)
+    item = {"img": img}
+    out = t(item, rng=np.random.default_rng(0))
+    try:
+        import albumentations  # noqa: F401
+        assert out["img"].shape == img.shape  # lib present: still shape-stable
+    except ImportError:
+        assert out["img"] is img  # absent: exact no-op
