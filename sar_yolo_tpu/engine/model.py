@@ -224,6 +224,35 @@ class YOLO:
     def predict(self, source, stream: bool = False, **kwargs):
         return self._get_predictor(kwargs)(source, stream=stream)
 
+    def embed(self, source, embed=None, imgsz: int = 640, **kwargs) -> list:
+        """Global-avg-pooled feature embeddings per image (reference
+        engine/model.py:467: defaults to the second-to-last layer; pass
+        `embed=[i, j, ...]` for specific layers — features concat over C).
+
+        Returns a list of (D,) numpy vectors, one per input image.
+        """
+        import numpy as np
+
+        from sar_yolo_tpu.data.augment import letterbox
+        from sar_yolo_tpu.data.loaders import load_inference_source
+
+        self._ensure_variables(imgsz)
+        idx = tuple(int(i) % len(self.model.specs) for i in (embed or
+                                                             [len(self.model.specs) - 2]))
+        key = ("embed", idx, imgsz)
+        if getattr(self, "_embed_cache", None) is None or self._embed_cache[0] != key:
+            fn = jax.jit(lambda v, x: self.model.apply(
+                v, x.astype(jnp.float32) / 255.0, train=False, embed=idx))
+            self._embed_cache = (key, fn)
+        fn = self._embed_cache[1]
+        loader, _ = load_inference_source(source)
+        out = []
+        for _, img, _meta in loader:
+            lb = letterbox(img[..., ::-1], (imgsz, imgsz))[0]
+            vec = fn(self.variables, jnp.asarray(lb)[None])
+            out.append(np.asarray(vec)[0])
+        return out
+
     def __call__(self, source, **kwargs):
         return self.predict(source, **kwargs)
 

@@ -443,13 +443,14 @@ class GraphModel(nn.Module):
                 "text_embeddings", nn.initializers.normal(0.02),
                 (self.txt_nc or self.nc, embed), jnp.float32)
 
-    def __call__(self, x, train: bool = False, batch_gt=None):
+    def __call__(self, x, train: bool = False, batch_gt=None, embed: tuple = ()):
         with C.default_act(C.ACTIVATIONS[self.act]), C.fused_mode(self.fused):
-            return self._walk(x, train, batch_gt)
+            return self._walk(x, train, batch_gt, embed)
 
-    def _walk(self, x, train: bool = False, batch_gt=None):
+    def _walk(self, x, train: bool = False, batch_gt=None, embed: tuple = ()):
         saved = {}
         out = x
+        embeds: list = []
         last = self.specs[-1]
         # YOLO-World graphs: C2fAttn gets the (possibly ImagePoolingAttn-updated)
         # running text copy, WorldDetect always gets the original (reference
@@ -479,6 +480,12 @@ class GraphModel(nn.Module):
                 out = blk(inp, train=train)
             if spec.i in self.save:
                 saved[spec.i] = out
+            if embed and spec.i in embed:
+                # global-avg-pooled layer features (reference nn/tasks.py:164:
+                # adaptive_avg_pool2d(x, 1) per requested layer, concat over C)
+                embeds.append(out.mean((1, 2)))
+                if spec.i == max(embed):
+                    return jnp.concatenate(embeds, -1)
         return out
 
 

@@ -320,3 +320,21 @@ def test_yolo_tune_use_ray_routing(monkeypatch):
     m = YOLO("tinydet.yaml")
     rows = m.tune(iterations=4, use_ray=True, data="synthetic")
     assert seen["n"] == 4 and rows[0]["fitness"] == 1.0
+
+
+def test_model_embed_api():
+    """model.embed (reference engine/model.py:467): pooled per-layer features,
+    default = second-to-last layer, multi-layer concat over channels."""
+    import numpy as np
+
+    from sar_yolo_tpu import YOLO
+
+    m = YOLO("tinydet.yaml", task="detect")
+    img = (np.random.default_rng(0).uniform(0, 255, (96, 128, 3))).astype(np.uint8)
+    e = m.embed(img, imgsz=64)
+    assert len(e) == 1 and e[0].ndim == 1 and np.isfinite(e[0]).all()
+    e2 = m.embed([img, img], embed=[4, 6], imgsz=64)
+    assert len(e2) == 2 and np.allclose(e2[0], e2[1])
+    # two layers concat over channels: dim = sum of their channel counts
+    chans = m.meta["channels"]
+    assert e2[0].shape[0] == chans[4] + chans[6]
