@@ -349,3 +349,32 @@ def _profile_model(model_obj, imgsz: int = 640, batch: int = 1, n_iter: int = 10
 
 
 YOLO.profile = _profile_model
+
+
+class Ensemble:
+    """Multi-model NMS ensemble (reference nn/tasks.py:709 Ensemble +
+    attempt_load_weights list handling): every member runs its own jitted
+    predict, the union of detections merges with one class-aware NMS — the
+    same selection semantics as the reference's concat-before-NMS, applied to
+    each member's already-suppressed survivors.
+
+        ens = Ensemble(["yolov8n.yaml", "runs/train/exp/best"])
+        boxes = ens.predict(img)          # (N, 6) merged detections per image
+    """
+
+    def __init__(self, models):
+        self.models = [m if isinstance(m, YOLO) else YOLO(m) for m in models]
+
+    def predict(self, source, merge_iou: float = 0.5, max_det: int = 300, **kwargs):
+        from sar_yolo_tpu.ops.slicing import merge_tile_detections
+
+        import numpy as np
+
+        per_model = [m.predict(source, verbose=False, **kwargs) for m in self.models]
+        merged = []
+        for per_img in zip(*per_model):
+            dets = [np.asarray(r.boxes.data) if r.boxes is not None else
+                    np.zeros((0, 6), np.float32) for r in per_img]
+            merged.append(merge_tile_detections(dets, [(0, 0)] * len(dets),
+                                                merge_iou, max_det))
+        return merged

