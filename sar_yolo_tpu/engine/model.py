@@ -120,6 +120,9 @@ class YOLO:
         overrides = {**self.overrides, **kwargs, "mode": "train"}
         trainer_cls = self.task_map[self.task]["trainer"]
         self.trainer = trainer_cls(overrides=overrides)
+        for ev, fns in getattr(self, "_callbacks", {}).items():
+            for fn in fns:
+                self.trainer.add_callback(ev, fn)
         self.metrics = self.trainer.train()
         # adopt the trained model graph (nc may differ from the yaml default) + weights
         self.model = self.trainer.model
@@ -203,11 +206,12 @@ class YOLO:
         # deploy-time fusion (≙ reference AutoBackend fuse=True at predict,
         # nn/autobackend.py:159): BN folded into convs, Rep branches merged
         model, variables = self.model, self.variables
-        try:
-            from sar_yolo_tpu.nn.fuse import fuse as _fuse
-            model, variables = _fuse(model, variables)
-        except Exception:  # unexpected param structure: serve unfused
-            model, variables = self.model, self.variables
+        if not getattr(model, "fused", False):  # an explicit .fuse() already folded
+            try:
+                from sar_yolo_tpu.nn.fuse import fuse as _fuse
+                model, variables = _fuse(model, variables)
+            except Exception:  # unexpected param structure: serve unfused
+                model, variables = self.model, self.variables
         if getattr(args, "half", False):
             # bf16 serving (≙ reference half=True fp16): fold happens at f32
             # above, then weights+compute drop to bf16 — ~2x on the TPU forward
@@ -218,6 +222,9 @@ class YOLO:
                     lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
                     variables)
         predictor = predictor_cls(model, variables, self.meta, args, names)
+        for ev, fns in getattr(self, "_callbacks", {}).items():
+            for fn in fns:
+                predictor.add_callback(ev, fn)
         self._predictor_cache = (key, predictor)
         return predictor
 
@@ -300,6 +307,75 @@ class YOLO:
     @property
     def names(self):
         return self.meta.get("names") or {i: f"c{i}" for i in range(self.meta["nc"])}
+
+    @property
+    def device(self) -> str:
+        """Backend the jitted executables run on (≙ reference Model.device)."""
+        return jax.default_backend()
+
+    def save(self, ckpt_dir="saved_model_ckpt") -> str:
+        """Persist the current weights as a loadable checkpoint dir (reference
+        Model.save, engine/model.py:386 — orbax instead of pickle)."""
+        from sar_yolo_tpu.utils.checkpoint import save_checkpoint
+        self._ensure_variables()
+        payload = {"params": self.variables["params"], "ema_params": None,
+                   "batch_stats": self.variables.get("batch_stats", {})}
+        meta = {"model_yaml": self.overrides.get("model", getattr(self, "cfg", "")),
+                "nc": self.meta.get("nc"), "strides": self.meta.get("strides"),
+                "task": self.task, "train_args": dict(self.overrides)}
+        save_checkpoint(ckpt_dir, payload, meta)
+        self.ckpt_dir = str(ckpt_dir)
+        return self.ckpt_dir
+
+    def load(self, ckpt_dir) -> "YOLO":
+        """Load weights from a checkpoint dir into THIS model instance
+        (reference Model.load semantics)."""
+        import dataclasses
+
+        from sar_yolo_tpu.utils.checkpoint import load_checkpoint
+        payload, _meta = load_checkpoint(ckpt_dir)
+        if getattr(self.model, "fused", False):  # checkpoints are unfused form
+            self.model = dataclasses.replace(self.model, fused=False)
+        self.variables = {"params": payload.get("ema_params") or payload["params"],
+                          "batch_stats": payload.get("batch_stats", {})}
+        self._predictor_cache = None
+        return self
+
+    def reset_weights(self) -> "YOLO":
+        """Re-initialize all parameters (reference Model.reset_weights)."""
+        import dataclasses
+        if getattr(self.model, "fused", False):
+            self.model = dataclasses.replace(self.model, fused=False)
+        self.variables = None
+        self._ensure_variables()
+        self._predictor_cache = None
+        return self
+
+    def fuse(self):
+        """Fold BN/Rep branches into deploy form now (reference Model.fuse).
+
+        predict() already serves the fused trace; this makes the fused
+        variables THE model state so exports/inspection see them too.
+        """
+        from sar_yolo_tpu.nn.fuse import fuse as _fuse
+        self._ensure_variables()
+        if getattr(self.model, "fused", False):
+            return self
+        self.model, self.variables = _fuse(self.model, self.variables)
+        self._predictor_cache = None
+        return self
+
+    def add_callback(self, event: str, func) -> None:
+        """Register a callback forwarded to every trainer/validator/predictor
+        this facade creates (reference Model.add_callback)."""
+        self._callbacks = getattr(self, "_callbacks", {})
+        self._callbacks.setdefault(event, []).append(func)
+
+    def clear_callback(self, event: str) -> None:
+        getattr(self, "_callbacks", {}).pop(event, None)
+
+    def reset_callbacks(self) -> None:
+        self._callbacks = {}
 
     def info(self, verbose=True):
         import numpy as np

@@ -355,3 +355,25 @@ def test_ensemble_predict_merges_members():
     n_single = len(np.asarray(single[0].boxes.data))
     # different random inits -> union can only grow vs one member
     assert len(out[0]) >= min(n_single, 1) - 1
+
+
+def test_facade_save_load_fuse_reset(tmp_path):
+    """Facade API parity (reference engine/model.py:332-467): save() writes a
+    loadable checkpoint, load() restores into the live instance, fuse() folds
+    BN deploy-style, reset_weights() re-initializes, callbacks forward."""
+    import numpy as np
+
+    from sar_yolo_tpu import YOLO
+
+    img = (np.random.default_rng(0).uniform(0, 255, (64, 64, 3))).astype(np.uint8)
+    m = YOLO("tinydet.yaml", task="detect")
+    ck = m.save(str(tmp_path / "ck"))
+    m2 = YOLO(ck)
+    assert m2.predict(img, imgsz=64, verbose=False)[0].boxes is not None
+    m.fuse()
+    assert m.model.fused
+    m.predict(img, imgsz=64, verbose=False)
+    m.reset_weights().load(ck)
+    assert not m.model.fused  # checkpoints hold the unfused form
+    m.predict(img, imgsz=64, verbose=False)
+    assert m.device in ("cpu", "tpu", "axon")
