@@ -314,6 +314,37 @@ class Results:
 
     tojson = to_json
 
+    def to_df(self, normalize: bool = False):
+        """pandas DataFrame of the summary (reference Results.to_df:828)."""
+        import pandas as pd
+        return pd.json_normalize(self.summary(normalize=normalize))
+
+    def to_csv(self, normalize: bool = False, **kwargs) -> str:
+        """CSV string of the summary (reference Results.to_csv:853)."""
+        return self.to_df(normalize=normalize).to_csv(index=False, **kwargs)
+
+    def to_xml(self, normalize: bool = False) -> str:
+        """XML string of the summary (reference Results.to_xml:879)."""
+        df = self.to_df(normalize=normalize)
+        return "<?xml version='1.0' encoding='utf-8'?>\n<root></root>" if df.empty \
+            else df.to_xml(parser="etree")
+
+    def new(self) -> "Results":
+        """Empty Results carrying the same image/names (reference :435)."""
+        return Results(orig_img=self.orig_img, path=self.path, names=self.names)
+
+    def update(self, boxes=None, masks=None, probs=None, obb=None):
+        """Replace result tensors in place (reference Results.update:310)."""
+        if boxes is not None:
+            self.boxes = Boxes(np.asarray(boxes), self.orig_shape)
+        if masks is not None:
+            self.masks = Masks(np.asarray(masks), self.orig_shape)
+        if probs is not None:
+            self.probs = Probs(np.asarray(probs))
+        if obb is not None:
+            self.obb = obb  # property setter wraps into OBB
+        return self
+
     def summary(self, normalize: bool = False):
         out = []
         if self.probs is not None:

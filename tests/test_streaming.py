@@ -198,3 +198,21 @@ def test_track_streaming_api(tmp_path):
     assert p1._tracking_registered
     out2 = m.track(str(v), imgsz=32, stream=False, persist=True)
     assert m._predictor_cache[1] is p1
+
+
+def test_results_conversions_and_update():
+    """Results to_df/to_csv/to_xml/new/update (reference results.py:310-906)."""
+    from sar_yolo_tpu.engine.results import Results
+
+    img = np.zeros((64, 64, 3), np.uint8)
+    r = Results(img, "x.jpg", {0: "person"},
+                boxes=np.array([[1, 2, 20, 30, 0.9, 0]], np.float32))
+    assert '"name": "person"' in r.tojson()
+    df = r.to_df()
+    assert len(df) == 1 and "confidence" in df.columns
+    assert r.to_csv().startswith("name,")
+    assert r.to_xml().startswith("<?xml")
+    r2 = r.new()
+    assert len(r2) == 0 and r2.names == r.names
+    r2.update(boxes=np.array([[3, 3, 9, 9, 0.5, 0]], np.float32))
+    assert len(r2) == 1
