@@ -36,7 +36,8 @@ def make_tracker(tracker="bytetrack.yaml", frame_rate=30):
     if cls is BOTSORT:
         kwargs.update(proximity_thresh=cfg.get("proximity_thresh", 0.5),
                       appearance_thresh=cfg.get("appearance_thresh", 0.25),
-                      with_reid=cfg.get("with_reid", True))
+                      with_reid=cfg.get("with_reid", True),
+                      gmc_method=cfg.get("gmc_method", "sparseOptFlow"))
     return cls(**kwargs)
 
 
@@ -48,7 +49,7 @@ def track_results(results, tracker="bytetrack.yaml"):
             continue
         dets = res.boxes.data[:, :6]
         extras = res.embeds if getattr(res, "embeds", None) is not None else None
-        tracks = trk.update(dets, extras)
+        tracks = trk.update(dets, extras, img=getattr(res, "orig_img", None))
         if len(tracks):
             res.boxes.data = tracks  # [x1,y1,x2,y2,conf,cls,track_id]
     return results
@@ -82,7 +83,7 @@ def register_tracker(predictor, tracker="bytetrack.yaml", persist: bool = False)
         import numpy as np
         dets = res.boxes.data[:, :6]
         extras = res.embeds if getattr(res, "embeds", None) is not None else None
-        tracks = trk.update(dets, extras)
+        tracks = trk.update(dets, extras, img=getattr(res, "orig_img", None))
         res.boxes.data = tracks if len(tracks) else np.zeros((0, 7), dets.dtype)
 
     predictor.add_callback("on_predict_start", on_predict_start)

@@ -55,12 +55,17 @@ class BOTrack(STrack):
 class BOTSORT(BYTETracker):
     """IoU x embedding fused association (reference bot_sort.py:147, get_dists:211)."""
 
-    def __init__(self, proximity_thresh=0.5, appearance_thresh=0.25, with_reid=True, **kw):
+    def __init__(self, proximity_thresh=0.5, appearance_thresh=0.25, with_reid=True,
+                 gmc_method="sparseOptFlow", **kw):
         super().__init__(**kw)
         self.proximity_thresh = proximity_thresh
         self.appearance_thresh = appearance_thresh
         self.with_reid = with_reid
         self.kalman_filter = KalmanFilterXYWH()
+        # camera-motion compensation (reference bot_sort.py:195); update() warps
+        # predicted track states by the frame-to-frame affine when given `img`
+        from .gmc import GMC
+        self.gmc = GMC(method=gmc_method) if gmc_method not in (None, "none") else None
 
     def make_track(self, xyxy, score, cls, extra=None):
         return BOTrack(xyxy, score, cls, feat=extra if self.with_reid else None)

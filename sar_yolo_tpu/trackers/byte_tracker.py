@@ -43,6 +43,24 @@ class STrack:
         STrack._count += 1
         return STrack._count
 
+    @staticmethod
+    def multi_gmc(stracks, H=np.eye(2, 3)):
+        """Warp track states by a camera-motion affine (reference
+        byte_tracker.py:104: rotation block applied over all 4 state pairs,
+        translation on the position only)."""
+        if not len(stracks):
+            return
+        R = H[:2, :2]
+        R8x8 = np.kron(np.eye(4), R)
+        t = H[:2, 2]
+        for st in stracks:
+            if st.mean is None:
+                continue
+            mean = R8x8.dot(st.mean)
+            mean[:2] += t
+            st.mean = mean
+            st.covariance = R8x8.dot(st.covariance).dot(R8x8.T)
+
     @property
     def tlwh(self):
         if self.mean is None:
@@ -125,8 +143,12 @@ class BYTETracker:
     def make_track(self, xyxy, score, cls, extra=None):
         return STrack(xyxy, score, cls)
 
-    def update(self, dets: np.ndarray, extras: np.ndarray | None = None) -> np.ndarray:
-        """dets: (n, 6) [x1,y1,x2,y2,conf,cls]. Returns (m, 7) rows + track_id col."""
+    def update(self, dets: np.ndarray, extras: np.ndarray | None = None,
+               img: np.ndarray | None = None) -> np.ndarray:
+        """dets: (n, 6) [x1,y1,x2,y2,conf,cls]. Returns (m, 7) rows + track_id col.
+
+        `img` (the BGR frame) enables camera-motion compensation when the
+        tracker carries a GMC instance (BoT-SORT, reference :332-335)."""
         self.frame_id += 1
         scores = dets[:, 4]
         high = scores >= self.track_high_thresh
@@ -142,6 +164,10 @@ class BYTETracker:
         pool = joint_stracks(tracked, self.lost_stracks)
         for t in pool:
             t.predict()
+        if getattr(self, "gmc", None) is not None and img is not None:
+            warp = self.gmc.apply(img)
+            STrack.multi_gmc(pool, warp)
+            STrack.multi_gmc(unconfirmed, warp)
 
         # stage 1: high-conf
         dists = self.get_dists(pool, det_high)

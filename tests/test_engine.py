@@ -377,3 +377,37 @@ def test_facade_save_load_fuse_reset(tmp_path):
     assert not m.model.fused  # checkpoints hold the unfused form
     m.predict(img, imgsz=64, verbose=False)
     assert m.device in ("cpu", "tpu", "axon")
+
+
+def test_gmc_camera_motion_compensation():
+    """BoT-SORT camera-motion compensation (reference byte_tracker.py:104
+    multi_gmc + bot_sort.py:195): the warp rotates/translates the predicted
+    Kalman states; a panning camera keeps track ids stable."""
+    from sar_yolo_tpu.trackers.byte_tracker import STrack
+    from sar_yolo_tpu.trackers.bot_sort import BOTSORT
+    from sar_yolo_tpu.trackers.kalman_filter import KalmanFilterXYAH
+
+    # unit: pure translation shifts position, leaves velocities alone
+    t = STrack(np.array([10.0, 10.0, 30.0, 50.0]), 0.9, 0)
+    t.activate(KalmanFilterXYAH(), 1)
+    H = np.array([[1.0, 0, 5.0], [0, 1.0, -3.0]])
+    mean_before = t.mean.copy()
+    STrack.multi_gmc([t], H)
+    np.testing.assert_allclose(t.mean[:2], mean_before[:2] + [5.0, -3.0])
+    np.testing.assert_allclose(t.mean[4:6], mean_before[4:6])
+
+    # e2e: textured scene pans right 4px/frame; the object is STATIC in the
+    # world, so its image box moves with the pan — GMC keeps the id stable
+    rng = np.random.default_rng(0)
+    tex = (rng.uniform(0, 255, (200, 400))).astype(np.uint8)
+    trk = BOTSORT(new_track_thresh=0.5, gmc_method="sparseOptFlow", with_reid=False)
+    ids = []
+    for f in range(6):
+        sh = 4 * f
+        frame = np.repeat(tex[:, sh:sh + 160, None], 3, axis=2)
+        x = 60 - sh
+        dets = np.array([[x, 50, x + 30, 110, 0.9, 0.0]], np.float32)
+        out = trk.update(dets, img=frame)
+        if len(out):
+            ids.append(int(out[0, 6]))
+    assert len(ids) >= 5 and len(set(ids)) == 1, f"id churn under camera pan: {ids}"
