@@ -23,7 +23,7 @@ from sar_yolo_tpu.ops.decode import decode_detect
 from sar_yolo_tpu.ops.nms import non_max_suppression
 from sar_yolo_tpu.utils import LOGGER
 
-EXPORT_FORMATS = ("stablehlo", "saved_model", "tflite", "onnx")
+EXPORT_FORMATS = ("stablehlo", "saved_model", "tflite", "onnx", "pb")
 
 
 def export_formats():
@@ -33,6 +33,7 @@ def export_formats():
         {"format": "saved_model", "suffix": "_saved_model", "args": ["keras"]},
         {"format": "tflite", "suffix": ".tflite", "args": ["int8"]},
         {"format": "onnx", "suffix": ".onnx", "args": ["opset"]},  # needs tf2onnx
+        {"format": "pb", "suffix": ".pb", "args": []},  # frozen TF GraphDef
     ]
 
 
@@ -161,6 +162,25 @@ class Exporter:
                 path = out_dir / f"{stem}.tflite"
                 path.write_bytes(tfl)
                 (out_dir / f"{stem}.tflite.json").write_text(json.dumps(sidecar))
+        elif fmt == "pb":
+            # frozen TF GraphDef (reference export_pb, exporter.py:~1040):
+            # constant-folded single-file graph for TF C/C++/Java deploys
+            import tensorflow as tf
+            from jax.experimental import jax2tf
+            from tensorflow.python.framework.convert_to_constants import (
+                convert_variables_to_constants_v2)
+            tf_fn = tf.function(
+                jax2tf.convert(infer, with_gradient=False),
+                input_signature=[tf.TensorSpec(spec_shape, tf.uint8)],
+                autograph=False)
+            frozen = convert_variables_to_constants_v2(
+                tf_fn.get_concrete_function())
+            path = out_dir / f"{stem}.pb"
+            tf.io.write_graph(frozen.graph.as_graph_def(), str(out_dir),
+                              path.name, as_text=False)
+            sidecar["inputs"] = [t.name for t in frozen.inputs]
+            sidecar["outputs"] = [t.name for t in frozen.outputs]
+            (out_dir / f"{stem}.pb.json").write_text(json.dumps(sidecar))
         elif fmt == "onnx":
             # jax2tf graph -> ONNX via tf2onnx (reference export_onnx analog,
             # exporter.py:~470). tf2onnx is not bundled in the zero-egress TPU

@@ -51,6 +51,8 @@ class AutoBackend:
             return "stablehlo"
         if s.endswith(".tflite"):
             return "tflite"
+        if s.endswith(".pb"):
+            return "pb"
         if p.is_dir() and (p / "saved_model.pb").exists():
             return "saved_model"
         from sar_yolo_tpu.utils.checkpoint import is_checkpoint
@@ -62,7 +64,7 @@ class AutoBackend:
     def is_exported_artifact(p) -> bool:
         try:
             k = AutoBackend._detect_kind(Path(p))
-            return k in ("stablehlo", "tflite", "saved_model")
+            return k in ("stablehlo", "tflite", "saved_model", "pb")
         except Exception:
             return False
 
@@ -102,6 +104,23 @@ class AutoBackend:
         module = tf.saved_model.load(str(p))
         fn = module.f if hasattr(module, "f") else module.signatures["serving_default"]
         self._fn = lambda img: np.asarray(fn(np.asarray(img, np.uint8)))
+
+    def _init_pb(self, p):
+        # frozen GraphDef (reference autobackend wrap_frozen_graph path)
+        import tensorflow as tf
+        gd = tf.compat.v1.GraphDef()
+        gd.ParseFromString(p.read_bytes())
+
+        def _imports():
+            tf.compat.v1.import_graph_def(gd, name="")
+
+        wrapped = tf.compat.v1.wrap_function(_imports, [])
+        inputs = self.meta.get("inputs") or ["args_tf_0:0"]
+        outputs = self.meta.get("outputs") or ["Identity:0"]
+        fn = wrapped.prune(
+            tf.nest.map_structure(wrapped.graph.as_graph_element, inputs[0]),
+            tf.nest.map_structure(wrapped.graph.as_graph_element, outputs[0]))
+        self._fn = lambda img: np.asarray(fn(tf.constant(np.asarray(img, np.uint8))))
 
     def _init_tflite(self, p):
         import tensorflow as tf

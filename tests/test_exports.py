@@ -170,3 +170,19 @@ def test_rf100_local_benchmark(tmp_path, monkeypatch):
     RF100Benchmark.fix_yaml(yb)
     import yaml
     assert yaml.safe_load(yb.read_text())["val"] == "valid/images"
+
+
+def test_pb_roundtrip(tmp_path):
+    """Frozen GraphDef export + AutoBackend reload (reference export_pb +
+    autobackend wrap_frozen_graph path)."""
+    import numpy as np
+
+    from sar_yolo_tpu import YOLO
+
+    m = YOLO("tinydet.yaml", task="detect")
+    path = m.export(format="pb", imgsz=64, project=str(tmp_path))
+    assert path.endswith(".pb")
+    m2 = YOLO(path)
+    img = (np.random.default_rng(0).uniform(0, 255, (1, 64, 64, 3))).astype(np.uint8)
+    r = m2.predict(img, imgsz=64, verbose=False)
+    assert r[0].boxes is not None
