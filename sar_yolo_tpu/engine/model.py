@@ -231,6 +231,21 @@ class YOLO:
     def predict(self, source, stream: bool = False, **kwargs):
         return self._get_predictor(kwargs)(source, stream=stream)
 
+    def predict_batched(self, frames, mesh_shape=None, **kwargs) -> "np.ndarray":
+        """High-throughput serving: a uniform-geometry (B, H, W, 3) uint8 BGR
+        batch runs as ONE device dispatch; `mesh_shape=[N]` shards the batch
+        over N devices (single-program multi-chip serving — the TPU-native
+        upgrade over the reference's one-GPU-per-process serving).
+
+        Returns (B, max_det, 6+E) detections in original-image pixels.
+        """
+        mesh = None
+        if mesh_shape:
+            from sar_yolo_tpu.parallel import get_mesh
+            mesh = get_mesh(tuple(mesh_shape), axis_names=("dp",)[:len(mesh_shape)])
+        predictor = self._get_predictor(kwargs)
+        return predictor.predict_batch(frames, mesh=mesh)
+
     def embed(self, source, embed=None, imgsz: int = 640, **kwargs) -> list:
         """Global-avg-pooled feature embeddings per image (reference
         engine/model.py:467: defaults to the second-to-last layer; pass

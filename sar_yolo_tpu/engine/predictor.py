@@ -149,6 +149,69 @@ class BasePredictor:
 
         return run
 
+    def _build_batched(self, B: int, H: int, W: int):
+        """One-dispatch executable for a uniform-geometry uint8 BGR batch —
+        the high-throughput serving path (and the multi-chip one: under a
+        mesh, XLA shards the batch over 'dp' and replicates the weights)."""
+        from sar_yolo_tpu.ops.preprocess import letterbox_device
+        model, meta, args = self.model, self.meta, self.args
+        nc = meta["nc"]
+        conf = args.conf if args.conf is not None else 0.25
+        strides = tuple(meta["strides"])
+        extra_sig = meta.get("state_classes") or 0
+        end2end = meta.get("head") == "v10Detect"
+        imgsz = self.imgsz
+        # static per-geometry scale constants (same math as letterbox_device)
+        r = min(imgsz / H, imgsz / W, 1.0)
+        new_h, new_w = round(H * r), round(W * r)
+        left, top = (imgsz - new_w) // 2, (imgsz - new_h) // 2
+
+        @jax.jit
+        def run(variables, frames_u8):
+            rgb = frames_u8[..., ::-1]
+            x = jax.vmap(lambda im: letterbox_device(im, imgsz, scaleup=False)[0])(rgb)
+            x = x / 255.0
+            feats = model.apply(variables, x, train=False)
+            preds = decode_detect(feats, strides, nc, meta["reg_max"],
+                                  extra_sigmoid=extra_sig)
+            if end2end:
+                from sar_yolo_tpu.ops.nms import postprocess_end2end
+                dets = postprocess_end2end(preds, max_det=args.max_det,
+                                           conf_thres=conf, nc=nc)
+            else:
+                dets = non_max_suppression(preds, conf_thres=conf, iou_thres=args.iou,
+                                           max_det=args.max_det, nc=nc,
+                                           agnostic=args.agnostic_nms)
+            pad = jnp.asarray([left, top], dets.dtype)
+            boxes = (dets[..., :4] - jnp.concatenate([pad, pad])[None, None, :]) / r
+            return jnp.concatenate([boxes, dets[..., 4:]], -1)
+
+        return run
+
+    def predict_batch(self, frames_u8, mesh=None) -> np.ndarray:
+        """Run a (B, H, W, 3) uint8 BGR batch in ONE device dispatch.
+
+        With `mesh` (a 1-axis jax.sharding.Mesh), the batch shards over the
+        devices and the weights replicate — single-program multi-chip serving
+        with zero per-chip code (the reference serves one GPU per process).
+        Returns (B, max_det, 6+E) detections in original-image coordinates.
+        """
+        frames = np.asarray(frames_u8)
+        B, H, W = frames.shape[:3]
+        key = (B, H, W, None if mesh is None else tuple(map(str, mesh.devices.flat)))
+        cached = getattr(self, "_batch_exec", None)
+        if cached is None or cached[0] != key:
+            self._batch_exec = (key, self._build_batched(B, H, W))
+        fn = self._batch_exec[1]
+        variables, batch = self.variables, jnp.asarray(frames)
+        if mesh is not None:
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+            batch = jax.device_put(batch, NamedSharding(mesh, P(mesh.axis_names[0])))
+            variables = jax.tree.map(
+                lambda x: jax.device_put(x, NamedSharding(mesh, P())), variables)
+        return np.asarray(fn(variables, batch))
+
     def postprocess(self, dets, path, orig_img, speed):
         d = np.asarray(dets[0])
         d = d[d[:, 4] > 0]

@@ -93,3 +93,23 @@ def test_dryrun_multichip_2d():
     """The driver's multi-chip gate, in-process on the virtual CPU mesh."""
     import __graft_entry__
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_sharded_batch_serving_matches_single_device():
+    """predict_batched with mesh_shape=[8]: the batch shards over the mesh,
+    weights replicate, and detections match the unsharded dispatch exactly
+    (single-program multi-chip serving — no reference analog)."""
+    import jax
+    import numpy as np
+
+    from sar_yolo_tpu import YOLO
+
+    if len(jax.devices()) < 8:
+        import pytest
+        pytest.skip("needs 8 virtual devices")
+    m = YOLO("tinydet.yaml", task="detect")
+    frames = (np.random.default_rng(0).uniform(0, 255, (8, 96, 128, 3))).astype(np.uint8)
+    out1 = m.predict_batched(frames, imgsz=64, conf=0.01)
+    out8 = m.predict_batched(frames, mesh_shape=[8], imgsz=64, conf=0.01)
+    assert out1.shape == (8, 300, 6)
+    np.testing.assert_allclose(out1, out8, atol=1e-4)
