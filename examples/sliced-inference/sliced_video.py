@@ -38,7 +38,7 @@ def main():
         ok, frame = cap.read()
         if not ok:
             break
-        dets = sliced_predict(model, frame[..., ::-1], tile=args.tile,
+        dets = sliced_predict(model, frame, tile=args.tile,
                               overlap=args.overlap, conf=args.conf)
         print(f"frame {frame_i}: {len(dets)} detections")
         if args.save:

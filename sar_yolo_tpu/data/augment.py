@@ -453,5 +453,11 @@ class Albumentations:
         rng = rng or np.random.default_rng()
         if rng.random() > self.p:
             return item
+        # albumentations draws from python/np global random state — seed both
+        # from the pipeline's threaded rng so runs stay seed-reproducible like
+        # every other augment here
+        import random
+        random.seed(int(rng.integers(0, 2**31)))
+        np.random.seed(int(rng.integers(0, 2**31)))
         item["img"] = self.transform(image=item["img"])["image"]
         return item

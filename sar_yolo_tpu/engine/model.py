@@ -193,6 +193,11 @@ class YOLO:
                     v = jax.tree.map(
                         lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, v)
                 cached[1].variables = v
+            # callbacks registered since the predictor was cached still apply
+            for ev, fns in getattr(self, "_callbacks", {}).items():
+                for fn in fns:
+                    if fn not in cached[1].callbacks.get(ev, []):
+                        cached[1].add_callback(ev, fn)
             return cached[1]
         args = get_cfg(overrides=overrides)
         if self.backend is not None:
@@ -242,7 +247,8 @@ class YOLO:
         mesh = None
         if mesh_shape:
             from sar_yolo_tpu.parallel import get_mesh
-            mesh = get_mesh(tuple(mesh_shape), axis_names=("dp",)[:len(mesh_shape)])
+            names = tuple(f"dp{i}" if i else "dp" for i in range(len(mesh_shape)))
+            mesh = get_mesh(tuple(mesh_shape), axis_names=names)
         predictor = self._get_predictor(kwargs)
         return predictor.predict_batch(frames, mesh=mesh)
 
@@ -333,8 +339,15 @@ class YOLO:
         Model.save, engine/model.py:386 — orbax instead of pickle)."""
         from sar_yolo_tpu.utils.checkpoint import save_checkpoint
         self._ensure_variables()
-        payload = {"params": self.variables["params"], "ema_params": None,
-                   "batch_stats": self.variables.get("batch_stats", {})}
+        # checkpoints always hold the unfused (trainable) form — after .fuse()
+        # the pre-fold weights kept by fuse() are what gets persisted
+        variables = getattr(self, "_unfused_variables", None) \
+            if getattr(self.model, "fused", False) else self.variables
+        if variables is None:
+            raise ValueError("cannot save a fused model without its unfused "
+                             "weights (load a checkpoint or call save() before fuse())")
+        payload = {"params": variables["params"], "ema_params": None,
+                   "batch_stats": variables.get("batch_stats", {})}
         meta = {"model_yaml": self.overrides.get("model", getattr(self, "cfg", "")),
                 "nc": self.meta.get("nc"), "strides": self.meta.get("strides"),
                 "task": self.task, "train_args": dict(self.overrides)}
@@ -376,13 +389,16 @@ class YOLO:
         self._ensure_variables()
         if getattr(self.model, "fused", False):
             return self
+        # keep the trainable form: save()/load() always use unfused weights
+        self._unfused_variables = self.variables
         self.model, self.variables = _fuse(self.model, self.variables)
         self._predictor_cache = None
         return self
 
     def add_callback(self, event: str, func) -> None:
-        """Register a callback forwarded to every trainer/validator/predictor
-        this facade creates (reference Model.add_callback)."""
+        """Register a callback forwarded to every trainer and predictor this
+        facade creates — including already-cached predictors (reference
+        Model.add_callback; our validator has no hook bus by design)."""
         self._callbacks = getattr(self, "_callbacks", {})
         self._callbacks.setdefault(event, []).append(func)
 

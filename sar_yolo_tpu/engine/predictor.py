@@ -108,15 +108,36 @@ class BasePredictor:
         pad = jnp.asarray([dw, dh], x.dtype)
         return x, r, pad
 
-    def _build(self):
+    def _dets_in_orig_coords(self, variables, x, r, pad, use_tta: bool = False):
+        """Shared tail of every serving trace: normalized letterboxed batch ->
+        decode -> (end2end | NMS) -> boxes rescaled to original image space."""
         model, meta, args = self.model, self.meta, self.args
         nc = meta["nc"]
         conf = args.conf if args.conf is not None else 0.25
         strides = tuple(meta["strides"])
-        extra_sig = meta.get("state_classes") or 0
+        if use_tta:
+            from sar_yolo_tpu.ops.tta import forward_tta
+            preds = forward_tta(lambda xi: model.apply(variables, xi, train=False),
+                                x, strides, nc, meta["reg_max"])
+        else:
+            feats = model.apply(variables, x, train=False)
+            preds = decode_detect(feats, strides, nc, meta["reg_max"],
+                                  extra_sigmoid=meta.get("state_classes") or 0)
+        if meta.get("head") == "v10Detect":  # NMS-free serve path
+            from sar_yolo_tpu.ops.nms import postprocess_end2end
+            dets = postprocess_end2end(preds, max_det=args.max_det,
+                                       conf_thres=conf, nc=nc)
+        else:
+            dets = non_max_suppression(preds, conf_thres=conf, iou_thres=args.iou,
+                                       max_det=args.max_det, nc=nc,
+                                       agnostic=args.agnostic_nms)
+        pad = jnp.asarray(pad, dets.dtype)
+        boxes = (dets[..., :4] - jnp.concatenate([pad, pad])[None, None, :]) / r
+        return jnp.concatenate([boxes, dets[..., 4:]], -1)
 
-        end2end = meta.get("head") == "v10Detect"
-        use_tta = bool(getattr(args, "augment", False))
+    def _build(self):
+        meta = self.meta
+        use_tta = bool(getattr(self.args, "augment", False))
         if use_tta and meta.get("head") != "Detect":
             from sar_yolo_tpu.utils import LOGGER
             LOGGER.warning("augment=True is Detect-only (reference nn/tasks.py:360); "
@@ -127,25 +148,7 @@ class BasePredictor:
         def run(variables, frame_u8):
             """frame_u8: raw (H, W, 3) uint8 BGR frame."""
             x, r, pad = self._preprocess_jit(frame_u8)
-            if use_tta:
-                from sar_yolo_tpu.ops.tta import forward_tta
-                preds = forward_tta(lambda xi: model.apply(variables, xi, train=False),
-                                    x, strides, nc, meta["reg_max"])
-            else:
-                feats = model.apply(variables, x, train=False)
-                preds = decode_detect(feats, strides, nc, meta["reg_max"],
-                                      extra_sigmoid=extra_sig)
-            if end2end:  # NMS-free (v10) serve path
-                from sar_yolo_tpu.ops.nms import postprocess_end2end
-                dets = postprocess_end2end(preds, max_det=args.max_det,
-                                           conf_thres=conf, nc=nc)
-            else:
-                dets = non_max_suppression(preds, conf_thres=conf, iou_thres=args.iou,
-                                           max_det=args.max_det, nc=nc,
-                                           agnostic=args.agnostic_nms)
-            # rescale boxes from letterbox space back to original image space
-            boxes = (dets[..., :4] - jnp.concatenate([pad, pad])[None, None, :]) / r
-            return jnp.concatenate([boxes, dets[..., 4:]], -1)
+            return self._dets_in_orig_coords(variables, x, r, pad, use_tta)
 
         return run
 
@@ -154,12 +157,6 @@ class BasePredictor:
         the high-throughput serving path (and the multi-chip one: under a
         mesh, XLA shards the batch over 'dp' and replicates the weights)."""
         from sar_yolo_tpu.ops.preprocess import letterbox_device
-        model, meta, args = self.model, self.meta, self.args
-        nc = meta["nc"]
-        conf = args.conf if args.conf is not None else 0.25
-        strides = tuple(meta["strides"])
-        extra_sig = meta.get("state_classes") or 0
-        end2end = meta.get("head") == "v10Detect"
         imgsz = self.imgsz
         # static per-geometry scale constants (same math as letterbox_device)
         r = min(imgsz / H, imgsz / W, 1.0)
@@ -170,21 +167,7 @@ class BasePredictor:
         def run(variables, frames_u8):
             rgb = frames_u8[..., ::-1]
             x = jax.vmap(lambda im: letterbox_device(im, imgsz, scaleup=False)[0])(rgb)
-            x = x / 255.0
-            feats = model.apply(variables, x, train=False)
-            preds = decode_detect(feats, strides, nc, meta["reg_max"],
-                                  extra_sigmoid=extra_sig)
-            if end2end:
-                from sar_yolo_tpu.ops.nms import postprocess_end2end
-                dets = postprocess_end2end(preds, max_det=args.max_det,
-                                           conf_thres=conf, nc=nc)
-            else:
-                dets = non_max_suppression(preds, conf_thres=conf, iou_thres=args.iou,
-                                           max_det=args.max_det, nc=nc,
-                                           agnostic=args.agnostic_nms)
-            pad = jnp.asarray([left, top], dets.dtype)
-            boxes = (dets[..., :4] - jnp.concatenate([pad, pad])[None, None, :]) / r
-            return jnp.concatenate([boxes, dets[..., 4:]], -1)
+            return self._dets_in_orig_coords(variables, x / 255.0, r, [left, top])
 
         return run
 
@@ -201,15 +184,20 @@ class BasePredictor:
         key = (B, H, W, None if mesh is None else tuple(map(str, mesh.devices.flat)))
         cached = getattr(self, "_batch_exec", None)
         if cached is None or cached[0] != key:
-            self._batch_exec = (key, self._build_batched(B, H, W))
+            self._batch_exec = [key, self._build_batched(B, H, W), None, None]
         fn = self._batch_exec[1]
         variables, batch = self.variables, jnp.asarray(frames)
         if mesh is not None:
             from jax.sharding import NamedSharding
             from jax.sharding import PartitionSpec as P
             batch = jax.device_put(batch, NamedSharding(mesh, P(mesh.axis_names[0])))
-            variables = jax.tree.map(
-                lambda x: jax.device_put(x, NamedSharding(mesh, P())), variables)
+            # replicate the weight tree to the mesh ONCE, not per request
+            if self._batch_exec[2] is not self.variables:
+                self._batch_exec[3] = jax.tree.map(
+                    lambda x: jax.device_put(x, NamedSharding(mesh, P())),
+                    self.variables)
+                self._batch_exec[2] = self.variables
+            variables = self._batch_exec[3]
         return np.asarray(fn(variables, batch))
 
     def postprocess(self, dets, path, orig_img, speed):

@@ -98,12 +98,12 @@ class YOLOWorld(YOLO):
 
         self._ensure_variables()
         old_params = self.variables["params"]
-        # graph-level text param (GraphModel._walk); older checkpoints kept it
-        # on the head — fall back for those
-        head_key = f"blocks_{self.meta['head_index']}"
-        top_level = "text_embeddings" in old_params
-        owner = old_params if top_level else old_params[head_key]
-        embed_dim = int(owner["text_embeddings"].shape[-1])
+        if "text_embeddings" not in old_params:
+            raise ValueError(
+                "this checkpoint predates the graph-level text param (it kept "
+                "text_embeddings on the head) and cannot run with the current "
+                "world graph — re-train or re-convert the weights")
+        embed_dim = int(old_params["text_embeddings"].shape[-1])
         if isinstance(embeddings, (str, bytes)) or hasattr(embeddings, "read"):
             ref_names, emb = load_text_embeddings(embeddings)
             if [str(n) for n in names] != ref_names:
@@ -135,13 +135,10 @@ class YOLOWorld(YOLO):
         # shape and the logits channel count follows the text row count.
         if len(names) != self.meta["nc"]:
             self.meta = {**self.meta, "nc": len(names)}
-            if top_level:  # re-declare the text rows without touching conv shapes
-                self.model = self.model.clone(txt_nc=len(names))
+            # re-declare the text rows without touching conv shapes
+            self.model = self.model.clone(txt_nc=len(names))
         params = flax.core.unfreeze(self.variables["params"])
-        if top_level or "text_embeddings" in params:
-            params["text_embeddings"] = jnp.asarray(emb)
-        else:
-            params[head_key]["text_embeddings"] = jnp.asarray(emb)
+        params["text_embeddings"] = jnp.asarray(emb)
         self.variables = {**self.variables, "params": params}
         self.meta["names"] = dict(enumerate(str(n) for n in names))
         self._predictor_cache = None  # vocabulary changed: invalidate executables

@@ -99,10 +99,23 @@ def sliced_predict(model, img: np.ndarray, tile: int = 512, overlap: float = 0.2
 
     Returns (N, 6+) float32 [x1 y1 x2 y2 conf cls ...] in full-image pixels.
     """
+    smax = int(max(getattr(model, "meta", {}).get("strides") or [32]))
+    if tile % smax:  # imgsz must be stride-aligned (≙ reference check_imgsz)
+        new_tile = int(np.ceil(tile / smax) * smax)
+        from sar_yolo_tpu.utils import LOGGER
+        LOGGER.warning(f"sliced_predict: tile {tile} rounded up to {new_tile} "
+                       f"(must be a multiple of the model's max stride {smax})")
+        tile = new_tile
     img = np.asarray(img)
+    if img.dtype != np.uint8:
+        img = (img.clip(0, 1) * 255).astype(np.uint8) if img.max() <= 1.0 \
+            else img.clip(0, 255).astype(np.uint8)
     h, w = img.shape[:2]
     offsets = tile_grid(h, w, tile, overlap)
-    tiles = np.stack([_pad_crop(img, oy, ox, tile) for oy, ox in offsets])
+    # img follows model.predict's 3D-numpy convention (BGR); the stacked 4D
+    # batch routes through LoadTensor which expects RGB — flip once here so
+    # both entry points mean the same thing by "frame"
+    tiles = np.stack([_pad_crop(img, oy, ox, tile) for oy, ox in offsets])[..., ::-1]
     results = model.predict(tiles, imgsz=tile, conf=conf, iou=iou,
                             max_det=max_det, verbose=False, **predict_kwargs)
     per_tile = [np.asarray(r.boxes.data) if r.boxes is not None else
