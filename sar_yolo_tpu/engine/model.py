@@ -408,11 +408,32 @@ class YOLO:
     def reset_callbacks(self) -> None:
         self._callbacks = {}
 
-    def info(self, verbose=True):
+    def info(self, detailed: bool = False, verbose: bool = True, imgsz: int = 640):
+        """Model summary; `detailed=True` adds a per-layer table (reference
+        Model.info / model_info: layer index, module, params, output shape) —
+        computed with jax.eval_shape, so zero FLOPs and no device use."""
         import numpy as np
-        self._ensure_variables()
+        self._ensure_variables(imgsz)
         n = int(sum(np.prod(p.shape) for p in jax.tree.leaves(self.variables["params"])))
         s = f"{type(self).__name__} task={self.task} params={n:,} strides={self.meta.get('strides')}"
+        if detailed and self.model is not None:
+            x = jax.ShapeDtypeStruct((1, imgsz, imgsz, 3), jnp.float32)
+            _, mods = jax.eval_shape(
+                lambda v, xi: self.model.apply(
+                    v, xi, train=False,
+                    capture_intermediates=lambda mdl, name: name == "__call__"),
+                self.variables, x)
+            inter = mods["intermediates"]
+            lines = [f"{'idx':>4} {'module':<20} {'params':>12}  output"]
+            for spec in self.model.specs:
+                p = self.variables["params"].get(f"blocks_{spec.i}", {})
+                np_i = int(sum(np.prod(q.shape) for q in jax.tree.leaves(p)))
+                out = inter.get(f"blocks_{spec.i}", {}).get("__call__", (None,))[0]
+                shape = tuple(out.shape) if hasattr(out, "shape") else \
+                    [tuple(o.shape) for o in out] if isinstance(out, (list, tuple)) \
+                    and out and hasattr(out[0], "shape") else "-"
+                lines.append(f"{spec.i:>4} {spec.name:<20} {np_i:>12,}  {shape}")
+            s = s + "\n" + "\n".join(lines)
         if verbose:
             LOGGER.info(s)
         return s

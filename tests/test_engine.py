@@ -411,3 +411,15 @@ def test_gmc_camera_motion_compensation():
         if len(out):
             ids.append(int(out[0, 6]))
     assert len(ids) >= 5 and len(set(ids)) == 1, f"id churn under camera pan: {ids}"
+
+
+def test_info_detailed_per_layer_table():
+    """info(detailed=True) (reference Model.info/model_info): per-layer
+    params + output shapes via eval_shape (no compute)."""
+    from sar_yolo_tpu import YOLO
+
+    m = YOLO("tinydet.yaml", task="detect")
+    s = m.info(detailed=True, verbose=False, imgsz=64)
+    assert "params=1,212,121" in s.splitlines()[0]
+    assert any(line.strip().startswith("0 Conv") for line in s.splitlines())
+    assert "(1, 32, 32, 16)" in s  # stride-2 stem output at 64px
