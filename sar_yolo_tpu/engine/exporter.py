@@ -113,7 +113,9 @@ class Exporter:
         out_dir.mkdir(parents=True, exist_ok=True)
         stem = Path(str(self.args.model or "model")).stem
         infer = self._build_infer_fn(model, variables, meta, with_nms=self.args.nms)
+        dynamic = bool(getattr(self.args, "dynamic", False))
         spec_shape = (batch or 1, imgsz, imgsz, 3)
+        dyn_shape = (None, imgsz, imgsz, 3)  # batch-polymorphic serving shape
         t0 = time.time()
 
         # metadata sidecar: the analog of the reference's embedded metadata.yaml
@@ -127,17 +129,29 @@ class Exporter:
         }
 
         if fmt == "stablehlo":
-            exported = jax.export.export(jax.jit(infer))(
-                jax.ShapeDtypeStruct(spec_shape, jnp.uint8))
+            if dynamic:
+                # batch-polymorphic artifact: one export serves any batch size
+                # (reference dynamic=True ONNX/TF exports)
+                b = jax.export.symbolic_shape("b")[0]
+                in_spec = jax.ShapeDtypeStruct((b, imgsz, imgsz, 3), jnp.uint8)
+                sidecar["input_shape"] = [None, imgsz, imgsz, 3]
+            else:
+                in_spec = jax.ShapeDtypeStruct(spec_shape, jnp.uint8)
+            exported = jax.export.export(jax.jit(infer))(in_spec)
             path = out_dir / f"{stem}.stablehlo"
             path.write_bytes(exported.serialize())
             (out_dir / f"{stem}.stablehlo.json").write_text(json.dumps(sidecar))
         elif fmt in {"saved_model", "tflite"}:
             import tensorflow as tf
             from jax.experimental import jax2tf
+            poly = [f"(b, {imgsz}, {imgsz}, 3)"] if dynamic else None
+            if dynamic:
+                sidecar["input_shape"] = [None, imgsz, imgsz, 3]
             tf_fn = tf.function(
-                jax2tf.convert(infer, with_gradient=False),
-                input_signature=[tf.TensorSpec(spec_shape, tf.uint8)],
+                jax2tf.convert(infer, with_gradient=False,
+                               polymorphic_shapes=poly),
+                input_signature=[tf.TensorSpec(dyn_shape if dynamic else spec_shape,
+                                               tf.uint8)],
                 autograph=False)
             module = tf.Module()
             module.f = tf_fn

@@ -186,3 +186,19 @@ def test_pb_roundtrip(tmp_path):
     img = (np.random.default_rng(0).uniform(0, 255, (1, 64, 64, 3))).astype(np.uint8)
     r = m2.predict(img, imgsz=64, verbose=False)
     assert r[0].boxes is not None
+
+
+def test_dynamic_batch_export(tmp_path):
+    """dynamic=True: batch-polymorphic stablehlo + saved_model artifacts serve
+    any batch size from one export (reference dynamic export arg)."""
+    import jax
+    import numpy as np
+
+    from sar_yolo_tpu import YOLO
+
+    m = YOLO("tinydet.yaml", task="detect")
+    p = m.export(format="stablehlo", imgsz=64, dynamic=True, project=str(tmp_path))
+    exported = jax.export.deserialize(open(p, "rb").read())
+    for B in (1, 3):
+        out = exported.call(np.zeros((B, 64, 64, 3), np.uint8))
+        assert out.shape[0] == B
