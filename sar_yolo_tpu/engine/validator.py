@@ -81,6 +81,23 @@ class BaseValidator:
             return (dets, protos) if protos is not None else dets
 
         bs = min(args.batch, len(dataset))
+        # multi-chip eval: shard each val batch over a dp mesh — the jitted
+        # program is unchanged, XLA partitions it from the input shardings
+        # (no reference analog; its DDP does not cover validation)
+        mesh = None
+        if getattr(args, "mesh_shape", None):
+            import jax as _jax
+            dp = int(np.prod(args.mesh_shape))
+            if dp > 1 and len(_jax.devices()) >= dp and bs % dp == 0:
+                from sar_yolo_tpu.parallel import get_mesh
+                mesh = get_mesh((dp,), axis_names=("dp",))
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                variables = _jax.tree.map(
+                    lambda x: _jax.device_put(x, NamedSharding(mesh, P())), variables)
+            elif dp > 1:
+                LOGGER.warning(f"val: mesh_shape={args.mesh_shape} needs {dp} devices "
+                               f"and batch divisible by {dp} (batch={bs}); "
+                               "running single-device")
         if getattr(args, "rect", False) and getattr(dataset, "shapes", None) is not None:
             # rectangular eval: aspect-sorted batches with bucketed shapes, so
             # executables stay bounded (reference BaseDataset.set_rectangle)
@@ -96,6 +113,10 @@ class BaseValidator:
         for batch in loader:
             npad = int(batch.pop("_pad", 0))
             img = jnp.asarray(batch["img"])
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                img = jax.device_put(img, NamedSharding(
+                    mesh, P("dp", *([None] * (img.ndim - 1)))))
             out = predict(variables, img)
             if isinstance(out, tuple):
                 dets, self._protos = np.asarray(out[0]), np.asarray(out[1])

@@ -113,3 +113,26 @@ def test_sharded_batch_serving_matches_single_device():
     out8 = m.predict_batched(frames, mesh_shape=[8], imgsz=64, conf=0.01)
     assert out1.shape == (8, 300, 6)
     np.testing.assert_allclose(out1, out8, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_sharded_val_matches_single_device(tmp_path):
+    """val(mesh_shape=[8]): batches shard over the mesh, metrics match the
+    single-device run exactly."""
+    import jax
+    import numpy as np
+
+    from sar_yolo_tpu import YOLO
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    m = YOLO("tinydet.yaml")
+    m.train(data="synthetic", epochs=2, imgsz=64, batch=8, workers=1,
+            project=str(tmp_path), name="t", exist_ok=True, val=False,
+            plots=False, mesh_shape=[1])
+    kw = dict(data="synthetic", imgsz=64, batch=8, workers=1, verbose=False,
+              plots=False, save_json=False, project=str(tmp_path))
+    r1 = m.val(**kw)
+    r8 = m.val(**kw, mesh_shape=[8])
+    for k in ("metrics/mAP50(B)", "metrics/mAP50-95(B)", "metrics/precision(B)"):
+        assert np.isclose(r1[k], r8[k], atol=1e-9), (k, r1[k], r8[k])
