@@ -314,7 +314,10 @@ class BaseTrainer(HasCallbacks):
                 self.model, self.meta = build_model(args.model, nc=nc, dtype=jnp.float32)
                 variables = init_model(self.model, self.meta, rng, imgsz=args.imgsz)
 
-        self.mesh = get_mesh(args.mesh_shape)
+        # 1-D [dp] or 2-D [dp, tp] mesh (tp = FSDP-style conv output-channel
+        # sharding, same layout dryrun_multichip validates)
+        ms = tuple(args.mesh_shape) if args.mesh_shape else None
+        self.mesh = get_mesh(ms, axis_names=("dp", "tp")[:len(ms)] if ms else ("dp",))
         if args.batch == -1:  # autobatch (reference utils/autobatch.py)
             import numpy as _np
             from sar_yolo_tpu.utils.autobatch import check_train_batch_size
@@ -338,7 +341,22 @@ class BaseTrainer(HasCallbacks):
         )
         if args.resume:
             state = self._resume(state)
-        self.state = replicate(self.mesh, state)
+        tp = dict(zip(self.mesh.axis_names, self.mesh.devices.shape)).get("tp", 1)
+        if tp > 1:
+            # shard conv kernels' output-channel dim over tp; XLA inserts the
+            # all-gathers/reduce-scatters (ZeRO-3/FSDP-style, ≙ dryrun_multichip)
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+
+            def _put(x):
+                if getattr(x, "ndim", 0) == 4 and x.shape[-1] % tp == 0:
+                    return jax.device_put(x, NamedSharding(self.mesh,
+                                                           P(None, None, None, "tp")))
+                return jax.device_put(x, NamedSharding(self.mesh, P()))
+
+            self.state = jax.tree.map(_put, state)
+        else:
+            self.state = replicate(self.mesh, state)
 
         loss_impl = self.make_loss_fn()
         model = self.model

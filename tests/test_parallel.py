@@ -136,3 +136,20 @@ def test_sharded_val_matches_single_device(tmp_path):
     r8 = m.val(**kw, mesh_shape=[8])
     for k in ("metrics/mAP50(B)", "metrics/mAP50-95(B)", "metrics/precision(B)"):
         assert np.isclose(r1[k], r8[k], atol=1e-9), (k, r1[k], r8[k])
+
+
+@pytest.mark.slow
+def test_train_2d_mesh_dp_tp(tmp_path):
+    """train(mesh_shape=[4, 2]): dp batch sharding x tp conv-kernel sharding
+    through the full facade (previously only dryrun_multichip exercised 2-D)."""
+    import jax
+
+    from sar_yolo_tpu import YOLO
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    m = YOLO("tinydet.yaml")
+    metrics = m.train(data="synthetic", epochs=1, imgsz=32, batch=8, workers=1,
+                      val=False, save=False, plots=False, project=str(tmp_path),
+                      mesh_shape=[4, 2])
+    assert np.isfinite(metrics["train/cls"])
