@@ -33,7 +33,8 @@ def offline_text_embeddings(names, dim: int = 512) -> np.ndarray:
 
 
 def clip_text_embeddings(names, model_id: str = "openai/clip-vit-base-patch32",
-                         template: str = "a photo of a {}") -> np.ndarray:
+                         template: str = "a photo of a {}",
+                         local_only: bool = True) -> np.ndarray:
     """Real CLIP text embeddings via HuggingFace transformers (the reference
     encodes `set_classes` prompts with CLIP, nn/tasks.py:629-635).
 
@@ -50,8 +51,9 @@ def clip_text_embeddings(names, model_id: str = "openai/clip-vit-base-patch32",
             "clip_text_embeddings requires `transformers` + `torch`; "
             "use offline_text_embeddings or a precomputed .npz instead.") from e
     try:
-        tok = CLIPTokenizer.from_pretrained(model_id, local_files_only=True)
-        enc = CLIPTextModelWithProjection.from_pretrained(model_id, local_files_only=True)
+        tok = CLIPTokenizer.from_pretrained(model_id, local_files_only=local_only)
+        enc = CLIPTextModelWithProjection.from_pretrained(model_id,
+                                                          local_files_only=local_only)
     except Exception as e:
         raise RuntimeError(
             f"CLIP weights for '{model_id}' are not available locally (this "
@@ -73,8 +75,10 @@ def load_text_embeddings(path) -> tuple[list, np.ndarray]:
 
 
 def save_text_embeddings(path, names, model_id: str = "openai/clip-vit-base-patch32"):
-    """Precompute + save CLIP text embeddings for offline use on the TPU host."""
-    emb = clip_text_embeddings(names, model_id=model_id)
+    """Precompute + save CLIP text embeddings for offline use on the TPU host.
+
+    Runs on a CONNECTED machine: downloads the CLIP weights when absent."""
+    emb = clip_text_embeddings(names, model_id=model_id, local_only=False)
     np.savez(path, names=np.asarray([str(n) for n in names]), embeddings=emb)
     return path
 
