@@ -179,6 +179,10 @@ class BasePredictor:
         with zero per-chip code (the reference serves one GPU per process).
         Returns (B, max_det, 6+E) detections in original-image coordinates.
         """
+        head = self.meta.get("head")
+        if head not in ("Detect", "JDE", "v10Detect"):
+            raise ValueError(f"predict_batch supports box-detection heads only "
+                             f"(got {head}); use predict() for {head} outputs")
         frames = np.asarray(frames_u8)
         B, H, W = frames.shape[:3]
         key = (B, H, W, None if mesh is None else tuple(map(str, mesh.devices.flat)))
