@@ -121,3 +121,10 @@ def convert_dota_to_yolo_obb(dota_root, version: str = "1.0"):
             n += 1
     LOGGER.info(f"convert_dota_to_yolo_obb: wrote {n} label files under {root / 'labels'}")
     return root
+
+
+def coco80_to_coco91_class() -> list:
+    """Contiguous 80-class index -> paper 91-index category id (reference
+    data/converter.py:122): the i-th entry is the COCO json category_id of
+    model class i."""
+    return sorted(COCO80_MAP)

@@ -61,10 +61,16 @@ def check_det_dataset(data) -> dict:
     root = Path(d.get("path", Path(data).parent if isinstance(data, (str, Path)) else "."))
     if not root.is_absolute() and isinstance(data, (str, Path)):
         root = (Path(data).parent / root).resolve()
+    def _resolve(v):
+        p = Path(v)
+        return str(p if p.is_absolute() else root / p)
+
     for split in ("train", "val", "test"):
         if d.get(split):
-            p = Path(d[split])
-            d[split] = str(p if p.is_absolute() else root / p)
+            # VOC/GlobalWheat-style yamls list several dirs per split
+            # (reference check_det_dataset handles both forms)
+            d[split] = [_resolve(v) for v in d[split]] \
+                if isinstance(d[split], (list, tuple)) else _resolve(d[split])
     names = d.get("names", {})
     if isinstance(names, list):
         names = dict(enumerate(names))
@@ -104,12 +110,16 @@ class YOLODataset:
         # optional pixel-level albumentations (no-op unless the lib is present)
         self.albumentations = Albumentations(p=1.0) if self.augment else None
         self.im_files = self._scan_images(img_path)
-        if fraction < 1.0:
+        self.fraction = fraction
+        if fraction < 1.0 and self.im_files:
             self.im_files = self.im_files[: max(1, int(len(self.im_files) * fraction))]
         self.label_files = img2label_paths(self.im_files)
         self.shapes = None  # (n, 2) h,w per image; populated by the verify cache
         self._load_or_build_cache()
-        self.seed = 0
+        # per-sample augmentation RNG key base: the training seed flows in from
+        # hyp (trainer args) so different seeds draw different augmentations
+        # (≙ reference seed_worker, data/build.py:38)
+        self.seed = int(getattr(hyp, "seed", 0) or 0) if hyp is not None else 0
         self.epoch = 0  # set by DataLoader.set_epoch; keys per-sample RNG
         self.rng = np.random.default_rng(0)  # legacy; __getitem__ uses _item_rng
         # image cache: 'ram' / True keeps decoded arrays in memory; 'disk' saves
@@ -372,11 +382,12 @@ class YOLODataset:
             item = self._load_item(i)
             shape = self.batch_shapes[self.batch_index[i]] if self.rect else self.imgsz
             img, r, (padx, pady) = letterbox(item["img"], shape, scaleup=self.scaleup)
-            if not self.augment:
+            if not self.augment and not self.device_augment:
                 # original-image mapping for COCO-comparable predictions.json
                 # (reference detect/val.py pred_to_json + scale_boxes): total
                 # resize ratio and letterbox pad back to native pixels — val
-                # batches only (train batches go to device, strings can't)
+                # batches ONLY. device_augment train batches must stay numeric
+                # end to end (im_file strings can't cross device_put)
                 item["ratio_pad"] = np.array([item["r0"] * r, padx, pady], np.float32)
             if len(item["bboxes"]):
                 item["bboxes"] = item["bboxes"] * r
@@ -518,6 +529,12 @@ class GroundingDataset(YOLODataset):
         if not self.im_files:
             raise FileNotFoundError(f"no images from {self.json_file} exist under "
                                     f"{self._img_root}")
+        if getattr(self, "fraction", 1.0) < 1.0:
+            # the base-class slice ran before the json populated im_files —
+            # apply it here so fraction subsampling actually works
+            k = max(1, int(len(self.im_files) * self.fraction))
+            self.im_files, self.label_files = self.im_files[:k], self.label_files[:k]
+            self.labels, shapes = self.labels[:k], shapes[:k]
         self.shapes = np.array(shapes, np.int64)
 
 

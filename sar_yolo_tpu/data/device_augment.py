@@ -32,6 +32,11 @@ Semantics deviations from the reference host path (documented, statistical):
     the trainer falls back to the host pipeline when any is nonzero.
   * HSV jitter runs in float RGB<->HSV (cv2 uses uint8 LUTs) — differences are
     sub-LSB rounding.
+  * Mosaic quadrant seams: an output pixel whose sample position straddles the
+    seam blends the in-tile tap with gray 114 (the neighbor tile's tap is
+    masked out), where cv2 warps the composited canvas and blends the two
+    tiles. Effect: a <=1px 50%-gray-tinted band along each seam — statistical
+    noise at training scale, but a known visual difference.
 """
 
 from __future__ import annotations

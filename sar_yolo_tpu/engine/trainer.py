@@ -182,8 +182,9 @@ class BaseTrainer(HasCallbacks):
                                      task=self.task, kpt_shape=kpt_shape)
             # synthetic data trains un-augmented by default (overfit proofs);
             # opt in to the device pipeline explicitly
-            train.device_augment = self.args.device_augment is True and \
-                self._device_augment_enabled()
+            train.device_augment = \
+                getattr(self.args, "device_augment", None) in (True, "True", "on", 1) \
+                and self._device_augment_enabled()
             val = SyntheticDataset(n=16, imgsz=self.args.imgsz, nc=nc,
                                    max_labels=self.args.max_labels, use_tags=use_tags, seed=1,
                                    task=self.task, kpt_shape=kpt_shape)

@@ -108,6 +108,17 @@ class BaseValidator:
         self.init_metrics()
         self.jdict = []   # COCO-style prediction rows when save_json
         self.gt_anns = [] # COCO-style GT rows (for the no-pycocotools CocoEval)
+        # real COCO: category ids are the paper's 1-based 91-index scheme
+        # (reference pred_to_json applies coco80_to_coco91_class) — applied to
+        # predictions AND the internal GT rows so both stay consistent
+        from pathlib import Path as _P
+        is_coco = meta["nc"] == 80 and "coco" in _P(str(args.data or "")).stem.lower()
+        if is_coco:
+            from sar_yolo_tpu.data.converter import coco80_to_coco91_class
+            cat_map = coco80_to_coco91_class()
+            self._cat_id = lambda c: int(cat_map[int(c)])
+        else:
+            self._cat_id = int
         n_img = 0
         t0 = time.time()
         for batch in loader:
@@ -154,7 +165,7 @@ class BaseValidator:
                     for row in d[d[:, 4] > 0]:
                         self.jdict.append({
                             "image_id": image_id,
-                            "category_id": int(row[5]),
+                            "category_id": self._cat_id(row[5]),
                             "bbox": to_native(*(float(v) for v in row[:4])),
                             "score": round(float(row[4]), 5),
                         })
@@ -164,7 +175,7 @@ class BaseValidator:
                     for (cx, cy, bw, bh), c in zip(gb, gc):
                         self.gt_anns.append({
                             "image_id": image_id,
-                            "category_id": int(c),
+                            "category_id": self._cat_id(c),
                             "bbox": to_native(cx - bw / 2, cy - bh / 2,
                                               cx + bw / 2, cy + bh / 2),
                         })

@@ -270,3 +270,16 @@ def test_albumentations_noop_without_lib():
         assert out["img"].shape == img.shape  # lib present: still shape-stable
     except ImportError:
         assert out["img"] is img  # absent: exact no-op
+
+
+def test_train_on_disk_dataset_device_augment(tmp_path):
+    """device_augment=True on a REAL disk dataset: train batches must stay
+    numeric end to end (regression: im_file/ratio_pad strings leaked into
+    train batches and crashed shard_batch's device_put)."""
+    yaml_path = make_dataset(tmp_path / "dsda")
+    m = YOLO("tinydet.yaml")
+    metrics = m.train(data=str(yaml_path), epochs=1, imgsz=64, batch=4, workers=1,
+                      project=str(tmp_path), name="da", exist_ok=True, max_labels=16,
+                      mesh_shape=[1], plots=False, val=False,
+                      device_augment=True, copy_paste=0.0)
+    assert np.isfinite(metrics["train/box"])
