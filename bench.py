@@ -44,10 +44,12 @@ def bench_train(model_yaml: str, task: str, B: int, imgsz: int = 640,
     cls = JDETrainer if task == "jde" else DetectionTrainer
     # copy_paste=0 keeps the hyp set device-expressible (trainer falls back to
     # host cv2 augmentation otherwise — see _device_augment_enabled)
+    # nbs=B -> accumulate=1: every timed step applies the optimizer, so the
+    # number is comparable across models regardless of their bench batch size
     tr = cls(overrides=dict(model=model_yaml, data="synthetic", imgsz=imgsz,
                             batch=B, epochs=2, workers=1, val=False, save=False,
                             plots=False, device_augment=True, max_labels=64,
-                            copy_paste=0.0, mesh_shape=[1]))
+                            copy_paste=0.0, mesh_shape=[1], nbs=B))
     tr._setup_train()
     batch = next(iter(tr.train_loader))
     batch = shard_batch(tr.mesh, batch)  # device-resident raw uint8 tiles

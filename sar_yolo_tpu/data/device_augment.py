@@ -62,13 +62,21 @@ class AugParams(NamedTuple):
     mix_r: jnp.ndarray      # beta(32,32) blend ratio
 
 
-def draw_params(key: jax.Array, B: int, S: int, hyp: dict, mosaic: bool) -> AugParams:
+def draw_params(key: jax.Array, B: int, S: int, hyp: dict, mosaic: bool,
+                partner_span: int | None = None) -> AugParams:
     """Draw all augmentation randomness for a batch.
 
     hyp keys used: scale, translate, fliplr, flipud, hsv_h, hsv_s, hsv_v, mixup.
+    partner_span: restrict mosaic partners to contiguous index groups of this
+    size (= the per-device sub-batch under dp sharding, so the partner gather
+    never forces a cross-shard all-gather of the image batch); identical
+    statistics when span == B.
     """
     ks = jax.random.split(key, 8)
-    sel = jax.random.randint(ks[0], (B, 3), 0, B)
+    span = int(partner_span or B)
+    base = (jnp.arange(B)[:, None] // span) * span
+    sel = base + (jnp.arange(B)[:, None] - base
+                  + jax.random.randint(ks[0], (B, 3), 0, span)) % span
     if mosaic:
         # reference Mosaic: center ~ U(S/2, 3S/2) in the 2S canvas (augment.py:560)
         c = jax.random.uniform(ks[1], (B, 2), minval=0.5 * S, maxval=1.5 * S)
@@ -134,19 +142,26 @@ def _hsv_jitter(x: jnp.ndarray, gains: jnp.ndarray) -> jnp.ndarray:
 
 def device_train_augment(batch: dict, key: jax.Array, hyp: dict, *,
                          mosaic: bool = True, max_labels: int | None = None,
+                         partner_span: int | None = None,
                          dtype=jnp.float32) -> dict:
     """Fused on-device train augmentation. Call INSIDE the jitted train step.
 
     batch: img (B,S,S,3) uint8 letterboxed raw tiles; cls (B,M); bboxes (B,M,4)
     normalized xywh; mask (B,M); optional tags (B,M), keypoints (B,M,K,kd).
     Returns the same structure with img replaced by normalized float [0,1]
-    (dtype) and labels transformed; label count stays M (static shapes).
+    (dtype) and labels transformed; label count stays M (static shapes) —
+    when a crowded mosaic yields more than M surviving labels, a RANDOM
+    M-subset is kept (a stable cut would systematically drop partner-tile
+    objects). partner_span: see draw_params (dp-local mosaic partners).
     """
     img = batch["img"]
     B, S = img.shape[0], img.shape[1]
     M = batch["bboxes"].shape[1]
     Mout = max_labels or M
-    p = draw_params(key, B, S, hyp, mosaic)
+    # fold_in (not split) so draw_params sees the caller's key unchanged —
+    # tests recompute the draws via draw_params(key)
+    kshuf = jax.random.fold_in(key, 0x5151)
+    p = draw_params(key, B, S, hyp, mosaic, partner_span=partner_span)
     n_tiles = 4 if mosaic else 1
 
     # --- gather source tiles + labels -----------------------------------
@@ -254,13 +269,26 @@ def device_train_augment(batch: dict, key: jax.Array, hyp: dict, *,
     # --- mixup (reference MixUp:879): blend with the batch-rolled partner -
     if mosaic and float(hyp.get("mixup", 0.0)) > 0:
         r = jnp.where(p.mix, p.mix_r, 1.0).astype(dtype)[:, None, None, None]
-        out = out * r + jnp.roll(out, 1, axis=0) * (1.0 - r)
-        rolled = {k2: jnp.roll(v, 1, axis=0) for k2, v in pool.items()}
+        # span-local roll: under dp sharding a global roll would shift one
+        # sample across every shard boundary each step
+        span = int(partner_span or B)
+        i = jnp.arange(B)
+        ridx = (i // span) * span + (i + 1) % span
+        out = out * r + out[ridx] * (1.0 - r)
+        rolled = {k2: v[ridx] for k2, v in pool.items()}
         rolled["mask"] = rolled["mask"] * p.mix[:, None]
         pool = {k2: jnp.concatenate([pool[k2], rolled[k2]], 1) for k2 in pool}
 
     # --- compress valid labels to the first Mout slots -------------------
+    # shuffle slots first: when >Mout labels can survive, the cut keeps a
+    # RANDOM subset instead of always favoring tile-0 (the sample's own)
+    # labels; skipped when no truncation is possible (slot order preserved)
     P = pool["mask"].shape[1]
+    if P > Mout:
+        shuf = jnp.argsort(jax.random.uniform(kshuf, (B, P)), axis=1)
+        pool = {k2: jnp.take_along_axis(
+            v, shuf.reshape(B, -1, *([1] * (v.ndim - 2))), axis=1)
+            for k2, v in pool.items()}
     order = jnp.argsort(pool["mask"] <= 0, axis=1, stable=True)[:, :min(Mout, P)]
     comp = {k2: jnp.take_along_axis(
         v, order.reshape(B, -1, *([1] * (v.ndim - 2))), axis=1) for k2, v in pool.items()}

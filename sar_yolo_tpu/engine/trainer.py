@@ -72,6 +72,15 @@ def build_lr_schedule(args, nb: int, lr0: float, warm_start: float = 0.0):
     return schedule
 
 
+def _explicit_on(v) -> bool:
+    """True only for an explicit opt-in spelling (auto/None are NOT on)."""
+    return v in (True, "True", "true", "on", 1)
+
+
+def _explicit_off(v) -> bool:
+    return v in (False, "False", "false", "off", 0)
+
+
 def _group_labels(params):
     """3-param-group split matching reference build_optimizer (trainer.py:784):
     pg0 = kernels (weight decay), pg1 = norm scales/other (no decay),
@@ -99,10 +108,15 @@ def build_optimizer(args, nb: int, nc: int, params):
         name, lr0, momentum = ("SGD", 0.01, 0.9) if iterations > 10000 else ("AdamW", lr_fit, 0.9)
     accumulate = max(round(args.nbs / args.batch), 1)
     wd = args.weight_decay * args.batch * accumulate / args.nbs
-    base_sched = build_lr_schedule(args, nb, lr0)
-    bias_sched = build_lr_schedule(args, nb, lr0,
+    # under MultiSteps the inner schedules tick once per OPTIMIZER UPDATE
+    # (every `accumulate` micro-steps), so they must be built on the update
+    # timeline or warmup/decay stretch by the accumulate factor
+    nb_upd = max(nb // accumulate, 1)
+    base_sched = build_lr_schedule(args, nb_upd, lr0)
+    bias_sched = build_lr_schedule(args, nb_upd, lr0,
                                    warm_start=getattr(args, "warmup_bias_lr", 0.1))
-    nw = max(round(args.warmup_epochs * nb), 100) if args.warmup_epochs > 0 else 0
+    nw = max(round(args.warmup_epochs * nb_upd), max(round(100 / accumulate), 1)) \
+        if args.warmup_epochs > 0 else 0
     wm = getattr(args, "warmup_momentum", 0.8)
 
     def mom_sched(step):
@@ -162,7 +176,7 @@ class BaseTrainer(HasCallbacks):
         self.args.save_dir = str(self.save_dir)  # downstream consumers (validator json/csv)
         self.wdir = self.save_dir / "weights"
         self.csv = self.save_dir / "results.csv"
-        self.best_fitness = -1.0
+        self.best_fitness = -float("inf")  # no-val fitness is -sum(loss) < -1
         self.fitness = None
         self.epoch = 0
         self.metrics = {}
@@ -182,8 +196,8 @@ class BaseTrainer(HasCallbacks):
                                      task=self.task, kpt_shape=kpt_shape)
             # synthetic data trains un-augmented by default (overfit proofs);
             # opt in to the device pipeline explicitly
-            train.device_augment = \
-                getattr(self.args, "device_augment", None) in (True, "True", "on", 1) \
+            train.device_augment = _explicit_on(
+                getattr(self.args, "device_augment", None)) \
                 and self._device_augment_enabled()
             val = SyntheticDataset(n=16, imgsz=self.args.imgsz, nc=nc,
                                    max_labels=self.args.max_labels, use_tags=use_tags, seed=1,
@@ -213,14 +227,14 @@ class BaseTrainer(HasCallbacks):
         perspective = 0, mosaic prob 0 or 1, no copy_paste/mosaic9 — those need
         polygons or non-separable warps and stay on the host path)."""
         v = getattr(self.args, "device_augment", "auto")
-        if v in (False, "False", "off", 0):
+        if _explicit_off(v):
             return False
         g = lambda k: float(getattr(self.args, k, 0) or 0)  # noqa: E731
         expressible = (self.task in ("detect", "jde", "pose")
                        and g("degrees") == 0 and g("shear") == 0
                        and g("perspective") == 0 and g("copy_paste") == 0
                        and g("mosaic9") == 0 and g("mosaic") in (0.0, 1.0))
-        if v in (True, "True", "on", 1) and not expressible:
+        if _explicit_on(v) and not expressible:
             LOGGER.warning("device_augment=True but the hyp set needs host cv2 "
                            "(degrees/shear/perspective/copy_paste/mosaic9/fractional "
                            "mosaic or non-box task); using host augmentation")
@@ -383,8 +397,12 @@ class BaseTrainer(HasCallbacks):
             if dev_aug:
                 from sar_yolo_tpu.data.device_augment import device_train_augment
                 rng, kaug = jax.random.split(rng)
+                # dp-local mosaic partners/mixup: keeps the uint8 image gather
+                # on-shard instead of all-gathering the global batch over ICI
+                dp = int(self.mesh.devices.shape[0])
+                span = max(batch["img"].shape[0] // max(dp, 1), 1)
                 batch = device_train_augment(batch, kaug, aug_hyp, mosaic=mosaic_on,
-                                             dtype=dtype)
+                                             partner_span=span, dtype=dtype)
 
             def loss_fn(p):
                 img = batch["img"]
@@ -433,7 +451,7 @@ class BaseTrainer(HasCallbacks):
             self.epoch = epoch
             self.run_callbacks("on_train_epoch_start")
             # close_mosaic: disable mosaic for the final N epochs (reference trainer)
-            if args.close_mosaic and epoch == max(args.epochs - args.close_mosaic, 0) \
+            if args.close_mosaic and epoch >= max(args.epochs - args.close_mosaic, 0) \
                     and (getattr(self.train_set, "mosaic_enabled", False) or self._mosaic_on):
                 LOGGER.info("Closing dataloader mosaic")
                 self.train_set.mosaic_enabled = False
@@ -472,11 +490,16 @@ class BaseTrainer(HasCallbacks):
                 rng, sub = jax.random.split(rng)
                 self.state, total, items = self._train_step(self.state, batch, sub,
                                                             self._mosaic_on)
-                items = np.asarray(items)
-                mloss = items if mloss is None else (mloss * n_seen + items) / (n_seen + 1)
+                # accumulate the loss items ON DEVICE (async dispatch) — a
+                # per-step np.asarray would block the host on the device fetch
+                # and stall dispatch of step i+1 by one tunnel round-trip
+                # (bench.py documents the identical accumulator pattern)
+                mloss = items if mloss is None else mloss + items
                 n_seen += 1
                 self.run_callbacks("on_train_batch_end")
-            step_now = int(self.state.step)
+            mloss = np.asarray(mloss) / max(n_seen, 1) if mloss is not None else None
+            # schedules live on the optimizer-update timeline (see build_optimizer)
+            step_now = int(self.state.step) // max(self.accumulate, 1)
             lr_now = float(self.lr_schedule["pg0"](step_now))
             self.lr = {"lr/pg0": lr_now,
                        "lr/pg1": float(self.lr_schedule["pg1"](step_now)),
@@ -574,6 +597,13 @@ class BaseTrainer(HasCallbacks):
             "ema_params": jax.device_get(self.state.ema_params),
             "batch_stats": jax.device_get(self.state.batch_stats),
             "cb_counts": jax.device_get(self.state.cb_counts),
+            # optimizer moments + MultiSteps/schedule counters: without these a
+            # resumed run restarts warmup and zeroes momentum (ref resume keeps
+            # the torch optimizer state dict). Stored as an indexed flat-leaf
+            # dict — optax states are nested namedtuples whose field order a
+            # plain-pytree round-trip would not preserve.
+            "opt_state": {f"l{i:05d}": jax.device_get(x) for i, x in
+                          enumerate(jax.tree.leaves(self.state.opt_state))},
         }
         metadata = {
             "epoch": self.epoch,
@@ -596,11 +626,29 @@ class BaseTrainer(HasCallbacks):
         path = self.args.resume if isinstance(self.args.resume, (str, Path)) else self.wdir / "last"
         payload, metadata = load_checkpoint(path)
         self.epoch = int(metadata.get("epoch", -1)) + 1
-        self.best_fitness = float(metadata.get("best_fitness", -1.0))
+        self.best_fitness = float(metadata.get("best_fitness", -float("inf")))
         LOGGER.info(f"Resumed from {path} at epoch {self.epoch}")
+        opt_state = state.opt_state
+        saved_opt = payload.get("opt_state")
+        if saved_opt is not None:
+            # graft the indexed flat leaves back onto the fresh opt_state
+            # skeleton (leaf order is pinned by the l{i} keys at save time)
+            leaves = [saved_opt[k] for k in sorted(saved_opt)]
+            skel_leaves, treedef = jax.tree.flatten(opt_state)
+            if len(skel_leaves) == len(leaves) and all(
+                    getattr(a, "shape", None) == getattr(b, "shape", None)
+                    for a, b in zip(skel_leaves, leaves)):
+                opt_state = jax.tree.unflatten(treedef, leaves)
+            else:
+                LOGGER.warning("resume: optimizer state structure changed; "
+                               "momentum/schedule counters start fresh")
+        else:
+            LOGGER.warning("resume: checkpoint has no optimizer state (older "
+                           "format); momentum/schedule counters start fresh")
         return state.replace(
             params=payload["params"], ema_params=payload["ema_params"],
             batch_stats=payload["batch_stats"], cb_counts=payload["cb_counts"],
+            opt_state=opt_state,
             step=jnp.asarray(metadata.get("step", 0), jnp.int32))
 
     def _save_csv_row(self, epoch: int, losses: dict, lr: float):

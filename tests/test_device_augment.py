@@ -88,11 +88,14 @@ def test_mosaic_boxes_match_numpy_recompute():
                                      w2 / S, h2 / S, boxes_in[t, m][0] * 0 + (m + 1)))
         n_valid = int(got_mask[b].sum())
         assert n_valid == len(expected), (b, n_valid, len(expected))
-        # same order: tiles 0..3, slots 0..M
-        for j, (cx, cy, w, h, c) in enumerate(expected):
-            np.testing.assert_allclose(got_boxes[b, j], [cx, cy, w, h],
-                                       atol=1e-4, err_msg=f"b={b} j={j}")
-            assert got_cls[b, j] == c
+        # compare as SETS: survivors are slot-shuffled on purpose so crowded
+        # mosaics truncate a random subset (not always partner-tile labels)
+        got_rows = sorted(
+            tuple(np.round(np.append(got_boxes[b, j], got_cls[b, j]), 4))
+            for j in range(n_valid))
+        exp_rows = sorted(tuple(np.round(np.asarray(r), 4)) for r in expected)
+        for g, e in zip(got_rows, exp_rows):
+            np.testing.assert_allclose(g, e, atol=2e-4, err_msg=f"b={b}")
 
 
 def test_mosaic_image_quadrant_colors():
