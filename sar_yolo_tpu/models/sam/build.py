@@ -50,9 +50,14 @@ SAM2_CONFIGS = {
 
 
 def _canon(name) -> str:
-    stem = Path(str(name)).stem.lower().replace("-", "_")
+    s = str(name).lower().replace("-", "_")
+    # strip ONLY real weight suffixes — Path.stem would eat the '.1_t' of an
+    # extension-less 'sam2.1_t'
+    for suf in (".pt", ".pth"):
+        if s.endswith(suf):
+            s = s[: -len(suf)]
     # accept ultralytics-style names: sam_b.pt, sam2_t.pt, sam2.1_t, mobile_sam
-    return stem.replace("sam2.1", "sam2")
+    return Path(s).name.replace("sam2.1", "sam2")
 
 
 def build_sam(model="sam_b.pt", weights=None, dtype=jnp.float32, imgsz=None):
@@ -81,19 +86,19 @@ def _load_or_init(module, weights, img_size, name):
             from sar_yolo_tpu.utils.checkpoint import load_variables
             return load_variables(p)
         if p.suffix in {".pt", ".pth"}:
-            from .torch_convert import translate_sam_state_dict
-            import torch
-            sd = torch.load(str(p), map_location="cpu")
-            sd = sd.get("model", sd)
-            if hasattr(sd, "state_dict"):
-                sd = sd.state_dict()
-            return translate_sam_state_dict(sd, module, img_size)
+            raise NotImplementedError(
+                "SAM torch-checkpoint conversion is not implemented — load an "
+                "orbax checkpoint dir saved by this framework, or run with "
+                "random init (prompt/AMG machinery is weight-agnostic)")
         raise FileNotFoundError(f"SAM weights '{weights}' not found/supported")
     LOGGER.info(f"SAM '{name}': initializing random weights "
                 "(no pretrained checkpoints in the offline build)")
     x = jnp.zeros((1, img_size, img_size, 3), jnp.float32)
     pts = jnp.zeros((1, 1, 2), jnp.float32)
     lbl = jnp.ones((1, 1), jnp.float32)
+    # a dummy mask prompt materializes the mask_conv*/mask_ln* params too
+    # (setup-declared flax submodules only create params when CALLED at init)
+    msk = jnp.zeros((1, img_size // 4, img_size // 4, 1), jnp.float32)
     method = "init_all" if hasattr(module, "init_all") else None
-    return jax.jit(lambda r: module.init(r, x, points=pts, labels=lbl,
+    return jax.jit(lambda r: module.init(r, x, points=pts, labels=lbl, masks=msk,
                                          method=method))(jax.random.PRNGKey(0))

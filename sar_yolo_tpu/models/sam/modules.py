@@ -328,6 +328,14 @@ class PromptEncoder(nn.Module):
         parts = []
         bs = 1
         if points is not None:
+            if boxes is None:
+                # reference pad point: points-only prompts always carry one
+                # extra (0,0)/-1 not-a-point token (prompt_encoder.py
+                # _embed_points pad=True) — trained SAM weights expect it
+                points = jnp.concatenate(
+                    [points, jnp.zeros((points.shape[0], 1, 2), points.dtype)], 1)
+                labels = jnp.concatenate(
+                    [labels, -jnp.ones((labels.shape[0], 1), labels.dtype)], 1)
             parts.append(self.embed_points(points, labels))
             bs = points.shape[0]
         if boxes is not None:
@@ -552,6 +560,8 @@ class SAMModel(nn.Module):
         return self.mask_decoder(embeddings, pe.astype(embeddings.dtype),
                                  sparse, dense)
 
-    def __call__(self, x, points=None, labels=None, boxes=None, train: bool = False):
+    def __call__(self, x, points=None, labels=None, boxes=None, masks=None,
+                 train: bool = False):
         emb = self.encode(x, train=train)
-        return self.decode(emb, points=points, labels=labels, boxes=boxes)
+        return self.decode(emb, points=points, labels=labels, boxes=boxes,
+                           masks=masks)

@@ -276,7 +276,7 @@ class MaskDownSampler(nn.Module):
     def __call__(self, m):
         ch = 1
         for i in range(4):
-            ch *= 16  # channel ramp: 16, 256... capped at embed projection below
+            ch *= 4  # reference ramp: 4, 16, 64, 256 (stride-2 k3 per layer)
             m = nn.Conv(min(ch, 256), (3, 3), strides=2, padding=1, dtype=self.dtype,
                         param_dtype=jnp.float32, name=f"conv_{i}")(m)
             m = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, param_dtype=jnp.float32,
@@ -364,7 +364,7 @@ class RoPEAttention(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, q, k, v, grid_hw, n_skip_k: int = 0):
+    def __call__(self, q, k, v, grid_hw, n_skip_k: int = 0, key_mask=None):
         C = self.embedding_dim
         nh = self.num_heads
         hd = C // nh
@@ -384,6 +384,8 @@ class RoPEAttention(nn.Module):
             kh = jnp.concatenate([kr.reshape(kh.shape[0], nk, nh, hd),
                                   kh[:, nk:]], 1)
         attn = jnp.einsum("bqhd,bkhd->bhqk", qh, kh) / math.sqrt(hd)
+        if key_mask is not None:  # (B, Lk) True = attendable
+            attn = jnp.where(key_mask[:, None, None, :], attn, -1e9)
         attn = jax.nn.softmax(attn.astype(jnp.float32), -1).astype(vh.dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, vh).reshape(*q.shape[:2], C)
         return dense("out_proj")(out)
@@ -397,7 +399,8 @@ class MemoryAttentionLayer(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, tgt, memory, pos, query_pos, grid_hw, n_skip_k: int = 0):
+    def __call__(self, tgt, memory, pos, query_pos, grid_hw, n_skip_k: int = 0,
+                 key_mask=None):
         ln = lambda n: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32, name=n)
         t2 = ln("norm1")(tgt)
         tgt = tgt + RoPEAttention(self.d_model, dtype=self.dtype, name="self_attn")(
@@ -405,7 +408,8 @@ class MemoryAttentionLayer(nn.Module):
         t2 = ln("norm2")(tgt)
         tgt = tgt + RoPEAttention(self.d_model, dtype=self.dtype,
                                   name="cross_attn_image")(
-            t2, memory + pos, memory, grid_hw, n_skip_k=n_skip_k)
+            t2, memory + pos, memory, grid_hw, n_skip_k=n_skip_k,
+            key_mask=key_mask)
         t2 = ln("norm3")(tgt)
         ff = nn.Dense(self.dim_feedforward, dtype=self.dtype, param_dtype=jnp.float32,
                       name="linear1")(t2)
@@ -423,12 +427,14 @@ class MemoryAttention(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, curr, curr_pos, memory, memory_pos, grid_hw, n_skip_k: int = 0):
+    def __call__(self, curr, curr_pos, memory, memory_pos, grid_hw, n_skip_k: int = 0,
+                 key_mask=None):
         x = curr + 0.1 * curr_pos                             # pos_enc_at_input
         for i in range(self.num_layers):
             x = MemoryAttentionLayer(self.d_model, dtype=self.dtype,
                                      name=f"layer_{i}")(
-                x, memory, memory_pos, curr_pos, grid_hw, n_skip_k=n_skip_k)
+                x, memory, memory_pos, curr_pos, grid_hw, n_skip_k=n_skip_k,
+                key_mask=key_mask)
         return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32, name="norm")(x)
 
 
@@ -522,37 +528,45 @@ class SAM2Model(nn.Module):
         m = jax.nn.sigmoid(m) * 20.0 - 10.0                   # sigmoid scale/bias
         return self.memory_encoder(raw_embed, m)
 
-    def condition_on_memory(self, raw_embed, mem_bank, mem_valid):
+    def condition_on_memory(self, raw_embed, mem_bank, mem_valid, mem_tpos=None):
         """Condition frame features on the memory ring buffer.
 
-        raw_embed (1, h, w, C); mem_bank (T, h, w, mem_dim); mem_valid (T,).
-        Invalid slots are masked out of attention by zeroing their keys AND
-        giving them a large negative position bias is unnecessary — instead we
-        replace invalid memories with the first valid one and rely on the
-        softmax over valid tokens (simple static-shape approximation).
+        raw_embed (1, h, w, C); mem_bank (T, h, w, mem_dim); mem_valid (T,);
+        mem_tpos (T,) int = frames-back of each slot (0 for the conditioning
+        frame). Invalid slots are MASKED out of the attention softmax (a large
+        negative logit) — value-zeroing alone would let their positional keys
+        absorb softmax mass and dilute the conditioned features. The temporal
+        embedding is indexed by RECENCY (reference sam2: maskmem_tpos_enc[
+        num_maskmem - t_pos - 1]) and enters the positional stream, not the
+        memory values.
         """
         h, w = raw_embed.shape[1:3]
         T = mem_bank.shape[0]
-        mem = mem_bank + self.maskmem_tpos_enc[:T].astype(mem_bank.dtype)
-        mem = mem.reshape(1, T * h * w, self.mem_dim)
+        if mem_tpos is None:
+            mem_tpos = jnp.arange(T)  # slot order fallback (init path)
+        mem = mem_bank.reshape(1, T * h * w, self.mem_dim)
         memory = self.mem_proj(mem)                           # kv_in 64 -> 256
-        valid_tok = jnp.repeat(mem_valid, h * w)[None, :, None]
-        memory = memory * valid_tok                           # zero invalid tokens
+        idx = jnp.clip(self.num_maskmem - 1 - mem_tpos, 0, self.num_maskmem - 1)
+        tpos = self.mem_proj(self.maskmem_tpos_enc[idx].reshape(T, self.mem_dim))
         pos = sine_pos_encoding(h, w, self.d_model).reshape(1, h * w, -1)
-        mem_pos = jnp.tile(pos, (1, T, 1)).astype(memory.dtype)
+        mem_pos = (jnp.tile(pos, (1, T, 1))
+                   + jnp.repeat(tpos, h * w, axis=0)[None]).astype(memory.dtype)
+        key_mask = (jnp.repeat(mem_valid, h * w) > 0)[None]   # (1, T*h*w)
         curr = raw_embed.reshape(1, h * w, -1)
         curr_pos = pos.astype(curr.dtype)
-        out = self.memory_attention(curr, curr_pos, memory, mem_pos, (h, w))
+        out = self.memory_attention(curr, curr_pos, memory, mem_pos, (h, w),
+                                    key_mask=key_mask)
         return out.reshape(raw_embed.shape)
 
     def __call__(self, x, points=None, labels=None, boxes=None, train: bool = False):
         feats = self.encode(x, train=train)
         return self.decode(feats, points=points, labels=labels, boxes=boxes)
 
-    def init_all(self, x, points=None, labels=None):
+    def init_all(self, x, points=None, labels=None, masks=None):
         """Init entry: touches the memory path too so all params materialize."""
         feats = self.encode(x)
-        masks, iou, _tok, _obj = self.decode(feats, points=points, labels=labels)
+        masks, iou, _tok, _obj = self.decode(feats, points=points, labels=labels,
+                                             masks=masks)
         mem = self.encode_memory(feats["raw_embed"],
                                  masks[:, :1].transpose(0, 2, 3, 1))
         bank = jnp.broadcast_to(mem, (self.num_maskmem,) + mem.shape[1:])

@@ -131,8 +131,14 @@ class SAMPredictor:
             pts = np.concatenate([pts, np.zeros((Qp - q_pts, P, 2), np.float32)], 0)
             lbl = np.concatenate([lbl, -np.ones((Qp - q_pts, P), np.float32)], 0)
         if box_arr is not None:
+            if pts is not None and q_box != q_pts:
+                # zero-padding boxes would embed a real degenerate box at (0,0)
+                # for the point-only queries — there is no not-a-box token
+                raise ValueError(f"points ({q_pts}) and boxes ({q_box}) must "
+                                 "prompt the same queries; run separate calls "
+                                 "for mixed prompt sets")
             box_arr = np.concatenate(
-                [box_arr, np.zeros((Qp - q_box, 4), np.float32)], 0)
+                [box_arr, np.tile(box_arr[-1:], (Qp - q_box, 1))], 0)
 
         run = self._decode_fn((P, box_arr is not None))
         masks, iou = run(self.variables, self._features,
@@ -183,21 +189,27 @@ class SAMPredictor:
             nb, points_per_batch, 1, 2)
 
         model = self.model
+        # ONE jitted scoring program per chunk geometry, cached on the
+        # predictor — a per-call closure would retrace/recompile every image
+        if not hasattr(self, "_score_fns"):
+            self._score_fns = {}
+        shape_key = tuple(grid_p.shape)
+        if shape_key not in self._score_fns:
+            @jax.jit
+            def score_chunks(v, emb, chunks):
+                def one(pts):
+                    out = model.apply(v, emb, method="decode", points=pts,
+                                      labels=jnp.ones(pts.shape[:2]))
+                    masks, iou = out[0], out[1]
+                    m3, i3 = masks[:, 1:], iou[:, 1:]         # multimask slots
+                    stab = stability_score(m3)
+                    boxes = batched_mask_to_box(m3 > 0.0)
+                    return i3, stab, boxes
+                return jax.lax.map(one, chunks)
+            self._score_fns[shape_key] = score_chunks
 
-        @jax.jit
-        def score_chunks(v, emb, chunks):
-            def one(pts):
-                out = model.apply(v, emb, method="decode", points=pts,
-                                  labels=jnp.ones(pts.shape[:2]))
-                masks, iou = out[0], out[1]
-                m3, i3 = masks[:, 1:], iou[:, 1:]             # multimask slots
-                stab = stability_score(m3)
-                boxes = batched_mask_to_box(m3 > 0.0)
-                return i3, stab, boxes
-            return jax.lax.map(one, chunks)
-
-        iou, stab, boxes = score_chunks(self.variables, self._features,
-                                        jnp.asarray(grid_p))
+        iou, stab, boxes = self._score_fns[shape_key](self.variables, self._features,
+                                                      jnp.asarray(grid_p))
         iou = np.asarray(iou).reshape(-1)                     # (pad_n*3,)
         stab = np.asarray(stab).reshape(-1)
         boxes = np.asarray(boxes).reshape(-1, 4)
@@ -301,19 +313,19 @@ class SAM2VideoPredictor(SAMPredictor):
 
     def __init__(self, model, variables, imgsz: int = 1024, **kw):
         super().__init__(model, variables, imgsz=imgsz, **kw)
-        self._step = None
+        self._steps = {}  # object-count Q -> jitted step (Q is a trace constant)
 
     def _build_step(self, Q: int):
         model = self.model
         T = model.num_maskmem
 
         @jax.jit
-        def step(v, canvas, bank, valid):
+        def step(v, canvas, bank, valid, tpos):
             feats = model.apply(v, canvas, method="encode")
             raw = feats["raw_embed"]                          # (1, h, w, C)
 
             def per_obj(bank_o, valid_o):
-                return model.apply(v, raw, bank_o, valid_o,
+                return model.apply(v, raw, bank_o, valid_o, tpos,
                                    method="condition_on_memory")[0]
 
             cond = jax.vmap(per_obj)(bank, valid)             # (Q, h, w, C)
@@ -384,8 +396,10 @@ class SAM2VideoPredictor(SAMPredictor):
         self._valid = jnp.asarray(valid)
         self._frame_i = 0
         self._Q = Q
-        if self._step is None:
-            self._step = self._build_step(Q)
+        self._slot_frame = np.full(T, -1, np.int64)  # track-step that wrote each slot
+        if Q not in self._steps:
+            self._steps[Q] = self._build_step(Q)
+        self._step = self._steps[Q]
         return m0, np.asarray(iou[:, 0])
 
     def _canvas(self, frame):
@@ -402,14 +416,22 @@ class SAM2VideoPredictor(SAMPredictor):
         """Propagate all objects one frame; returns (masks_orig (Q, H, W) bool,
         scores (Q,), obj_logits (Q,))."""
         canvas = self._canvas(frame)
+        # frames-back per slot (0 = the conditioning frame held in slot 0);
+        # invalid slots are masked out of attention, their tpos is irrelevant
+        T = self.model.num_maskmem
+        tpos = np.where(self._slot_frame >= 0,
+                        np.clip(self._frame_i - self._slot_frame + 1, 1, T - 1),
+                        T - 1)
+        tpos[0] = 0
         m0, score, obj, new_mem = self._step(self.variables,
                                              jnp.asarray(canvas[None]),
-                                             self._bank, self._valid)
+                                             self._bank, self._valid,
+                                             jnp.asarray(tpos))
         # ring insert into slots 1..T-1 (slot 0 = conditioning frame)
-        T = self.model.num_maskmem
         slot = 1 + (self._frame_i % max(T - 1, 1))
         self._bank = self._bank.at[:, slot].set(new_mem)
         self._valid = self._valid.at[:, slot].set(1.0)
+        self._slot_frame[slot] = self._frame_i
         self._frame_i += 1
         return (self._masks_to_original(np.asarray(m0)), np.asarray(score),
                 np.asarray(obj))
