@@ -1007,7 +1007,10 @@ class ImagePoolingAttn(nn.Module):
 
 class ResNetBlock(nn.Module):
     """Bottleneck ResNet block (ref block.py:379): 1x1 -> 3x3/s -> 1x1(e*c2),
-    relu(residual) — the reference's inner convs keep YOLO's default act."""
+    relu(residual) — the reference's inner convs keep YOLO's default act.
+    e=1 selects the two-3x3 BasicBlock form (resnet18/34-style; the reference
+    reaches it only through its TorchVision wrapper, cfg/models/11/
+    yolo11-cls-resnet18.yaml)."""
 
     c2: int
     s: int = 1
@@ -1018,9 +1021,13 @@ class ResNetBlock(nn.Module):
     def __call__(self, x, train: bool = False):
         c1 = x.shape[-1]
         c3 = self.e * self.c2
-        y = Conv(self.c2, 1, 1, dtype=self.dtype, name="cv1")(x, train)
-        y = Conv(self.c2, 3, self.s, p=1, dtype=self.dtype, name="cv2")(y, train)
-        y = Conv(c3, 1, act=False, dtype=self.dtype, name="cv3")(y, train)
+        if self.e == 1:  # BasicBlock: 3x3/s -> 3x3, identity/1x1 shortcut
+            y = Conv(self.c2, 3, self.s, p=1, dtype=self.dtype, name="cv1")(x, train)
+            y = Conv(c3, 3, 1, p=1, act=False, dtype=self.dtype, name="cv2")(y, train)
+        else:
+            y = Conv(self.c2, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+            y = Conv(self.c2, 3, self.s, p=1, dtype=self.dtype, name="cv2")(y, train)
+            y = Conv(c3, 1, act=False, dtype=self.dtype, name="cv3")(y, train)
         if self.s != 1 or c1 != c3:
             x = Conv(c3, 1, self.s, act=False, dtype=self.dtype, name="shortcut_0")(x, train)
         return nn.relu(y + x)

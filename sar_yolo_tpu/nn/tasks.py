@@ -202,8 +202,9 @@ def parse_model(d: dict, ch: int = 3, verbose: bool = False):
             kwargs["ch"] = tuple(chs[x] for x in f)
             c2 = chs[f[0]]
         elif m == "ResNetLayer":
-            # c2 not width-scaled (reference tasks.py:1075)
-            c2 = args[1] if args[3] else args[1] * 4
+            # c2 not width-scaled (reference tasks.py:1075); optional 6th arg e
+            # (expansion; 1 = BasicBlock for resnet18/34-style backbones)
+            c2 = args[1] if args[3] else args[1] * (args[5] if len(args) > 5 else 4)
         elif m == "CBLinear":
             # c2s list is NOT width-scaled (reference tasks.py:1090-1093)
             c2 = tuple(args[0])

@@ -127,3 +127,23 @@ def test_classify_folder_train_val(tmp_path):
     assert "metrics/accuracy_top1" in metrics
     res = m.val(data=str(tmp_path / "data"), imgsz=32, batch=4)
     assert res["metrics/accuracy_top1"] >= 0.5  # 2-class color problem
+
+
+def test_resnet18_basicblock_classifier():
+    """yolo11-cls-resnet18: native BasicBlock (e=1) ResNetLayer backbone
+    (reference reaches resnet18 via its TorchVision wrapper,
+    cfg/models/11/yolo11-cls-resnet18.yaml)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sar_yolo_tpu.nn.tasks import build_model, init_model
+
+    m, meta = build_model("yolo11n-cls-resnet18.yaml")
+    v = init_model(m, meta, jax.random.PRNGKey(0), imgsz=64)
+    body = sum(x.size for k, x in
+               jax.tree_util.tree_leaves_with_path(v["params"])
+               if "blocks_5" not in jax.tree_util.keystr(k))  # blocks_5 = Classify head
+    out = m.apply(v, jnp.zeros((2, 64, 64, 3)))
+    assert out.shape == (2, 10)
+    # torchvision resnet18 feature body (conv1..layer4, no fc) = 11,176,512
+    assert body == 11_176_512, body
