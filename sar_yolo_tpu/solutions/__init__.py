@@ -1,11 +1,16 @@
-"""Solutions: demo applications over predict/track results.
+"""Solutions: applications over predict/track results.
 
 Capability parity with reference solutions/ (object_counter, region_counter,
 heatmap, speed_estimation, ai_gym, analytics, distance_calculation,
 parking_management, queue_management, security_alarm, trackzone,
-streamlit_inference). All consume per-frame rows
-[x1, y1, x2, y2, conf, cls(, track_id)] from predict()/track() — pure host-side
-geometry, no device work.
+streamlit_inference). Every app works two ways:
+
+- ``update(rows)`` — pure host-side geometry over precomputed per-frame rows
+  [x1, y1, x2, y2, conf, cls(, track_id)] from predict()/track(); no model.
+- ``process(frame)`` / ``app(frame)`` — own YOLO model + tracker (pass
+  ``model=``): runs track on the raw frame, updates, and returns a
+  SolutionResults with the annotated frame (reference BaseSolution contract,
+  solutions/solutions.py:12).
 """
 
 from __future__ import annotations
@@ -16,16 +21,26 @@ import numpy as np
 
 from sar_yolo_tpu.utils import LOGGER
 
+from .base import DEFAULT_REGION, BaseSolution, SolutionResults
 
-class ObjectCounter:
-    """Count objects crossing a line (reference solutions/object_counter.py).
+_point_in_poly = BaseSolution.point_in_polygon
+
+
+class ObjectCounter(BaseSolution):
+    """Count objects crossing a line or region boundary (reference
+    solutions/object_counter.py).
 
     region: ((x1, y1), (x2, y2)) counting line. Feed per-frame tracked boxes
-    (rows [x1, y1, x2, y2, conf, cls, track_id]).
+    (rows [x1, y1, x2, y2, conf, cls, track_id]) to update(), or raw frames
+    to process() when built with model=.
     """
 
-    def __init__(self, region):
+    def __init__(self, region=None, show_in: bool = True, show_out: bool = True,
+                 **kw):
+        super().__init__(**kw)
+        region = region if region is not None else DEFAULT_REGION[:2]
         (self.x1, self.y1), (self.x2, self.y2) = region
+        self.show_in, self.show_out = show_in, show_out
         self.in_count = 0
         self.out_count = 0
         self._last_side: dict[int, float] = {}
@@ -55,27 +70,25 @@ class ObjectCounter:
             self._last_side[tid] = side
         return {"in": self.in_count, "out": self.out_count}
 
+    def _annotate(self, im, rows, out):
+        self.draw_region(im, [(self.x1, self.y1), (self.x2, self.y2)])
+        self.draw_boxes(im, rows, labels=[self._label(r) for r in rows])
+        self.draw_trails(im)
+        parts = ([f"In: {out['in']}"] if self.show_in else []) + \
+                ([f"Out: {out['out']}"] if self.show_out else [])
+        return self.draw_banner(im, "  ".join(parts) or "counting")
 
-class RegionCounter:
+
+class RegionCounter(BaseSolution):
     """Count objects currently inside polygonal regions (solutions/region_counter.py)."""
 
-    def __init__(self, regions: dict):
+    def __init__(self, regions: dict | None = None, **kw):
         """regions: {name: [(x, y), ...] polygon}."""
+        super().__init__(**kw)
+        regions = regions if regions is not None else {"region_1": DEFAULT_REGION}
         self.regions = {k: np.asarray(v, np.float32) for k, v in regions.items()}
 
-    @staticmethod
-    def _inside(poly, px, py):
-        # ray casting
-        n = len(poly)
-        inside = False
-        j = n - 1
-        for i in range(n):
-            xi, yi = poly[i]
-            xj, yj = poly[j]
-            if (yi > py) != (yj > py) and px < (xj - xi) * (py - yi) / (yj - yi + 1e-9) + xi:
-                inside = not inside
-            j = i
-        return inside
+    _inside = staticmethod(_point_in_poly)
 
     def update(self, boxes: np.ndarray) -> dict:
         counts = {k: 0 for k in self.regions}
@@ -87,13 +100,23 @@ class RegionCounter:
                     counts[name] += 1
         return counts
 
+    def _annotate(self, im, rows, out):
+        self.draw_boxes(im, rows, labels=[self._label(r) for r in rows])
+        for i, (name, poly) in enumerate(self.regions.items()):
+            self.draw_region(im, poly)
+            x, y = poly.mean(0).astype(int)
+            self.draw_banner(im, f"{name}: {out[name]}", org=(int(x), int(y)))
+        return im
 
-class Heatmap:
-    """Accumulate detection-center heat over frames (reference solutions/heatmap.py)."""
 
-    def __init__(self, shape, decay: float = 0.99):
-        self.map = np.zeros(shape, np.float32)
+class Heatmap(BaseSolution):
+    """Accumulate detection heat over frames (reference solutions/heatmap.py)."""
+
+    def __init__(self, shape=None, decay: float = 0.99, colormap=None, **kw):
+        super().__init__(**kw)
+        self.map = np.zeros(shape, np.float32) if shape is not None else None
         self.decay = decay
+        self.colormap = colormap
 
     def update(self, boxes: np.ndarray):
         self.map *= self.decay
@@ -107,13 +130,25 @@ class Heatmap:
     def render(self):
         import cv2
         m = self.map / (self.map.max() + 1e-9)
-        return cv2.applyColorMap((m * 255).astype(np.uint8), cv2.COLORMAP_JET)
+        cmap = self.colormap if self.colormap is not None else cv2.COLORMAP_JET
+        return cv2.applyColorMap((m * 255).astype(np.uint8), cmap)
+
+    def process(self, im0) -> SolutionResults:
+        if self.map is None:
+            self.map = np.zeros(im0.shape[:2], np.float32)
+        return super().process(im0)
+
+    def _annotate(self, im, rows, out):
+        import cv2
+        im = cv2.addWeighted(im, 0.5, self.render(), 0.5, 0)
+        return self.draw_boxes(im, rows)
 
 
-class SpeedEstimator:
+class SpeedEstimator(BaseSolution):
     """Per-track speed from displacement over frames (solutions/speed_estimation.py)."""
 
-    def __init__(self, fps: float = 30.0, pixels_per_meter: float = 10.0):
+    def __init__(self, fps: float = 30.0, pixels_per_meter: float = 10.0, **kw):
+        super().__init__(**kw)
         self.fps = fps
         self.ppm = pixels_per_meter
         self.history: dict[int, list] = defaultdict(list)
@@ -134,31 +169,32 @@ class SpeedEstimator:
                 speeds[tid] = (d / self.ppm) / dt * 3.6  # km/h
         return speeds
 
+    def _annotate(self, im, rows, out):
+        labels = [f"{out[int(r[6])]:.0f} km/h" if len(r) > 6 and int(r[6]) in out
+                  else self._label(r) for r in rows]
+        self.draw_boxes(im, rows, labels=labels)
+        return self.draw_trails(im)
 
-def _point_in_poly(poly, px, py) -> bool:
-    """Ray-cast point-in-polygon (shared by the region-based solutions)."""
-    n = len(poly)
-    inside = False
-    j = n - 1
-    for i in range(n):
-        xi, yi = poly[i]
-        xj, yj = poly[j]
-        if (yi > py) != (yj > py) and px < (xj - xi) * (py - yi) / (yj - yi + 1e-9) + xi:
-            inside = not inside
-        j = i
-    return inside
+    def process(self, im0) -> SolutionResults:
+        rows = self.extract_tracks(im0)
+        speeds = self.update(rows)
+        im = self._annotate(np.ascontiguousarray(im0), rows, speeds)
+        self.display_output(im)
+        return SolutionResults(plot_im=im, speeds=speeds)
 
 
-class AIGym:
+class AIGym(BaseSolution):
     """Workout repetition counter from pose keypoints (reference solutions/ai_gym.py).
 
     kpts_idx: three keypoint indices (e.g. shoulder-elbow-wrist for pushups);
     the joint angle at the middle point drives an up/down stage machine and a
-    rep counter per track id.
+    rep counter per track id. With model= (a pose model), process(frame) pulls
+    the keypoints itself.
     """
 
     def __init__(self, kpts_idx=(6, 8, 10), up_angle: float = 145.0,
-                 down_angle: float = 90.0):
+                 down_angle: float = 90.0, **kw):
+        super().__init__(**kw)
         self.kpts_idx = tuple(kpts_idx)
         self.up_angle = up_angle
         self.down_angle = down_angle
@@ -189,25 +225,46 @@ class AIGym:
                 self.stage[tid] = "down"
         return {"count": dict(self.count), "stage": dict(self.stage)}
 
+    def process(self, im0) -> SolutionResults:
+        rows = self.extract_tracks(im0)
+        kobj = self.last_results[0].keypoints
+        if kobj is None:
+            out = {"count": dict(self.count), "stage": dict(self.stage)}
+        else:
+            ids = rows[:, 6].astype(int) if len(rows) else None
+            out = self.update(np.asarray(kobj.data), ids)
+        im = np.ascontiguousarray(im0)
+        self.draw_boxes(im, rows, labels=[
+            f"#{int(r[6])} {self.stage.get(int(r[6]), '-')} "
+            f"x{self.count.get(int(r[6]), 0)}" for r in rows])
+        self.display_output(im)
+        return SolutionResults(plot_im=im, **out)
 
-class Analytics:
+
+class Analytics(BaseSolution):
     """Per-frame class-count series for line/bar/pie/area charts (reference
     solutions/analytics.py). Accumulates host-side; `chart()` returns the data
     ready for any plotting frontend, `render()` draws a PNG via matplotlib."""
 
-    def __init__(self, names: dict | None = None):
-        self.names = names or {}
+    def __init__(self, names: dict | None = None, analytics_type: str = "line",
+                 **kw):
+        super().__init__(**kw)
+        if names:
+            self.names = names
+        self.analytics_type = analytics_type
         self.frames: list[dict] = []
 
     def update(self, boxes: np.ndarray) -> dict:
         counts: dict = defaultdict(int)
         for row in boxes:
             c = int(row[5]) if len(row) > 5 else 0
-            counts[self.names.get(c, str(c))] += 1
+            name = self.names.get(c, str(c)) if isinstance(self.names, dict) else str(c)
+            counts[name] += 1
         self.frames.append(dict(counts))
         return self.frames[-1]
 
-    def chart(self, kind: str = "line") -> dict:
+    def chart(self, kind: str | None = None) -> dict:
+        kind = kind or self.analytics_type
         keys = sorted({k for f in self.frames for k in f})
         if kind in ("line", "area"):
             return {"x": list(range(len(self.frames))),
@@ -215,10 +272,11 @@ class Analytics:
         totals = {k: sum(f.get(k, 0) for f in self.frames) for k in keys}
         return {"labels": keys, "values": [totals[k] for k in keys]}
 
-    def render(self, path, kind: str = "line"):
+    def render(self, path, kind: str | None = None):
         import matplotlib
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
+        kind = kind or self.analytics_type
         data = self.chart(kind)
         fig, ax = plt.subplots(figsize=(8, 4))
         if kind in ("line", "area"):
@@ -235,13 +293,19 @@ class Analytics:
         plt.close(fig)
         return path
 
+    def _annotate(self, im, rows, out):
+        self.draw_boxes(im, rows)
+        txt = "  ".join(f"{k}: {v}" for k, v in sorted(out.items())) or "no objects"
+        return self.draw_banner(im, txt)
 
-class DistanceCalculation:
+
+class DistanceCalculation(BaseSolution):
     """Distance between two selected tracks (reference
     solutions/distance_calculation.py): select two track ids, update() returns
     their centroid distance in pixels and meters."""
 
-    def __init__(self, pixels_per_meter: float = 10.0):
+    def __init__(self, pixels_per_meter: float = 10.0, **kw):
+        super().__init__(**kw)
         self.ppm = pixels_per_meter
         self.selected: list[int] = []
 
@@ -267,13 +331,30 @@ class DistanceCalculation:
         return {"pixels": px, "meters": px / self.ppm,
                 "centroids": {k: tuple(map(float, v)) for k, v in cents.items()}}
 
+    def _annotate(self, im, rows, out):
+        self.draw_boxes(im, rows, labels=[self._label(r) for r in rows])
+        if out:
+            import cv2
+            (p1, p2) = [tuple(map(int, v)) for v in out["centroids"].values()]
+            cv2.line(im, p1, p2, (255, 0, 255), self.line_width)
+            self.draw_banner(im, f"{out['meters']:.2f} m")
+        return im
 
-class ParkingManagement:
+
+class ParkingManagement(BaseSolution):
     """Occupied/free counts over polygonal parking slots (reference
-    solutions/parking_management.py). slots: list of polygons [(x, y), ...]."""
+    solutions/parking_management.py). slots: list of polygons [(x, y), ...],
+    or json_file= with [{"points": [[x, y], ...]}] (reference json format)."""
 
-    def __init__(self, slots: list):
-        self.slots = [np.asarray(s, np.float32) for s in slots]
+    def __init__(self, slots: list | None = None, json_file: str | None = None,
+                 **kw):
+        super().__init__(**kw)
+        if slots is None and json_file:
+            import json
+            with open(json_file) as f:
+                slots = [e["points"] for e in json.load(f)]
+        self.slots = [np.asarray(s, np.float32) for s in (slots or [])]
+        self._occupied: list[bool] = [False] * len(self.slots)
 
     def update(self, boxes: np.ndarray) -> dict:
         occupied = [False] * len(self.slots)
@@ -283,18 +364,28 @@ class ParkingManagement:
             for si, poly in enumerate(self.slots):
                 if not occupied[si] and _point_in_poly(poly, cx, cy):
                     occupied[si] = True
+        self._occupied = occupied
         n_occ = sum(occupied)
         return {"occupied": n_occ, "available": len(self.slots) - n_occ,
                 "slots": occupied}
 
+    def _annotate(self, im, rows, out):
+        self.draw_boxes(im, rows)
+        for poly, occ in zip(self.slots, out["slots"]):
+            self.draw_region(im, poly, color=(0, 0, 255) if occ else (0, 255, 0))
+        return self.draw_banner(
+            im, f"Occupied: {out['occupied']}  Free: {out['available']}")
 
-class QueueManager:
+
+class QueueManager(BaseSolution):
     """Queue length inside a polygon region over time (reference
     solutions/queue_management.py). Only counts tracked objects so transient
     false positives don't inflate the queue."""
 
-    def __init__(self, region: list):
-        self.region = np.asarray(region, np.float32)
+    def __init__(self, region: list | None = None, **kw):
+        super().__init__(**kw)
+        self.region = np.asarray(region if region is not None else DEFAULT_REGION,
+                                 np.float32)
         self.history: list[int] = []
 
     def update(self, tracks: np.ndarray) -> dict:
@@ -307,19 +398,29 @@ class QueueManager:
         self.history.append(n)
         return {"queue": n, "max": max(self.history), "avg": float(np.mean(self.history))}
 
+    def _annotate(self, im, rows, out):
+        self.draw_region(im, self.region)
+        self.draw_boxes(im, rows)
+        return self.draw_banner(im, f"Queue: {out['queue']}")
 
-class SecurityAlarm:
+
+class SecurityAlarm(BaseSolution):
     """Fire a callback when detections exceed a threshold (reference
     solutions/security_alarm.py sends an email; here the notifier is
     pluggable — email/webhook/log — and fires once per breach episode)."""
 
-    def __init__(self, threshold: int = 1, notifier=None):
+    def __init__(self, threshold: int = 1, notifier=None, **kw):
+        super().__init__(**kw)
         self.threshold = threshold
         self.notifier = notifier or (lambda msg: LOGGER.warning(msg))
         self.breached = False
         self.events: list[dict] = []
+        self._frame = -1
 
     def update(self, boxes: np.ndarray, frame_idx: int = -1) -> bool:
+        if frame_idx == -1:
+            self._frame += 1
+            frame_idx = self._frame
         n = len(boxes)
         if n >= self.threshold and not self.breached:
             self.breached = True
@@ -330,19 +431,36 @@ class SecurityAlarm:
             self.breached = False
         return self.breached
 
+    def _annotate(self, im, rows, out):
+        self.draw_boxes(im, rows)
+        if out:
+            self.draw_banner(im, "ALERT", bg=(0, 0, 255), color=(255, 255, 255))
+        return im
 
-class TrackZone:
+
+class TrackZone(BaseSolution):
     """Restrict tracking to a polygonal zone (reference solutions/trackzone.py):
     update() filters track rows to those whose centroid is inside the zone."""
 
-    def __init__(self, region: list):
-        self.region = np.asarray(region, np.float32)
+    def __init__(self, region: list | None = None, **kw):
+        super().__init__(**kw)
+        self.region = np.asarray(region if region is not None else DEFAULT_REGION,
+                                 np.float32)
 
     def update(self, tracks: np.ndarray) -> np.ndarray:
         keep = [i for i, row in enumerate(tracks)
                 if _point_in_poly(self.region, (row[0] + row[2]) / 2,
                                   (row[1] + row[3]) / 2)]
         return tracks[keep] if len(keep) else tracks[:0]
+
+    def process(self, im0) -> SolutionResults:
+        rows = self.extract_tracks(im0)
+        kept = self.update(rows)
+        im = np.ascontiguousarray(im0)
+        self.draw_region(im, self.region)
+        self.draw_boxes(im, kept, labels=[self._label(r) for r in kept])
+        self.display_output(im)
+        return SolutionResults(plot_im=im, tracks=kept, n=len(kept))
 
 
 def streamlit_inference(model_path: str = "yolov8n.yaml"):
@@ -366,6 +484,7 @@ def streamlit_inference(model_path: str = "yolov8n.yaml"):
             frame_slot.image(res.plot()[..., ::-1], channels="RGB")
 
 
-__all__ = ["ObjectCounter", "RegionCounter", "Heatmap", "SpeedEstimator", "AIGym",
-           "Analytics", "DistanceCalculation", "ParkingManagement", "QueueManager",
+__all__ = ["BaseSolution", "SolutionResults", "ObjectCounter", "RegionCounter",
+           "Heatmap", "SpeedEstimator", "AIGym", "Analytics",
+           "DistanceCalculation", "ParkingManagement", "QueueManager",
            "SecurityAlarm", "TrackZone", "streamlit_inference"]

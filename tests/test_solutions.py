@@ -1,6 +1,7 @@
 """Solutions demo apps over synthetic track streams (reference tests/test_solutions.py)."""
 
 import numpy as np
+import pytest
 
 from sar_yolo_tpu.solutions import Heatmap, ObjectCounter, RegionCounter, SpeedEstimator
 
@@ -255,3 +256,60 @@ def test_check_requirements():
         raise AssertionError("expected ModuleNotFoundError")
     except ModuleNotFoundError:
         pass
+
+
+def test_solution_process_with_model():
+    """BaseSolution frame-in path: app owns the model + tracker and returns
+    annotated SolutionResults (reference solutions/solutions.py:12)."""
+    from sar_yolo_tpu import YOLO
+    from sar_yolo_tpu.solutions import ObjectCounter, TrackZone
+
+    model = YOLO("tinydet.yaml", task="detect")
+    frames = [(np.full((96, 96, 3), 40 + 20 * i, np.uint8)) for i in range(2)]
+
+    oc = ObjectCounter(region=((48, 0), (48, 96)), model=model, imgsz=96,
+                       conf=0.0)
+    res = oc.process(frames[0])
+    assert res.plot_im.shape == frames[0].shape
+    assert set(res.data) == {"in", "out"}
+
+    tz = TrackZone(region=[(0, 0), (96, 0), (96, 96), (0, 96)], model=model,
+                   imgsz=96, conf=0.0)
+    res2 = tz(frames[1])  # __call__ alias
+    assert res2.plot_im.shape == frames[1].shape
+    assert res2.n == len(res2.tracks)
+
+
+def test_solution_update_without_model_raises_on_process():
+    from sar_yolo_tpu.solutions import QueueManager
+
+    qm = QueueManager(region=[(0, 0), (10, 0), (10, 10), (0, 10)])
+    out = qm.update(np.array([[2, 2, 6, 6, 0.9, 0, 1]]))
+    assert out["queue"] == 1
+    with pytest.raises(ValueError):
+        qm.process(np.zeros((32, 32, 3), np.uint8))
+
+
+def test_parking_json_and_alarm_episode():
+    import json as _json
+
+    from sar_yolo_tpu.solutions import ParkingManagement, SecurityAlarm
+
+    slots = [{"points": [[0, 0], [10, 0], [10, 10], [0, 10]]},
+             {"points": [[20, 0], [30, 0], [30, 10], [20, 10]]}]
+    import tempfile, os
+    fd, path = tempfile.mkstemp(suffix=".json")
+    with os.fdopen(fd, "w") as f:
+        _json.dump(slots, f)
+    pm = ParkingManagement(json_file=path)
+    out = pm.update(np.array([[1, 1, 8, 8, 0.9, 0]]))
+    os.unlink(path)
+    assert out == {"occupied": 1, "available": 1, "slots": [True, False]}
+
+    fired = []
+    sa = SecurityAlarm(threshold=2, notifier=fired.append)
+    sa.update(np.zeros((2, 6)))   # breach
+    sa.update(np.zeros((2, 6)))   # still breached -> no second fire
+    sa.update(np.zeros((1, 6)))   # reset
+    sa.update(np.zeros((3, 6)))   # second episode
+    assert len(fired) == 2 and len(sa.events) == 2
