@@ -56,6 +56,12 @@ def bench_train(model_yaml: str, task: str, B: int, imgsz: int = 640,
     rng = jax.random.PRNGKey(0)
     state, total, _ = tr._train_step(tr.state, batch, rng, tr._mosaic_on)
     float(total)  # compile + settle
+    # second warm-up: the first call's OUTPUT shardings (GSPMD) can differ from
+    # the trainer-made inputs (NamedSharding) -> one more compile on call 2;
+    # without this the recompile lands INSIDE the timed loop (measured 62 vs
+    # 515 img/s on yolov8n)
+    state, total, _ = tr._train_step(state, batch, rng, tr._mosaic_on)
+    float(total)
     t0 = time.perf_counter()
     for i in range(n_iter):
         rng, sub = jax.random.split(rng)

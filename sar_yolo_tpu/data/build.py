@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import queue
 import threading
+from concurrent import futures
 from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
@@ -92,15 +93,29 @@ class DataLoader:
                     if stop.is_set():
                         break
                     futs, npad = pending.pop(0)
-                    items = [f.result() for f in futs]
+                    try:
+                        items = [f.result() for f in futs]
+                    except futures.CancelledError:
+                        break  # consumer stopped early; pool was shut down
                     if bi < len(batches):
                         submit_next()
                     out = collate(items)
                     if self.pad_last:
                         out["_pad"] = npad  # trailing samples are duplicates, skip in metrics
-                    q.put(out)
+                    while not stop.is_set():  # don't block forever on a gone consumer
+                        try:
+                            q.put(out, timeout=0.5)
+                            break
+                        except queue.Full:
+                            continue
             finally:
-                q.put(None)
+                while True:  # sentinel must reach a live consumer; drop it if gone
+                    try:
+                        q.put(None, timeout=0.5)
+                        break
+                    except queue.Full:
+                        if stop.is_set():
+                            break
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
