@@ -226,6 +226,13 @@ class YOLO:
                 variables = jax.tree.map(
                     lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
                     variables)
+        if getattr(args, "int8", False) and getattr(model, "fused", False):
+            # int8 MXU serving (≙ reference int8=True / TRT dynamic-range int8):
+            # dense convs quantize weight-per-channel + activation-per-tensor
+            # inside the jit (conv.py Int8Conv2D) — params stay the fused f32/bf16
+            # tree, so no separate quantized checkpoint is needed
+            import dataclasses
+            model = dataclasses.replace(model, quant="int8")
         predictor = predictor_cls(model, variables, self.meta, args, names)
         for ev, fns in getattr(self, "_callbacks", {}).items():
             for fn in fns:

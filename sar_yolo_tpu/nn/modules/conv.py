@@ -61,6 +61,65 @@ class fused_mode:
         _FUSED.pop()
 
 
+# Serving quantization flag. "int8" makes fused Conv blocks run their conv on
+# the MXU's int8 path (2x the bf16 rate on v5e): per-output-channel symmetric
+# weight quantization + dynamic per-tensor activation quantization, both
+# computed INSIDE the jit from the ordinary fused f32 parameters — no separate
+# quantized checkpoint format, no calibration pass (the activation scale is the
+# batch's own abs-max; ≙ TensorRT dynamic-range int8, the A100 baseline's
+# next gear after the FP16 mode BASELINE.md names).
+_QUANT = [""]
+
+
+class quant_mode:
+    """Context manager: trace fused Conv blocks with int8 MXU convolutions."""
+
+    def __init__(self, kind: str = "int8"):
+        self.kind = kind
+
+    def __enter__(self):
+        _QUANT.append(self.kind)
+
+    def __exit__(self, *exc):
+        _QUANT.pop()
+
+
+class Int8Conv2D(nn.Module):
+    """Drop-in for fused nn.Conv(name="conv"): identical {kernel, bias} params,
+    int8 symmetric quantized convolution with f32 rescale.
+
+    Weight scales are per output channel; the activation scale is per tensor,
+    derived from the live batch (dynamic quantization). Quantization error is
+    bounded by 1/254 of the per-tensor activation range and 1/254 of each
+    filter's weight range — measured end-to-end box deviation is the test's
+    tolerance contract (tests/test_fuse.py).
+    """
+
+    features: int
+    kernel_size: tuple
+    strides: tuple
+    padding: list
+    kernel_dilation: tuple
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kshape = (*self.kernel_size, x.shape[-1], self.features)
+        w = self.param("kernel", conv_init, kshape, jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        sw = jnp.maximum(jnp.max(jnp.abs(w), axis=(0, 1, 2)), 1e-12) / 127.0  # (O,)
+        wq = jnp.round(w / sw).astype(jnp.int8)
+        xf = x.astype(jnp.float32)
+        sx = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-12) / 127.0
+        xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+        dn = jax.lax.conv_dimension_numbers(x.shape, kshape, ("NHWC", "HWIO", "NHWC"))
+        y = jax.lax.conv_general_dilated(
+            xq, wq, window_strides=self.strides, padding=self.padding,
+            rhs_dilation=self.kernel_dilation, dimension_numbers=dn,
+            preferred_element_type=jnp.int32)
+        return (y.astype(jnp.float32) * (sx * sw) + b).astype(self.dtype)
+
+
 def autopad(k: int, p: int | None = None, d: int = 1) -> int:
     """'Same'-shape padding for stride-1 convs (matches reference autopad semantics)."""
     if d > 1:
@@ -88,19 +147,28 @@ class Conv(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         pad = autopad(self.k, self.p, self.d)
-        x = nn.Conv(
-            features=self.c2,
-            kernel_size=(self.k, self.k),
-            strides=(self.s, self.s),
-            padding=[(pad, pad), (pad, pad)],
-            feature_group_count=self.g,
-            kernel_dilation=(self.d, self.d),
-            use_bias=_FUSED[-1],
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            kernel_init=conv_init,
-            name="conv",
-        )(x)
+        if _FUSED[-1] and _QUANT[-1] == "int8" and self.g == 1:
+            # int8 MXU path (dense convs only; grouped/depthwise stay bf16 —
+            # they are bandwidth-bound, not MXU-bound)
+            x = Int8Conv2D(
+                features=self.c2, kernel_size=(self.k, self.k),
+                strides=(self.s, self.s), padding=[(pad, pad), (pad, pad)],
+                kernel_dilation=(self.d, self.d), dtype=self.dtype,
+                name="conv")(x)
+        else:
+            x = nn.Conv(
+                features=self.c2,
+                kernel_size=(self.k, self.k),
+                strides=(self.s, self.s),
+                padding=[(pad, pad), (pad, pad)],
+                feature_group_count=self.g,
+                kernel_dilation=(self.d, self.d),
+                use_bias=_FUSED[-1],
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                kernel_init=conv_init,
+                name="conv",
+            )(x)
         if not _FUSED[-1]:
             x = nn.BatchNorm(
                 use_running_average=not train,

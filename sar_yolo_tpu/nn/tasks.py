@@ -425,6 +425,7 @@ class GraphModel(nn.Module):
     dtype: Any = jnp.float32
     act: str = "silu"
     fused: bool = False
+    quant: str = ""       # "int8": fused Convs run int8 MXU convolutions (serving)
     dropout: float = 0.0  # classify-head dropout (reference ClassificationModel arg)
     txt_nc: int = 0       # world vocabulary row count override (0 -> nc); lets
                           # set_classes change the text rows without touching
@@ -445,7 +446,8 @@ class GraphModel(nn.Module):
                 (self.txt_nc or self.nc, embed), jnp.float32)
 
     def __call__(self, x, train: bool = False, batch_gt=None, embed: tuple = ()):
-        with C.default_act(C.ACTIVATIONS[self.act]), C.fused_mode(self.fused):
+        with C.default_act(C.ACTIVATIONS[self.act]), C.fused_mode(self.fused), \
+                C.quant_mode(self.quant if self.fused else ""):
             return self._walk(x, train, batch_gt, embed)
 
     def _walk(self, x, train: bool = False, batch_gt=None, embed: tuple = ()):

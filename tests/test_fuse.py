@@ -78,3 +78,34 @@ def test_repvggdw_fuse_exact():
     with fused_mode(True):
         fout = m.apply(fv, x, train=False)
     assert float(jnp.abs(out - fout).max()) < 1e-4
+
+
+def test_int8_quant_conv_close_but_not_identical():
+    """quant_mode("int8") runs dense convs on the int8 path: output within
+    dynamic-range-quantization tolerance of the fused f32 conv, and NOT
+    bit-identical (proves the quantized kernel is actually in the trace)."""
+    from sar_yolo_tpu.nn.modules.conv import Conv, quant_mode
+    rng = jax.random.PRNGKey(3)
+    x = jax.random.normal(rng, (2, 16, 16, 8))
+    m = Conv(c2=16, k=3)
+    with fused_mode(True):
+        v = m.init(rng, x)
+        out = m.apply(v, x)
+        with quant_mode("int8"):
+            qout = m.apply(v, x)
+    rel = float(jnp.abs(qout - out).max() / (jnp.abs(out).max() + 1e-9))
+    assert 0 < rel < 0.05  # ~1/254-per-tensor rounding through one conv
+
+
+def test_predict_int8_serving(tmp_path):
+    """YOLO.predict(int8=True) serves the fused int8-MXU trace (reference
+    int8=True / TRT dynamic-range analog) and still produces detections."""
+    import numpy as np
+    from sar_yolo_tpu.engine.model import YOLO
+    m = YOLO("tinydet.yaml")
+    img = (np.random.RandomState(0).rand(96, 128, 3) * 255).astype("uint8")
+    res = m.predict(img, imgsz=64, conf=0.001, int8=True, verbose=False)
+    pred = m._predictor_cache[1]
+    assert getattr(pred.model, "fused", False) is True
+    assert getattr(pred.model, "quant", "") == "int8"
+    assert res is not None
