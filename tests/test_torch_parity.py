@@ -53,6 +53,20 @@ def test_yolov8n_forward_parity_with_reference_weights():
         err = float(np.abs(fr - np.asarray(fm)).max())
         assert err < 1e-4, f"forward mismatch: {err}"
 
+    # int8 dynamic-range serving on REAL-scale weights (torch init keeps
+    # activation magnitudes alive, unlike decayed flax random init): deviation
+    # must be bounded and non-zero — the standard PTQ accuracy envelope.
+    import dataclasses
+
+    from sar_yolo_tpu.nn.fuse import fuse
+    fm_, fv_ = fuse(model, variables)
+    y_f = fm_.apply(fv_, jnp.asarray(x), train=False)
+    y_q = dataclasses.replace(fm_, quant="int8").apply(fv_, jnp.asarray(x), train=False)
+    rels = [float(np.abs(np.asarray(a) - np.asarray(b)).max()
+                  / (np.abs(np.asarray(a)).max() + 1e-9))
+            for a, b in zip(jax.tree.leaves(y_f), jax.tree.leaves(y_q))]
+    assert 0 < max(rels) < 0.15, f"int8 deviation out of PTQ envelope: {rels}"
+
 
 @pytest.mark.slow
 def test_yolov13_jde_forward_parity_with_reference_weights():
