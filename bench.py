@@ -222,6 +222,7 @@ def main():
         except Exception as e:  # noqa: BLE001 — extras must never kill the headline
             extra[key] = f"error: {type(e).__name__}: {e}"
 
+    extra["variance_note"] = "run-to-run ~±4% on this shared tunneled chip"
     print(json.dumps({
         "metric": "e2e_images_per_sec_per_chip_640px_yolov8n_raggedinput",
         "value": round(best, 2),

@@ -109,7 +109,10 @@ class DataLoader:
                         except queue.Full:
                             continue
             finally:
-                while True:  # sentinel must reach a live consumer; drop it if gone
+                # sentinel must reach a live consumer; bounded retries so the
+                # daemon thread can't spin forever if the consumer vanished
+                # without its finally running (generator never closed/GC'd)
+                for _ in range(240):  # <= 2 min of 0.5 s waits
                     try:
                         q.put(None, timeout=0.5)
                         break

@@ -226,6 +226,11 @@ class YOLO:
                 variables = jax.tree.map(
                     lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
                     variables)
+        if getattr(args, "int8", False) and not getattr(model, "fused", False):
+            from sar_yolo_tpu.utils import LOGGER
+            LOGGER.warning(
+                "int8=True requested but the model could not be fused (BN fold "
+                "failed) — serving full precision instead.")
         if getattr(args, "int8", False) and getattr(model, "fused", False):
             # int8 MXU serving (≙ reference int8=True / TRT dynamic-range int8):
             # dense convs quantize weight-per-channel + activation-per-tensor

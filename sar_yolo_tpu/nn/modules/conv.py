@@ -107,10 +107,16 @@ class Int8Conv2D(nn.Module):
         kshape = (*self.kernel_size, x.shape[-1], self.features)
         w = self.param("kernel", conv_init, kshape, jnp.float32)
         b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        # quantize in f32 regardless of the serving dtype: with half=True the
+        # bound params are bf16, whose spacing near 127 is 0.5 — round(w/sw)
+        # could hit 128.0 and wrap to -128 on the max-magnitude weight
+        w = w.astype(jnp.float32)
         sw = jnp.maximum(jnp.max(jnp.abs(w), axis=(0, 1, 2)), 1e-12) / 127.0  # (O,)
-        wq = jnp.round(w / sw).astype(jnp.int8)
+        wq = jnp.clip(jnp.round(w / sw), -127, 127).astype(jnp.int8)
         xf = x.astype(jnp.float32)
-        sx = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-12) / 127.0
+        # per-sample activation scale: conv never mixes the batch axis, so the
+        # rescale stays exact and batched results match single-image serving
+        sx = jnp.maximum(jnp.max(jnp.abs(xf), axis=(1, 2, 3), keepdims=True), 1e-12) / 127.0
         xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
         dn = jax.lax.conv_dimension_numbers(x.shape, kshape, ("NHWC", "HWIO", "NHWC"))
         y = jax.lax.conv_general_dilated(
