@@ -30,6 +30,23 @@ def install_reference_stubs():
     pml = sys.modules["pytorch_metric_learning"]
     for sub in ("miners", "distances", "losses", "reducers"):
         setattr(pml, sub, sys.modules[f"pytorch_metric_learning.{sub}"])
+
+    class _Unavailable:
+        """Constructible placeholder so v13JDELoss.__init__ (which builds
+        MetricLearningLoss eagerly, reference loss.py:392) imports; raises if
+        the miner/loss is actually invoked — tests must zero embed_loss."""
+
+        def __init__(self, *a, **k):
+            pass
+
+        def __call__(self, *a, **k):
+            raise RuntimeError("pytorch_metric_learning is stubbed in this image")
+
+        def to(self, *a, **k):
+            return self
+
+    sys.modules["pytorch_metric_learning.miners"].BatchEasyHardMiner = _Unavailable
+    sys.modules["pytorch_metric_learning.losses"].TripletMarginLoss = _Unavailable
     if "lap" not in sys.modules:
         sys.modules["lap"] = _make_lap_stub()
     if "/root/reference" not in sys.path:
