@@ -53,19 +53,20 @@ def bench_train(model_yaml: str, task: str, B: int, imgsz: int = 640,
     tr._setup_train()
     batch = next(iter(tr.train_loader))
     batch = shard_batch(tr.mesh, batch)  # device-resident raw uint8 tiles
-    rng = jax.random.PRNGKey(0)
-    state, total, _ = tr._train_step(tr.state, batch, rng, tr._mosaic_on)
+    # the PRNG key lives in the donated TrainState and is split ON DEVICE each
+    # step — the whole step is ONE dispatch (a host-side split per step costs
+    # its own tunneled dispatch: measured 400 vs 515 img/s on yolov8n B=64)
+    state, total, _ = tr._train_step(tr.state, batch, tr._mosaic_on)
     float(total)  # compile + settle
     # second warm-up: the first call's OUTPUT shardings (GSPMD) can differ from
     # the trainer-made inputs (NamedSharding) -> one more compile on call 2;
     # without this the recompile lands INSIDE the timed loop (measured 62 vs
     # 515 img/s on yolov8n)
-    state, total, _ = tr._train_step(state, batch, rng, tr._mosaic_on)
+    state, total, _ = tr._train_step(state, batch, tr._mosaic_on)
     float(total)
     t0 = time.perf_counter()
     for i in range(n_iter):
-        rng, sub = jax.random.split(rng)
-        state, total, _ = tr._train_step(state, batch, sub, tr._mosaic_on)
+        state, total, _ = tr._train_step(state, batch, tr._mosaic_on)
     float(total)  # forces the whole sequential chain
     dt = time.perf_counter() - t0
     return B * n_iter / dt

@@ -248,13 +248,18 @@ class YOLO:
     def predict(self, source, stream: bool = False, **kwargs):
         return self._get_predictor(kwargs)(source, stream=stream)
 
-    def predict_batched(self, frames, mesh_shape=None, **kwargs) -> "np.ndarray":
+    def predict_batched(self, frames, mesh_shape=None, **kwargs):
         """High-throughput serving: a uniform-geometry (B, H, W, 3) uint8 BGR
         batch runs as ONE device dispatch; `mesh_shape=[N]` shards the batch
         over N devices (single-program multi-chip serving — the TPU-native
-        upgrade over the reference's one-GPU-per-process serving).
+        upgrade over the reference's one-GPU-per-process serving). Every task
+        serves through here (reference serves all tasks uniformly via
+        engine/predictor.py:220).
 
-        Returns (B, max_det, 6+E) detections in original-image pixels.
+        Returns per-task batched outputs in original-image pixels:
+        (B, max_det, 6+E) detections for detect/jde/v10/rtdetr,
+        (dets, masks) for segment, (B, max_det, 6+K*D) for pose,
+        (B, max_det, 7) xywhr for obb, (B, nc) probs for classify.
         """
         mesh = None
         if mesh_shape:

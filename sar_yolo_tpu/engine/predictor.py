@@ -135,6 +135,13 @@ class BasePredictor:
         boxes = (dets[..., :4] - jnp.concatenate([pad, pad])[None, None, :]) / r
         return jnp.concatenate([boxes, dets[..., 4:]], -1)
 
+    def _batch_tail(self, variables, x, r, pad):
+        """Task-specific tail of every serving trace (single-frame AND batched):
+        normalized letterboxed batch -> task outputs in original-image coords.
+        Subclasses override this one method; both `_build` and `_build_batched`
+        route through it, so every task serves through `predict_batch`."""
+        return self._dets_in_orig_coords(variables, x, r, pad)
+
     def _build(self):
         meta = self.meta
         use_tta = bool(getattr(self.args, "augment", False))
@@ -148,7 +155,9 @@ class BasePredictor:
         def run(variables, frame_u8):
             """frame_u8: raw (H, W, 3) uint8 BGR frame."""
             x, r, pad = self._preprocess_jit(frame_u8)
-            return self._dets_in_orig_coords(variables, x, r, pad, use_tta)
+            if use_tta:
+                return self._dets_in_orig_coords(variables, x, r, pad, True)
+            return self._batch_tail(variables, x, r, pad)
 
         return run
 
@@ -167,22 +176,22 @@ class BasePredictor:
         def run(variables, frames_u8):
             rgb = frames_u8[..., ::-1]
             x = jax.vmap(lambda im: letterbox_device(im, imgsz, scaleup=False)[0])(rgb)
-            return self._dets_in_orig_coords(variables, x / 255.0, r, [left, top])
+            return self._batch_tail(variables, x / 255.0, r, [left, top])
 
         return run
 
-    def predict_batch(self, frames_u8, mesh=None) -> np.ndarray:
+    def predict_batch(self, frames_u8, mesh=None):
         """Run a (B, H, W, 3) uint8 BGR batch in ONE device dispatch.
 
         With `mesh` (a 1-axis jax.sharding.Mesh), the batch shards over the
         devices and the weights replicate — single-program multi-chip serving
         with zero per-chip code (the reference serves one GPU per process).
-        Returns (B, max_det, 6+E) detections in original-image coordinates.
+
+        Returns the task's batched outputs in original-image coordinates:
+        (B, max_det, 6+E) detections for box heads (JDE extras carried),
+        (dets, proto-res masks) for segment, (B, max_det, 6+K*D) for pose,
+        (B, max_det, 7) xywhr for obb, (B, nc) probs for classify.
         """
-        head = self.meta.get("head")
-        if head not in ("Detect", "JDE", "v10Detect"):
-            raise ValueError(f"predict_batch supports box-detection heads only "
-                             f"(got {head}); use predict() for {head} outputs")
         frames = np.asarray(frames_u8)
         B, H, W = frames.shape[:3]
         key = (B, H, W, None if mesh is None else tuple(map(str, mesh.devices.flat)))
@@ -202,7 +211,7 @@ class BasePredictor:
                     self.variables)
                 self._batch_exec[2] = self.variables
             variables = self._batch_exec[3]
-        return np.asarray(fn(variables, batch))
+        return jax.tree.map(np.asarray, fn(variables, batch))
 
     def postprocess(self, dets, path, orig_img, speed):
         d = np.asarray(dets[0])
@@ -278,28 +287,23 @@ class JDEPredictor(BasePredictor):
 class PosePredictor(BasePredictor):
     """Decodes keypoints into Results.keypoints (reference pose/predict.py)."""
 
-    def _build(self):
+    def _batch_tail(self, variables, x, r, pad):
         model, meta, args = self.model, self.meta, self.args
         nc = meta["nc"]
         conf = args.conf if args.conf is not None else 0.25
         strides = tuple(meta["strides"])
         kpt_shape = tuple(meta.get("kpt_shape", (17, 3)))
-
-        @jax.jit
-        def run(variables, frame_u8):
-            x, r, pad = self._preprocess_jit(frame_u8)
-            feats = model.apply(variables, x, train=False)
-            preds = decode_detect(feats, strides, nc, meta["reg_max"], kpt_shape=kpt_shape)
-            dets = non_max_suppression(preds, conf_thres=conf, iou_thres=args.iou,
-                                       max_det=args.max_det, nc=nc)
-            boxes = (dets[..., :4] - jnp.concatenate([pad, pad])[None, None, :]) / r
-            K, D = kpt_shape
-            kpts = dets[..., 6:6 + K * D].reshape(*dets.shape[:2], K, D)
-            kxy = (kpts[..., :2] - pad[None, None, None, :]) / r  # pad: (2,) consts
-            kpts = jnp.concatenate([kxy, kpts[..., 2:]], -1).reshape(*dets.shape[:2], K * D)
-            return jnp.concatenate([boxes, dets[..., 4:6], kpts], -1)
-
-        return run
+        pad = jnp.asarray(pad, x.dtype)
+        feats = model.apply(variables, x, train=False)
+        preds = decode_detect(feats, strides, nc, meta["reg_max"], kpt_shape=kpt_shape)
+        dets = non_max_suppression(preds, conf_thres=conf, iou_thres=args.iou,
+                                   max_det=args.max_det, nc=nc)
+        boxes = (dets[..., :4] - jnp.concatenate([pad, pad])[None, None, :]) / r
+        K, D = kpt_shape
+        kpts = dets[..., 6:6 + K * D].reshape(*dets.shape[:2], K, D)
+        kxy = (kpts[..., :2] - pad[None, None, None, :]) / r  # pad: (2,) consts
+        kpts = jnp.concatenate([kxy, kpts[..., 2:]], -1).reshape(*dets.shape[:2], K * D)
+        return jnp.concatenate([boxes, dets[..., 4:6], kpts], -1)
 
     def postprocess(self, dets, path, orig_img, speed):
         d = np.asarray(dets[0])
@@ -316,27 +320,22 @@ class PosePredictor(BasePredictor):
 class SegmentPredictor(BasePredictor):
     """Composes instance masks from prototypes (reference segment/predict.py)."""
 
-    def _build(self):
+    def _batch_tail(self, variables, x, r, pad):
         model, meta, args = self.model, self.meta, self.args
         nc = meta["nc"]
         conf = args.conf if args.conf is not None else 0.25
         strides = tuple(meta["strides"])
-
-        @jax.jit
-        def run(variables, frame_u8):
-            x, r, pad = self._preprocess_jit(frame_u8)
-            feats, protos = model.apply(variables, x, train=False)
-            preds = decode_detect(feats, strides, nc, meta["reg_max"])
-            dets = non_max_suppression(preds, conf_thres=conf, iou_thres=args.iou,
-                                       max_det=args.max_det, nc=nc)
-            from sar_yolo_tpu.ops.masks import process_mask
-            H = x.shape[1]
-            masks = jax.vmap(lambda p, dd: process_mask(p, dd[:, 6:], dd[:, :4], (H, H)))(
-                protos, dets)
-            boxes = (dets[..., :4] - jnp.concatenate([pad, pad])[None, None, :]) / r
-            return jnp.concatenate([boxes, dets[..., 4:6]], -1), masks
-
-        return run
+        pad = jnp.asarray(pad, x.dtype)
+        feats, protos = model.apply(variables, x, train=False)
+        preds = decode_detect(feats, strides, nc, meta["reg_max"])
+        dets = non_max_suppression(preds, conf_thres=conf, iou_thres=args.iou,
+                                   max_det=args.max_det, nc=nc)
+        from sar_yolo_tpu.ops.masks import process_mask
+        H = x.shape[1]
+        masks = jax.vmap(lambda p, dd: process_mask(p, dd[:, 6:], dd[:, :4], (H, H)))(
+            protos, dets)
+        boxes = (dets[..., :4] - jnp.concatenate([pad, pad])[None, None, :]) / r
+        return jnp.concatenate([boxes, dets[..., 4:6]], -1), masks
 
     def stream_inference(self, source):
         import time as _t
@@ -363,15 +362,8 @@ class SegmentPredictor(BasePredictor):
 class ClassificationPredictor(BasePredictor):
     """Image classification: returns Results.probs (reference classify/predict.py)."""
 
-    def _build(self):
-        model = self.model
-
-        @jax.jit
-        def run(variables, frame_u8):
-            x, _, _ = self._preprocess_jit(frame_u8)
-            return jax.nn.softmax(model.apply(variables, x, train=False), axis=-1)
-
-        return run
+    def _batch_tail(self, variables, x, r, pad):
+        return jax.nn.softmax(self.model.apply(variables, x, train=False), axis=-1)
 
     def postprocess(self, probs, path, orig_img, speed):
         p = np.asarray(probs[0])
@@ -381,26 +373,21 @@ class ClassificationPredictor(BasePredictor):
 class OBBPredictor(BasePredictor):
     """Rotated-box inference: Results carry xywhr rows (reference obb/predict.py)."""
 
-    def _build(self):
+    def _batch_tail(self, variables, x, r, pad):
         model, meta, args = self.model, self.meta, self.args
         nc = meta["nc"]
         conf = args.conf if args.conf is not None else 0.25
         strides = tuple(meta["strides"])
         from sar_yolo_tpu.ops.decode import decode_obb
         from sar_yolo_tpu.ops.nms import non_max_suppression_rotated
-
-        @jax.jit
-        def run(variables, frame_u8):
-            x, r, pad = self._preprocess_jit(frame_u8)
-            feats = model.apply(variables, x, train=False)
-            preds = decode_obb(feats, strides, nc, meta["reg_max"])
-            dets = non_max_suppression_rotated(preds, conf_thres=conf, iou_thres=args.iou,
-                                               max_det=args.max_det, nc=nc)
-            xy = (dets[..., :2] - pad[None, None, :]) / r
-            wh = dets[..., 2:4] / r
-            return jnp.concatenate([xy, wh, dets[..., 4:]], -1)
-
-        return run
+        pad = jnp.asarray(pad, x.dtype)
+        feats = model.apply(variables, x, train=False)
+        preds = decode_obb(feats, strides, nc, meta["reg_max"])
+        dets = non_max_suppression_rotated(preds, conf_thres=conf, iou_thres=args.iou,
+                                           max_det=args.max_det, nc=nc)
+        xy = (dets[..., :2] - pad[None, None, :]) / r
+        wh = dets[..., 2:4] / r
+        return jnp.concatenate([xy, wh, dets[..., 4:]], -1)
 
     def postprocess(self, dets, path, orig_img, speed):
         d = np.asarray(dets[0])
@@ -413,24 +400,18 @@ class OBBPredictor(BasePredictor):
 class RTDETRPredictor(BasePredictor):
     """RT-DETR inference: top decoder layer, conf filter only (rtdetr/predict.py)."""
 
-    def _build(self):
-        model, args = self.model, self.args
-        conf = args.conf if args.conf is not None else 0.25
+    def _batch_tail(self, variables, x, r, pad):
+        conf = self.args.conf if self.args.conf is not None else 0.25
         imgsz = self.imgsz
-
-        @jax.jit
-        def run(variables, frame_u8):
-            x, r, pad = self._preprocess_jit(frame_u8)
-            dec_b, dec_s, _, _ = model.apply(variables, x, train=False)
-            boxes = dec_b[-1] * imgsz             # (B, nq, 4) pixels cxcywh
-            scores = jax.nn.sigmoid(dec_s[-1])
-            cls_conf = scores.max(-1)
-            cls = scores.argmax(-1).astype(boxes.dtype)
-            xy = (boxes[..., :2] - pad[None, None, :]) / r
-            wh = boxes[..., 2:4] / r
-            x1y1 = xy - wh / 2
-            x2y2 = xy + wh / 2
-            conf_m = jnp.where(cls_conf >= conf, cls_conf, 0.0)
-            return jnp.concatenate([x1y1, x2y2, conf_m[..., None], cls[..., None]], -1)
-
-        return run
+        pad = jnp.asarray(pad, x.dtype)
+        dec_b, dec_s, _, _ = self.model.apply(variables, x, train=False)
+        boxes = dec_b[-1] * imgsz             # (B, nq, 4) pixels cxcywh
+        scores = jax.nn.sigmoid(dec_s[-1])
+        cls_conf = scores.max(-1)
+        cls = scores.argmax(-1).astype(boxes.dtype)
+        xy = (boxes[..., :2] - pad[None, None, :]) / r
+        wh = boxes[..., 2:4] / r
+        x1y1 = xy - wh / 2
+        x2y2 = xy + wh / 2
+        conf_m = jnp.where(cls_conf >= conf, cls_conf, 0.0)
+        return jnp.concatenate([x1y1, x2y2, conf_m[..., None], cls[..., None]], -1)

