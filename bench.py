@@ -106,12 +106,15 @@ def bench_jde_e2e(B: int, imgsz: int = 640, n_iter: int = 20) -> float:
         x = jax.vmap(prep)(frames_u8)
         feats = model.apply(variables, x, train=False)
         feats = [f.astype(jnp.float32) for f in feats]
-        # JDE level maps carry [box64, cls, emb256, state6]; decode keeps the
-        # extra columns alongside (emb raw, state sigmoid via extra_sigmoid)
-        preds = decode_detect(feats, strides, nc, meta["reg_max"],
-                              extra_sigmoid=meta["state_classes"] or 0)
+        # JDE level maps carry [box64, cls, emb256, state6]; the raw 256-d
+        # embeddings stay OUT of the (B, N)-wide decode/NMS traffic (bank
+        # path, ops/nms.py) and are gathered per kept detection after NMS
+        preds, bank = decode_detect(feats, strides, nc, meta["reg_max"],
+                                    extra_sigmoid=meta["state_classes"] or 0,
+                                    split_extras=meta["embed_dim"])
         dets = non_max_suppression(preds, conf_thres=0.25, iou_thres=0.7,
-                                   max_det=300, pre_topk=512, nc=nc)
+                                   max_det=300, pre_topk=512, nc=nc,
+                                   extras_bank=bank)
         return acc + jnp.sum(dets)
 
     rng = np.random.default_rng(0)
@@ -208,11 +211,13 @@ def main():
 
     extra = {}
     for key, fn in [
+        # train batch sizes are the measured-optimal occupancy points (PROFILE.md
+        # round-4 B sweep: yolov8n 517@64 -> 758@128; JDE 233@32 -> 237@64)
         ("train_yolov8n_640_imgs_per_sec",
-         lambda: bench_train("yolov8n.yaml", "detect", B=64 if on_tpu else 2,
+         lambda: bench_train("yolov8n.yaml", "detect", B=128 if on_tpu else 2,
                              n_iter=12 if on_tpu else 2)),
         ("train_yolov13njde_640_imgs_per_sec",
-         lambda: bench_train("yolov13n-JDE.yaml", "jde", B=32 if on_tpu else 2,
+         lambda: bench_train("yolov13n-JDE.yaml", "jde", B=64 if on_tpu else 2,
                              n_iter=10 if on_tpu else 2)),
         ("e2e_yolov13njde_640_imgs_per_sec",
          lambda: bench_jde_e2e(B=128 if on_tpu else 2,

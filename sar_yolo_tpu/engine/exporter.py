@@ -93,13 +93,23 @@ class Exporter:
         nc = meta["nc"]
         extra_sig = meta.get("state_classes") or 0
 
+        # embedded-NMS JDE artifacts use the bank path (embeddings gathered per
+        # kept detection, ops/nms.py); raw-preds artifacts keep channels inline
+        # so external consumers see the full documented (B, N, no) layout
+        emb_dim = (meta.get("embed_dim") or 0) if with_nms else 0
+
         def infer(img):
             x = img.astype(jnp.float32) / 255.0
             feats = model.apply(variables, x, train=False)
-            preds = decode_detect(feats, strides, nc, meta["reg_max"], extra_sigmoid=extra_sig)
+            preds = decode_detect(feats, strides, nc, meta["reg_max"],
+                                  extra_sigmoid=extra_sig, split_extras=emb_dim)
+            bank = None
+            if emb_dim:
+                preds, bank = preds
             if with_nms:
                 return non_max_suppression(preds, conf_thres=0.25, iou_thres=self.args.iou,
-                                           max_det=self.args.max_det, nc=nc)
+                                           max_det=self.args.max_det, nc=nc,
+                                           extras_bank=bank)
             return preds
 
         return infer

@@ -115,14 +115,21 @@ class BasePredictor:
         nc = meta["nc"]
         conf = args.conf if args.conf is not None else 0.25
         strides = tuple(meta["strides"])
+        bank = None
         if use_tta:
             from sar_yolo_tpu.ops.tta import forward_tta
             preds = forward_tta(lambda xi: model.apply(variables, xi, train=False),
                                 x, strides, nc, meta["reg_max"])
         else:
             feats = model.apply(variables, x, train=False)
+            # JDE: keep the wide raw embedding channels out of the (B, N)-sized
+            # decode/NMS traffic; they are gathered per kept detection after NMS
+            emb_dim = meta.get("embed_dim") or 0
             preds = decode_detect(feats, strides, nc, meta["reg_max"],
-                                  extra_sigmoid=meta.get("state_classes") or 0)
+                                  extra_sigmoid=meta.get("state_classes") or 0,
+                                  split_extras=emb_dim)
+            if emb_dim:
+                preds, bank = preds
         if meta.get("head") == "v10Detect":  # NMS-free serve path
             from sar_yolo_tpu.ops.nms import postprocess_end2end
             dets = postprocess_end2end(preds, max_det=args.max_det,
@@ -130,7 +137,7 @@ class BasePredictor:
         else:
             dets = non_max_suppression(preds, conf_thres=conf, iou_thres=args.iou,
                                        max_det=args.max_det, nc=nc,
-                                       agnostic=args.agnostic_nms)
+                                       agnostic=args.agnostic_nms, extras_bank=bank)
         pad = jnp.asarray(pad, dets.dtype)
         boxes = (dets[..., :4] - jnp.concatenate([pad, pad])[None, None, :]) / r
         return jnp.concatenate([boxes, dets[..., 4:]], -1)

@@ -196,7 +196,8 @@ class BaseTrainer(HasCallbacks):
             nc = 3
             info = {"nc": nc, "names": {i: f"class{i}" for i in range(nc)}}
             kpt_shape = tuple(self.args.get("kpt_shape", (5, 3))) if hasattr(self.args, "get") else (5, 3)
-            train = SyntheticDataset(n=64, imgsz=self.args.imgsz, nc=nc,
+            n_train = max(64, int(getattr(self.args, "batch", 16) or 16))
+            train = SyntheticDataset(n=n_train, imgsz=self.args.imgsz, nc=nc,
                                      max_labels=self.args.max_labels, use_tags=use_tags,
                                      task=self.task, kpt_shape=kpt_shape)
             # synthetic data trains un-augmented by default (overfit proofs);

@@ -70,14 +70,22 @@ class BaseValidator:
                 feats, protos = out
             else:
                 feats = out
+            emb_dim = meta.get("embed_dim") or 0  # JDE: post-NMS embedding gather
             preds = decode_detect(feats, strides, nc, meta["reg_max"],
-                                  extra_sigmoid=extra_sig, kpt_shape=kpt_shape)
+                                  extra_sigmoid=extra_sig, kpt_shape=kpt_shape,
+                                  split_extras=emb_dim)
+            bank = None
+            if emb_dim:
+                preds, bank = preds
             if end2end:  # NMS-free (v10) path
                 from sar_yolo_tpu.ops.nms import postprocess_end2end
                 dets = postprocess_end2end(preds, max_det=max_det, conf_thres=conf, nc=nc)
             else:
+                # reference val-time NMS is multi-label for nc > 1
+                # (utils/ops.py non_max_suppression, multi_label=True in val)
                 dets = non_max_suppression(preds, conf_thres=conf, iou_thres=args.iou,
-                                           max_det=max_det, nc=nc)
+                                           max_det=max_det, nc=nc, extras_bank=bank,
+                                           multi_label=nc > 1)
             return (dets, protos) if protos is not None else dets
 
         bs = min(args.batch, len(dataset))

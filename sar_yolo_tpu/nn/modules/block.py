@@ -268,7 +268,15 @@ class AAttn(nn.Module):
         pe = Conv(C, 5, 1, 2, g=C, act=False, dtype=self.dtype, name="pe")(v, train)
         qk = qk.reshape(B, N, 2 * C)
         q, k = qk[..., :C], qk[..., C:]
-        use_flash = (jax.default_backend() == "tpu") if self.use_flash is None else self.use_flash
+        # Auto kernel selection (measured on the real chip, tools/v13_layer_profile.py):
+        # the Pallas flash kernel pads head_dim 32 -> 128 lanes, wasting 4x MXU FLOPs,
+        # so at short chunk lengths (640px: Na <= 400) the einsum form is ~1.6x faster
+        # full-model (508 vs 835 us/img). Flash only pays once the (Na, Na) score
+        # matrix is too large to materialize (large imgsz) — switch above 1024 tokens.
+        if self.use_flash is None:
+            use_flash = jax.default_backend() == "tpu" and (N // self.area) > 1024
+        else:
+            use_flash = self.use_flash
         if use_flash:
             from sar_yolo_tpu.ops.pallas import flash_area_attention
             out = flash_area_attention(q, k, v.reshape(B, N, C), self.num_heads,

@@ -24,7 +24,7 @@ def flatten_feats(feats):
 
 
 def decode_detect(feats, strides, nc: int, reg_max: int = 16, extra_sigmoid: int = 0,
-                  kpt_shape=None):
+                  kpt_shape=None, split_extras: int = 0):
     """Decode detection head output.
 
     TPU layout note: all math happens PER LEVEL on the NHWC maps (channel axis
@@ -41,12 +41,22 @@ def decode_detect(feats, strides, nc: int, reg_max: int = 16, extra_sigmoid: int
             extra channels before those (embeddings) pass through raw.
         kpt_shape: (K, D) when extras are pose keypoints — decoded to input
             pixels with sigmoided visibility.
+        split_extras: number of leading extra channels (JDE embeddings) to
+            RETURN SEPARATELY as a (B, N, split_extras) bank instead of
+            concatenating into the predictions. Carrying 256 raw embedding
+            channels through decode + NMS over all N anchors costs ~10x the
+            whole detect decode in HBM traffic (measured 160 vs 14 us/img at
+            B=128); the bank path gathers embeddings for the <= max_det kept
+            anchors AFTER NMS (see ops/nms.py extras_bank).
 
     Returns:
         (B, N, 4 + nc + E): xywh boxes in input pixels, sigmoided class scores,
         extras (raw embeddings / decoded keypoints / mask coeffs, sigmoided states).
+        With split_extras > 0: tuple of that array (without the embedding
+        columns) and the (B, N, split_extras) raw embedding bank.
     """
     outs = []
+    banks = []
     for f, s in zip(feats, strides):
         B, H, W, _ = f.shape
         box = f[..., : 4 * reg_max]
@@ -71,13 +81,26 @@ def decode_detect(feats, strides, nc: int, reg_max: int = 16, extra_sigmoid: int
                     k = kxy
                 parts.append(k.reshape(B, H, W, K * D))
             elif extra_sigmoid:
-                parts.append(extras[..., :-extra_sigmoid])
+                mid = extras[..., :-extra_sigmoid]
+                if split_extras:
+                    # contiguous major-axis collapse: no relayout, channel stays minor
+                    banks.append(mid[..., :split_extras].reshape(B, H * W, split_extras))
+                    mid = mid[..., split_extras:]
+                if mid.shape[-1]:
+                    parts.append(mid)
                 parts.append(jax.nn.sigmoid(extras[..., -extra_sigmoid:]))
             else:
-                parts.append(extras)
+                if split_extras:
+                    banks.append(extras[..., :split_extras].reshape(B, H * W, split_extras))
+                    extras = extras[..., split_extras:]
+                if extras.shape[-1]:
+                    parts.append(extras)
         no = sum(p.shape[-1] for p in parts)
         outs.append(jnp.concatenate(parts, -1).reshape(B, H * W, no))
-    return jnp.concatenate(outs, axis=1)
+    preds = jnp.concatenate(outs, axis=1)
+    if split_extras:
+        return preds, jnp.concatenate(banks, axis=1)
+    return preds
 
 
 def kpts_decode(anchor_points, pred_kpts):

@@ -84,40 +84,73 @@ def _nms_single(boxes, scores, classes, extras, iou_thres: float, max_det: int,
 
 
 @partial(jax.jit, static_argnames=("conf_thres", "iou_thres", "max_det", "pre_topk",
-                                   "nc", "agnostic"))
+                                   "nc", "agnostic", "multi_label"))
 def non_max_suppression(preds, conf_thres: float = 0.25, iou_thres: float = 0.7,
                         max_det: int = 300, pre_topk: int = 1024, nc: int = 80,
-                        agnostic: bool = False):
+                        agnostic: bool = False, extras_bank=None,
+                        multi_label: bool = False):
     """Batched NMS over raw decoded predictions.
 
     Args:
         preds: (B, N, 4 + nc + E) — xywh boxes, per-class scores (already
-            sigmoided), and E extra channels (e.g. JDE embeddings + states)
-            carried through untouched.
+            sigmoided), and E extra channels (e.g. JDE states) carried
+            through untouched.
+        extras_bank: optional (B, N, Eb) per-anchor channels (JDE embeddings
+            from decode_detect(split_extras=...)) gathered for the kept
+            detections only, AFTER suppression — their columns are spliced in
+            right after cls (before the inline extras), so the output layout
+            matches the all-inline form. Keeps wide raw channels out of the
+            (B, N)-sized decode/top-k/NMS traffic.
+        multi_label: every (anchor, class) pair above conf_thres is its own
+            candidate (reference val-time behavior, utils/ops.py
+            non_max_suppression multi_label=True) instead of per-anchor argmax.
+            Used by validators when nc > 1; candidates are the top `pre_topk`
+            pairs by score (≙ the single-label path's pre-topk policy).
 
     Returns:
-        (B, max_det, 6 + E) float array [x1, y1, x2, y2, conf, cls, *extras];
-        rows with conf == 0 are padding.
+        (B, max_det, 6 + Eb + E) float array [x1, y1, x2, y2, conf, cls,
+        *bank_extras, *extras]; rows with conf == 0 are padding.
     """
     B, N, no = preds.shape
     ne = no - 4 - nc
     boxes = xywh2xyxy(preds[..., :4])
     cls_scores = preds[..., 4:4 + nc]
     extras = preds[..., 4 + nc:]
-
-    conf = jnp.max(cls_scores, axis=-1)
-    cls = jnp.argmax(cls_scores, axis=-1).astype(preds.dtype)
-    conf = jnp.where(conf >= conf_thres, conf, 0.0)
-
-    k = min(pre_topk, N)
-    top_conf, top_idx = jax.lax.top_k(conf, k)  # (B, k)
     gather = jax.vmap(lambda a, i: a[i])
-    top_boxes = gather(boxes, top_idx)
-    top_cls = gather(cls, top_idx)
-    top_extras = gather(extras, top_idx) if ne else jnp.zeros((B, k, 0), preds.dtype)
 
-    return jax.vmap(lambda b, s, c, e: _nms_single(b, s, c, e, iou_thres, max_det, agnostic))(
+    if multi_label and nc > 1:
+        flat = cls_scores.reshape(B, N * nc)
+        k = min(pre_topk, N * nc)
+        top_conf, top_flat = jax.lax.top_k(flat, k)      # (B, k) over pairs
+        top_conf = jnp.where(top_conf >= conf_thres, top_conf, 0.0)
+        top_idx = top_flat // nc                          # source anchor
+        top_cls = (top_flat % nc).astype(preds.dtype)
+        top_boxes = gather(boxes, top_idx)
+        top_extras = gather(extras, top_idx) if ne else jnp.zeros((B, k, 0), preds.dtype)
+    else:
+        conf = jnp.max(cls_scores, axis=-1)
+        cls = jnp.argmax(cls_scores, axis=-1).astype(preds.dtype)
+        conf = jnp.where(conf >= conf_thres, conf, 0.0)
+
+        k = min(pre_topk, N)
+        top_conf, top_idx = jax.lax.top_k(conf, k)  # (B, k)
+        top_boxes = gather(boxes, top_idx)
+        top_cls = gather(cls, top_idx)
+        top_extras = gather(extras, top_idx) if ne else jnp.zeros((B, k, 0), preds.dtype)
+    if extras_bank is not None:
+        # thread the source anchor index through suppression as one column
+        # (f32 is exact for anchor counts < 2^24)
+        top_extras = jnp.concatenate(
+            [top_extras, top_idx.astype(preds.dtype)[..., None]], axis=-1)
+
+    out = jax.vmap(lambda b, s, c, e: _nms_single(b, s, c, e, iou_thres, max_det, agnostic))(
         top_boxes, top_conf, top_cls, top_extras)
+    if extras_bank is None:
+        return out
+    kept_idx = out[..., -1].astype(jnp.int32)  # (B, max_det)
+    kept = jnp.take_along_axis(extras_bank, kept_idx[..., None], axis=1)
+    kept = jnp.where(out[..., 4:5] > 0, kept.astype(out.dtype), 0.0)  # zero padding rows
+    return jnp.concatenate([out[..., :6], kept, out[..., 6:-1]], axis=-1)
 
 
 def _nms_single_rotated(boxes5, scores, classes, iou_thres: float, max_det: int):

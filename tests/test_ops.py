@@ -113,6 +113,50 @@ def test_nms_carries_extras():
     assert np.all(out[0, 1:, 4] == 0)
 
 
+def test_nms_multi_label():
+    """multi_label=True (reference val-time NMS): every (anchor, class) pair
+    above conf_thres is its own candidate — one anchor confident in two
+    classes yields two detections (different classes never suppress each
+    other); within a class, greedy suppression still applies."""
+    pred = np.zeros((1, 20, 4 + 3), np.float32)
+    pred[0, 5, :4] = [100, 100, 20, 20]
+    pred[0, 5, 4:] = [0.9, 0.8, 0.01]          # two confident classes
+    pred[0, 9, :4] = [101, 101, 20, 20]        # overlaps anchor 5
+    pred[0, 9, 4:] = [0.7, 0.01, 0.01]         # same class 0 -> suppressed
+    out = np.asarray(non_max_suppression(jnp.asarray(pred), nc=3, max_det=10,
+                                         pre_topk=16, multi_label=True))
+    kept = out[0][out[0, :, 4] > 0]
+    assert len(kept) == 2
+    np.testing.assert_allclose(sorted(kept[:, 4]), [0.8, 0.9])
+    assert set(kept[:, 5].astype(int)) == {0, 1}
+    # single-label on the same input: one detection (argmax class only)
+    out1 = np.asarray(non_max_suppression(jnp.asarray(pred), nc=3, max_det=10,
+                                          pre_topk=16))
+    assert (out1[0, :, 4] > 0).sum() == 1
+
+
+def test_nms_extras_bank_matches_inline():
+    """The post-NMS embedding-bank gather (decode split_extras + extras_bank)
+    must reproduce the all-inline column layout exactly — same detections,
+    same [box, conf, cls, emb, state] ordering, zeros on padding rows."""
+    rng = np.random.default_rng(7)
+    B, N, nc, E, S = 3, 200, 1, 8, 2
+    pred = np.zeros((B, N, 4 + nc + E + S), np.float32)
+    pred[..., 0:2] = rng.uniform(50, 600, (B, N, 2))
+    pred[..., 2:4] = rng.uniform(5, 60, (B, N, 2))
+    pred[..., 4:5] = rng.uniform(0, 1, (B, N, 1))
+    pred[..., 5:] = rng.normal(size=(B, N, E + S)).astype(np.float32)
+    inline = np.asarray(non_max_suppression(jnp.asarray(pred), nc=nc, max_det=20,
+                                            pre_topk=64))
+    small = np.concatenate([pred[..., :4 + nc], pred[..., 4 + nc + E:]], -1)
+    bank = pred[..., 4 + nc:4 + nc + E]
+    banked = np.asarray(non_max_suppression(jnp.asarray(small), nc=nc, max_det=20,
+                                            pre_topk=64,
+                                            extras_bank=jnp.asarray(bank)))
+    assert banked.shape == inline.shape
+    np.testing.assert_allclose(banked, inline, atol=1e-6)
+
+
 def test_flash_area_attention_matches_einsum():
     """Pallas flash kernel (interpret mode) vs einsum reference."""
     import jax

@@ -88,18 +88,21 @@ def main(B=128, imgsz=640, n_iter=20):
     def s_decode(v, frames, acc):
         feats = model.apply(v, prep(frames), train=False)
         feats = [f.astype(jnp.float32) for f in feats]
-        preds = decode_detect(feats, strides, nc, meta["reg_max"],
-                              extra_sigmoid=meta["state_classes"] or 0)
-        return acc + jnp.sum(preds[:, ::31])
+        preds, bank = decode_detect(feats, strides, nc, meta["reg_max"],
+                                    extra_sigmoid=meta["state_classes"] or 0,
+                                    split_extras=meta["embed_dim"])
+        return acc + jnp.sum(preds[:, ::31]) + jnp.sum(bank[:, ::31])
 
     @jax.jit
     def s_nms(v, frames, acc):
         feats = model.apply(v, prep(frames), train=False)
         feats = [f.astype(jnp.float32) for f in feats]
-        preds = decode_detect(feats, strides, nc, meta["reg_max"],
-                              extra_sigmoid=meta["state_classes"] or 0)
+        preds, bank = decode_detect(feats, strides, nc, meta["reg_max"],
+                                    extra_sigmoid=meta["state_classes"] or 0,
+                                    split_extras=meta["embed_dim"])
         dets = non_max_suppression(preds, conf_thres=0.25, iou_thres=0.7,
-                                   max_det=300, pre_topk=512, nc=nc)
+                                   max_det=300, pre_topk=512, nc=nc,
+                                   extras_bank=bank)
         return acc + jnp.sum(dets)
 
     rows = []

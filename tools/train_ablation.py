@@ -88,7 +88,8 @@ def main(model_yaml="yolov8n.yaml", B=64, imgsz=640, n_iter=10):
         def loss_fn(p):
             feats, mut = model.apply(
                 {"params": p, "batch_stats": state.batch_stats}, img,
-                train=True, mutable=["batch_stats"])
+                train=True, mutable=["batch_stats"],
+                rngs={"dropout": jax.random.PRNGKey(0)})
             return _mean_feats(feats), mut["batch_stats"]
 
         (total, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
@@ -110,7 +111,8 @@ def main(model_yaml="yolov8n.yaml", B=64, imgsz=640, n_iter=10):
         def loss_fn(p):
             feats, mut = model.apply(
                 {"params": p, "batch_stats": state.batch_stats}, img,
-                train=True, mutable=["batch_stats"])
+                train=True, mutable=["batch_stats"],
+                rngs={"dropout": jax.random.PRNGKey(0)})
             return _mean_feats(feats), mut["batch_stats"]
 
         (total, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
@@ -126,7 +128,8 @@ def main(model_yaml="yolov8n.yaml", B=64, imgsz=640, n_iter=10):
     def fwd_step(carry, img, train):
         acc, params, bs = carry
         out = model.apply({"params": params, "batch_stats": bs}, img,
-                          train=train, mutable=["batch_stats"] if train else False)
+                          train=train, mutable=["batch_stats"] if train else False,
+                          rngs={"dropout": jax.random.PRNGKey(0)} if train else None)
         feats, mut = out if train else (out, None)
         acc = acc + _mean_feats(feats)
         return (acc, params, mut["batch_stats"] if train else bs), acc
