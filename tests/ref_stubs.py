@@ -49,8 +49,54 @@ def install_reference_stubs():
     sys.modules["pytorch_metric_learning.losses"].TripletMarginLoss = _Unavailable
     if "lap" not in sys.modules:
         sys.modules["lap"] = _make_lap_stub()
+    if "torchvision" not in sys.modules:
+        sys.modules["torchvision"] = _make_torchvision_stub()
+        sys.modules["torchvision.ops"] = sys.modules["torchvision"].ops
     if "/root/reference" not in sys.path:
         sys.path.insert(0, "/root/reference")
+
+
+def _make_torchvision_stub():
+    """torchvision.ops.nms stand-in (torchvision is not in this image): the
+    textbook exact greedy NMS, which is the algorithm torchvision implements —
+    needed so the reference's own non_max_suppression/validator can run for
+    end-to-end val crosschecks."""
+    import torch
+
+    def nms(boxes, scores, iou_threshold):
+        order = scores.argsort(descending=True)
+        keep = []
+        while order.numel() > 0:
+            i = order[0]
+            keep.append(i)
+            if order.numel() == 1:
+                break
+            rest = order[1:]
+            b = boxes[i]
+            bb = boxes[rest]
+            xx1 = torch.maximum(b[0], bb[:, 0])
+            yy1 = torch.maximum(b[1], bb[:, 1])
+            xx2 = torch.minimum(b[2], bb[:, 2])
+            yy2 = torch.minimum(b[3], bb[:, 3])
+            inter = (xx2 - xx1).clamp(min=0) * (yy2 - yy1).clamp(min=0)
+            area_i = (b[2] - b[0]) * (b[3] - b[1])
+            area_r = (bb[:, 2] - bb[:, 0]) * (bb[:, 3] - bb[:, 1])
+            iou = inter / (area_i + area_r - inter)
+            order = rest[iou <= iou_threshold]
+        return torch.stack(keep) if keep else torch.zeros(0, dtype=torch.long)
+
+    def batched_nms(boxes, scores, idxs, iou_threshold):
+        if boxes.numel() == 0:
+            return torch.zeros(0, dtype=torch.long)
+        off = boxes.max() + 1.0
+        return nms(boxes + (idxs.to(boxes.dtype) * off)[:, None], scores, iou_threshold)
+
+    mod = types.ModuleType("torchvision")
+    mod.__version__ = "0.19.0-stub"
+    mod.ops = types.ModuleType("torchvision.ops")
+    mod.ops.nms = nms
+    mod.ops.batched_nms = batched_nms
+    return mod
 
 
 def _make_lap_stub():
