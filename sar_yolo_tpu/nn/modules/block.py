@@ -305,6 +305,11 @@ class ABlock(nn.Module):
         return x + y
 
 
+# Swappable ABlock implementation (last entry wins): tools/experiments push
+# e.g. nn.remat(ABlock) here to A/B rematerialization on the attention stack.
+_ABLOCK_IMPL = [ABlock]
+
+
 class A2C2f(nn.Module):
     """R-ELAN area-attention CSP block (reference block.py:1352).
 
@@ -333,10 +338,11 @@ class A2C2f(nn.Module):
         for i in range(self.n):
             t = ys[-1]
             if self.a2:
-                t = ABlock(c_, num_heads, self.mlp_ratio, self.area,
-                           dtype=self.dtype, name=f"m{i}_0")(t, train)
-                t = ABlock(c_, num_heads, self.mlp_ratio, self.area,
-                           dtype=self.dtype, name=f"m{i}_1")(t, train)
+                ab = _ABLOCK_IMPL[-1]
+                t = ab(c_, num_heads, self.mlp_ratio, self.area,
+                       dtype=self.dtype, name=f"m{i}_0")(t, train)
+                t = ab(c_, num_heads, self.mlp_ratio, self.area,
+                       dtype=self.dtype, name=f"m{i}_1")(t, train)
             else:
                 t = C3k(c_, 2, self.shortcut, self.g, dtype=self.dtype, name=f"m{i}")(t, train)
             ys.append(t)

@@ -36,6 +36,10 @@ def on_fit_epoch_end(trainer):
                 logger.report_scalar(title, series, float(v), trainer.epoch)
             except (TypeError, ValueError):
                 pass
+        # debug samples per epoch (≙ reference clearml.py _log_debug_samples)
+        for p in trainer.save_dir.glob("val_batch*_pred.jpg"):
+            logger.report_image("validation", p.stem, local_path=str(p),
+                                iteration=trainer.epoch)
 
 
 def on_train_end(trainer):

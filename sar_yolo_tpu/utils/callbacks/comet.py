@@ -27,9 +27,21 @@ def on_pretrain_routine_end(trainer):
 
 
 def on_fit_epoch_end(trainer):
-    if _EXP:
-        _EXP.log_metrics({**trainer.metrics, **(getattr(trainer, "lr", {}) or {})},
-                         epoch=trainer.epoch)
+    if not _EXP:
+        return
+    _EXP.log_metrics({**trainer.metrics, **(getattr(trainer, "lr", {}) or {})},
+                     epoch=trainer.epoch)
+    # per-epoch confusion matrix + annotated eval previews (≙ reference
+    # comet.py _log_confusion_matrix:275 / _log_images with annotations:300)
+    cm = getattr(getattr(trainer, "validator", None), "confusion_matrix", None)
+    if cm is not None and getattr(cm, "matrix", None) is not None:
+        names = list((trainer.data.get("names") or {}).values())
+        _EXP.log_confusion_matrix(
+            matrix=cm.matrix.astype(int).tolist(),
+            labels=names + ["background"] if names else None,
+            epoch=trainer.epoch, file_name=f"confusion-matrix-{trainer.epoch}.json")
+    for p in trainer.save_dir.glob("val_batch*_pred.jpg"):
+        _EXP.log_image(str(p), name=p.stem, step=trainer.epoch)
 
 
 def on_train_end(trainer):

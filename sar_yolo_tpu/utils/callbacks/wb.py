@@ -30,9 +30,13 @@ def on_pretrain_routine_end(trainer):
 
 
 def on_fit_epoch_end(trainer):
-    if _RUN:
-        _RUN.log({**trainer.metrics, **(getattr(trainer, "lr", {}) or {})},
-                 step=trainer.epoch + 1)
+    if not _RUN:
+        return
+    _RUN.log({**trainer.metrics, **(getattr(trainer, "lr", {}) or {})},
+             step=trainer.epoch + 1)
+    # annotated val previews per epoch (≙ reference wb.py _log_plots)
+    for p in trainer.save_dir.glob("val_batch*_pred.jpg"):
+        _RUN.log({p.stem: wandb.Image(str(p))}, step=trainer.epoch + 1)
 
 
 def on_train_end(trainer):
