@@ -122,7 +122,7 @@ class YOLOWorld(YOLO):
                     emb = emb[:, :embed_dim] if emb.shape[-1] > embed_dim else np.pad(
                         emb, ((0, 0), (0, embed_dim - emb.shape[-1])))
                     emb /= np.linalg.norm(emb, axis=-1, keepdims=True) + 1e-9
-            except RuntimeError:
+            except Exception:  # CLIP is best-effort: any import/load failure
                 from sar_yolo_tpu.utils import LOGGER
                 LOGGER.warning(
                     "set_classes: CLIP weights unavailable — using the "

@@ -91,9 +91,15 @@ def _make_torchvision_stub():
         off = boxes.max() + 1.0
         return nms(boxes + (idxs.to(boxes.dtype) * off)[:, None], scores, iou_threshold)
 
+    import importlib.machinery
     mod = types.ModuleType("torchvision")
     mod.__version__ = "0.19.0-stub"
+    # a real ModuleSpec: importlib.util.find_spec raises ValueError on
+    # modules with __spec__ None (e.g. transformers' torchvision probe
+    # in tests that run after the stubs are installed)
+    mod.__spec__ = importlib.machinery.ModuleSpec("torchvision", None)
     mod.ops = types.ModuleType("torchvision.ops")
+    mod.ops.__spec__ = importlib.machinery.ModuleSpec("torchvision.ops", None)
     mod.ops.nms = nms
     mod.ops.batched_nms = batched_nms
     return mod

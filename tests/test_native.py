@@ -24,7 +24,11 @@ def test_native_letterbox_matches_cv2():
 
 
 def test_native_nms_matches_python():
-    from tests.test_ops import _numpy_nms
+    # top-level import (pytest puts tests/ on sys.path): `tests.test_ops`
+    # would resolve to the REFERENCE's tests package once ref_stubs adds
+    # /root/reference to sys.path (its tests/ has __init__.py and wins over
+    # our namespace dir)
+    from test_ops import _numpy_nms
     rng = np.random.default_rng(1)
     n = 80
     xy = rng.uniform(0, 500, (n, 2)).astype(np.float32)
