@@ -217,14 +217,16 @@ def _make_val_dataset(root, n=16, imgsz=128, nc=1):
     return root / "data.yaml"
 
 
-def test_detection_val_end_to_end_matches_reference(tmp_path):
+@pytest.mark.parametrize("nc", [1, 3])
+def test_detection_val_end_to_end_matches_reference(tmp_path, nc):
     """THE joint-pipeline golden: run the reference's full DetectionValidator
     (torch CPU, its own dataloader/letterbox/NMS/matching/AP chain) and our
     DetectionValidator on the SAME images and the SAME (converted) weights;
     the printed mAPs must agree. Metric functions are pinned individually
     elsewhere; this closes the remaining joint gap (letterbox, normalize,
     NMS defaults, pre-topk interplay). nc=1 = the fork's own person-detection
-    regime (reference val multi_label only activates for nc > 1).
+    regime; nc=3 exercises the reference's MULTI-LABEL val NMS against our
+    multi_label path end-to-end.
     Reference: models/yolo/detect/val.py, engine/validator.py.
     """
     import contextlib
@@ -235,7 +237,7 @@ def test_detection_val_end_to_end_matches_reference(tmp_path):
     from ref_stubs import install_reference_stubs
     install_reference_stubs()
 
-    data_yaml = _make_val_dataset(tmp_path / "golden", n=16, imgsz=128, nc=1)
+    data_yaml = _make_val_dataset(tmp_path / "golden", n=16, imgsz=128, nc=nc)
 
     # --- reference model with deterministic torch-init weights -------------
     torch.manual_seed(0)
@@ -244,7 +246,7 @@ def test_detection_val_end_to_end_matches_reference(tmp_path):
         from ultralytics.cfg import get_cfg as ref_get_cfg
         from ultralytics.models.yolo.detect import DetectionValidator as RefVal
         from ultralytics.nn.tasks import DetectionModel as RefDetectionModel
-        ref_model = RefDetectionModel("yolov8n.yaml", nc=1, verbose=False)
+        ref_model = RefDetectionModel("yolov8n.yaml", nc=nc, verbose=False)
 
         # brief overfit on the golden images with the REFERENCE'S OWN loss so
         # val sees real detections (random init scores mAP 0 — no signal)
@@ -293,7 +295,7 @@ def test_detection_val_end_to_end_matches_reference(tmp_path):
     from sar_yolo_tpu.nn.tasks import yaml_model_load
     cfg = yaml_model_load("yolov8n.yaml")
     cfg = dict(cfg)
-    cfg["nc"] = 1
+    cfg["nc"] = nc
     our_yaml = tmp_path / "yolov8n.yaml"  # keep the n-scale filename hint
     our_yaml.write_text(_yaml.safe_dump(cfg))
 
