@@ -124,22 +124,25 @@ def get_windows(im_size, crop_sizes=(1024,), gaps=(200,), im_rate_thr=0.6, eps=0
     window passes, in which case the best ones are kept.
     """
     h, w = im_size
-    windows = []
+
+    def axis_origins(extent: int, crop: int, step: int) -> np.ndarray:
+        """Tile origins along one axis: a regular grid at `step`, with the last
+        origin pulled back so the final tile ends at the image edge."""
+        n = max(ceil((extent - crop) / step) + 1, 1) if extent > crop else 1
+        org = np.arange(n, dtype=np.int64) * step
+        if n > 1 and org[-1] + crop > extent:
+            org[-1] = extent - crop
+        return org
+
+    grids = []
     for crop_size, gap in zip(crop_sizes, gaps):
         assert crop_size > gap, f"invalid crop_size/gap pair [{crop_size} {gap}]"
         step = crop_size - gap
-        xn = 1 if w <= crop_size else ceil((w - crop_size) / step + 1)
-        xs = [step * i for i in range(xn)]
-        if len(xs) > 1 and xs[-1] + crop_size > w:
-            xs[-1] = w - crop_size
-        yn = 1 if h <= crop_size else ceil((h - crop_size) / step + 1)
-        ys = [step * i for i in range(yn)]
-        if len(ys) > 1 and ys[-1] + crop_size > h:
-            ys[-1] = h - crop_size
-        for x in xs:
-            for y in ys:
-                windows.append([x, y, x + crop_size, y + crop_size])
-    windows = np.array(windows, np.int64)
+        gx, gy = np.meshgrid(axis_origins(w, crop_size, step),
+                             axis_origins(h, crop_size, step), indexing="ij")
+        tl = np.stack([gx.ravel(), gy.ravel()], axis=1)
+        grids.append(np.concatenate([tl, tl + crop_size], axis=1))
+    windows = np.concatenate(grids, axis=0).astype(np.int64)
     clipped = windows.copy()
     clipped[:, 0::2] = clipped[:, 0::2].clip(0, w)
     clipped[:, 1::2] = clipped[:, 1::2].clip(0, h)
