@@ -421,13 +421,14 @@ class ConvTranspose2d(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        # torch output size: (H-1)*s - 2p + k; for the yaml's (k=2,s=2,p=0) this is
-        # exactly 2H, which flax gives with VALID padding and transpose_kernel.
-        if self.p != 0:
-            raise NotImplementedError("ConvTranspose2d with padding != 0")
-        return nn.ConvTranspose(self.c2, (self.k, self.k), (self.s, self.s), padding="VALID",
-                                use_bias=True, transpose_kernel=True, dtype=self.dtype,
-                                param_dtype=jnp.float32, name="conv")(x)
+        # torch output size: (H-1)*s - 2p + k. Flax VALID + transpose_kernel
+        # yields (H-1)*s + k; torch's `padding` then crops p from each side.
+        y = nn.ConvTranspose(self.c2, (self.k, self.k), (self.s, self.s), padding="VALID",
+                             use_bias=True, transpose_kernel=True, dtype=self.dtype,
+                             param_dtype=jnp.float32, name="conv")(x)
+        if self.p:
+            y = y[:, self.p:-self.p, self.p:-self.p, :]
+        return y
 
 
 class MaxPool2d(nn.Module):

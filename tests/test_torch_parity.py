@@ -601,3 +601,29 @@ def test_v10_per_scale_param_parity():
         v = init_model(model, meta, jax.random.PRNGKey(0), imgsz=64)
         n_mine = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(v["params"]))
         assert n_mine + 16 == n_ref, f"{yml}: {n_mine}+16 != {n_ref}"
+
+
+@pytest.mark.slow
+def test_convtranspose2d_padding_matches_torch():
+    """ConvTranspose2d with p != 0 (the former scope guard): flax VALID output
+    cropped by p per side equals torch's ConvTranspose2d exactly."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from sar_yolo_tpu.nn.modules.conv import ConvTranspose2d
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 8, 8, 5)).astype(np.float32)
+    for k, s, p in [(2, 2, 0), (3, 2, 1), (4, 2, 1)]:
+        m = ConvTranspose2d(c2=7, k=k, s=s, p=p)
+        v = m.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        y = np.asarray(m.apply(v, jnp.asarray(x)))
+        tm = torch.nn.ConvTranspose2d(5, 7, k, s, p)
+        with torch.no_grad():
+            w = np.asarray(v["params"]["conv"]["kernel"])
+            tm.weight.copy_(torch.from_numpy(w.transpose(3, 2, 0, 1).copy()))
+            tm.bias.copy_(torch.from_numpy(np.asarray(v["params"]["conv"]["bias"])))
+            yt = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy().transpose(0, 2, 3, 1)
+        assert y.shape == yt.shape
+        np.testing.assert_allclose(y, yt, atol=1e-5)
