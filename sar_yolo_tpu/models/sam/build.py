@@ -24,9 +24,10 @@ SAM_CONFIGS = {
                   global_attn_indexes=(5, 11, 17, 23)),
     "sam_b": dict(embed_dim=768, depth=12, num_heads=12,
                   global_attn_indexes=(2, 5, 8, 11)),
-    # tiny config for tests / smoke runs (not a reference size)
-    "sam_test": dict(embed_dim=32, depth=2, num_heads=2, global_attn_indexes=(1,),
-                     img_size=128),
+    # tiny config for tests / smoke runs (not a reference size); matches the
+    # converted-checkpoint parity test's reference-side construction
+    "sam_test": dict(embed_dim=64, depth=2, num_heads=2, global_attn_indexes=(1,),
+                     img_size=128, prompt_embed_dim=32, decoder_heads=2),
 }
 
 SAM2_CONFIGS = {
@@ -86,10 +87,20 @@ def _load_or_init(module, weights, img_size, name):
             from sar_yolo_tpu.utils.checkpoint import load_variables
             return load_variables(p)
         if p.suffix in {".pt", ".pth"}:
-            raise NotImplementedError(
-                "SAM torch-checkpoint conversion is not implemented — load an "
-                "orbax checkpoint dir saved by this framework, or run with "
-                "random init (prompt/AMG machinery is weight-agnostic)")
+            # Meta sam_vit_{b,l,h}.pth are flat tensor state_dicts — loadable
+            # with weights_only=True (no pickle execution, matching the
+            # repo-wide safe-checkpoint policy in utils/checkpoint.py)
+            import torch
+
+            sd = torch.load(p, map_location="cpu", weights_only=True)
+            from .convert import translate_sam_state_dict
+
+            variables, skipped = translate_sam_state_dict(sd)
+            if skipped:
+                LOGGER.warning(f"SAM convert: {len(skipped)} unmapped torch keys "
+                               f"(first: {skipped[:4]})")
+            LOGGER.info(f"SAM '{name}': converted torch checkpoint {p.name}")
+            return variables
         raise FileNotFoundError(f"SAM weights '{weights}' not found/supported")
     LOGGER.info(f"SAM '{name}': initializing random weights "
                 "(no pretrained checkpoints in the offline build)")

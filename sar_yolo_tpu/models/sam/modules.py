@@ -29,12 +29,17 @@ import jax.numpy as jnp
 Dtype = Any
 
 
+def _gelu_exact(x):
+    # torch nn.GELU() is the exact erf form; flax nn.gelu defaults to tanh
+    return nn.gelu(x, approximate=False)
+
+
 class MLPBlock(nn.Module):
     """Two-layer MLP used inside ViT blocks (Linear-act-Linear)."""
 
     hidden: int
     out: int
-    act: Any = nn.gelu
+    act: Any = _gelu_exact
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -315,7 +320,7 @@ class PromptEncoder(nn.Module):
         for i, layer in enumerate(self.mask_down):
             x = layer(x)
             if i in (1, 3):
-                x = nn.gelu(x)
+                x = _gelu_exact(x)
         return x
 
     def no_mask_dense(self, bs: int):
@@ -457,6 +462,11 @@ class MaskDecoder(nn.Module):
     num_multimask_outputs: int = 3
     iou_head_depth: int = 3
     iou_head_hidden_dim: int = 256
+    # the reference injects a constructed TwoWayTransformer; these knobs cover
+    # its (depth, num_heads, mlp_dim) configuration (transformer.py:41)
+    transformer_depth: int = 2
+    transformer_heads: int = 8
+    transformer_mlp_dim: int = 2048
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -478,20 +488,27 @@ class MaskDecoder(nn.Module):
         pos = jnp.broadcast_to(image_pe, (B,) + image_pe.shape[1:])
         h, w = src.shape[1:3]
 
-        hs, src = TwoWayTransformer(dtype=self.dtype, embedding_dim=C,
+        hs, src = TwoWayTransformer(depth=self.transformer_depth,
+                                    num_heads=self.transformer_heads,
+                                    mlp_dim=self.transformer_mlp_dim,
+                                    dtype=self.dtype, embedding_dim=C,
                                     name="transformer")(src, pos, tokens)
         iou_out = hs[:, 0]
         mask_out = hs[:, 1:1 + n_tokens]                      # (B, 4, C)
 
         src = src.reshape(B, h, w, C)
-        up = nn.ConvTranspose(C // 4, (2, 2), strides=(2, 2), dtype=self.dtype,
+        # transpose_kernel=True matches torch ConvTranspose2d orientation
+        # (same recipe as nn/modules/conv.py ConvTranspose2d)
+        up = nn.ConvTranspose(C // 4, (2, 2), strides=(2, 2), transpose_kernel=True,
+                              dtype=self.dtype,
                               param_dtype=jnp.float32, name="upscale_conv1")(src)
         up = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, param_dtype=jnp.float32,
                           name="upscale_ln")(up)
-        up = nn.gelu(up)
-        up = nn.ConvTranspose(C // 8, (2, 2), strides=(2, 2), dtype=self.dtype,
+        up = _gelu_exact(up)
+        up = nn.ConvTranspose(C // 8, (2, 2), strides=(2, 2), transpose_kernel=True,
+                              dtype=self.dtype,
                               param_dtype=jnp.float32, name="upscale_conv2")(up)
-        up = nn.gelu(up)                                      # (B, 4h, 4w, C/8)
+        up = _gelu_exact(up)                                  # (B, 4h, 4w, C/8)
 
         hyper = jnp.stack([MLP(C, C // 8, 3, dtype=self.dtype,
                                name=f"hyper_mlp_{i}")(mask_out[:, i])
@@ -516,6 +533,7 @@ class SAMModel(nn.Module):
     num_heads: int = 12
     global_attn_indexes: tuple = (2, 5, 8, 11)
     prompt_embed_dim: int = 256
+    decoder_heads: int = 8          # mask-decoder TwoWayTransformer heads
     encoder: str = "vit"            # "vit" | "tiny" (MobileSAM)
     dtype: Dtype = jnp.float32
     pixel_mean: tuple = (123.675, 116.28, 103.53)
@@ -536,6 +554,7 @@ class SAMModel(nn.Module):
             embed_dim=self.prompt_embed_dim, image_embedding_size=(emb, emb),
             input_image_size=(self.img_size, self.img_size), dtype=self.dtype)
         self.mask_decoder = MaskDecoder(transformer_dim=self.prompt_embed_dim,
+                                        transformer_heads=self.decoder_heads,
                                         dtype=self.dtype)
 
     def preprocess(self, x):

@@ -241,14 +241,17 @@ class SAM2MaskDecoder(nn.Module):
         mask_out = hs[:, 2:2 + n_tokens]
 
         src = src.reshape(B, h, w, C)
-        up = nn.ConvTranspose(C // 4, (2, 2), strides=(2, 2), dtype=self.dtype,
+        # transpose_kernel=True: torch ConvTranspose2d orientation (convert.py)
+        up = nn.ConvTranspose(C // 4, (2, 2), strides=(2, 2), transpose_kernel=True,
+                              dtype=self.dtype,
                               param_dtype=jnp.float32, name="upscale_conv1")(src)
         if high_res_features is not None:  # skip connections from the trunk
             up = up + jnp.broadcast_to(high_res_features[1], (B,) + high_res_features[1].shape[1:])
         up = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, param_dtype=jnp.float32,
                           name="upscale_ln")(up)
         up = nn.gelu(up)
-        up = nn.ConvTranspose(C // 8, (2, 2), strides=(2, 2), dtype=self.dtype,
+        up = nn.ConvTranspose(C // 8, (2, 2), strides=(2, 2), transpose_kernel=True,
+                              dtype=self.dtype,
                               param_dtype=jnp.float32, name="upscale_conv2")(up)
         if high_res_features is not None:
             up = up + jnp.broadcast_to(high_res_features[0], (B,) + high_res_features[0].shape[1:])
