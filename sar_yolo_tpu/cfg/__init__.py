@@ -224,6 +224,10 @@ def entrypoint(argv: list[str] | None = None) -> Any:
             (Path(__file__).parent / "default.yaml").read_text()),
         "checks": lambda _: _run_checks(),
         "copy-cfg": lambda _: _copy_default_cfg(),
+        "login": lambda rest: __import__(
+            "sar_yolo_tpu.hub", fromlist=["login"]).login(rest[0] if rest else None),
+        "logout": lambda _: __import__(
+            "sar_yolo_tpu.hub", fromlist=["logout"]).logout(),
     }
     for k in list(special):
         special[f"-{k}"] = special[f"--{k}"] = special[k]

@@ -45,8 +45,8 @@ def add_integration_callbacks(instance):
     library imports AND its SETTINGS flag is on, so this is a no-op by default
     (see utils/settings.py for why integrations are opt-in here).
     """
-    from . import clearml, comet, dvc, mlflow, neptune, raytune, tensorboard, wb
-    for module in (tensorboard, wb, mlflow, comet, clearml, dvc, neptune, raytune):
+    from . import clearml, comet, dvc, hub, mlflow, neptune, raytune, tensorboard, wb
+    for module in (hub, tensorboard, wb, mlflow, comet, clearml, dvc, neptune, raytune):
         for event, fn in module.callbacks.items():
             existing = instance.callbacks.setdefault(event, [])
             if fn not in existing:

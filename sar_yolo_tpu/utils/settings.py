@@ -28,6 +28,8 @@ _DEFAULTS = {
     "dvc": False,
     "neptune": False,
     "raytune": False,
+    "hub": True,        # hub callbacks activate only if SARYOLO_HUB_API is set
+    "api_key": "",      # hub API key (persisted by `saryolo login KEY`)
 }
 
 SETTINGS_FILE = Path(os.environ.get(
