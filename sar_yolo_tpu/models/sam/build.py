@@ -44,8 +44,11 @@ SAM2_CONFIGS = {
     "sam2_l": dict(embed_dim=144, stages=(2, 6, 36, 4), num_heads=2,
                    global_att_blocks=(23, 33, 43), window_spec=(8, 4, 16, 8),
                    backbone_channel_list=(1152, 576, 288, 144)),
-    "sam2_test": dict(embed_dim=16, stages=(1, 1, 1, 1), num_heads=1,
+    # matches the converted-checkpoint parity test's reference construction
+    # (the global-attention block must not be a q-pool stage transition)
+    "sam2_test": dict(embed_dim=16, stages=(1, 1, 2, 1), num_heads=1,
                       global_att_blocks=(3,), window_spec=(4, 4, 4, 4),
+                      window_spatial_size=(4, 4),
                       backbone_channel_list=(128, 64, 32, 16), img_size=128),
 }
 
@@ -93,9 +96,12 @@ def _load_or_init(module, weights, img_size, name):
             import torch
 
             sd = torch.load(p, map_location="cpu", weights_only=True)
-            from .convert import translate_sam_state_dict
+            from .convert import translate_sam2_state_dict, translate_sam_state_dict
+            from .modules2 import SAM2Model
 
-            variables, skipped = translate_sam_state_dict(sd)
+            translate = (translate_sam2_state_dict if isinstance(module, SAM2Model)
+                         else translate_sam_state_dict)
+            variables, skipped = translate(sd)
             if skipped:
                 LOGGER.warning(f"SAM convert: {len(skipped)} unmapped torch keys "
                                f"(first: {skipped[:4]})")

@@ -32,6 +32,45 @@ from .modules import (MLP, DownsampleAttention, PromptEncoder, TwoWayTransformer
 Dtype = Any
 
 
+def _interp_matrix_torch_bicubic(n_in: int, n_out: int):
+    """(n_out, n_in) 1-D interpolation matrix matching torch F.interpolate
+    bicubic (A=-0.75, align_corners=False, border replicate). Built in numpy at
+    trace time — static shapes make the resize two constant matmuls on device.
+    """
+    import numpy as np
+
+    A = -0.75
+
+    def k(x):
+        x = abs(x)
+        if x <= 1:
+            return (A + 2) * x ** 3 - (A + 3) * x ** 2 + 1
+        if x < 2:
+            return A * x ** 3 - 5 * A * x ** 2 + 8 * A * x - 4 * A
+        return 0.0
+
+    M = np.zeros((n_out, n_in), np.float32)
+    scale = n_in / n_out
+    for o in range(n_out):
+        src = (o + 0.5) * scale - 0.5
+        i0 = math.floor(src)
+        t = src - i0
+        for tap, d in enumerate((-1, 0, 1, 2)):
+            M[o, min(max(i0 + d, 0), n_in - 1)] += k(d - t)
+    return jnp.asarray(M)
+
+
+def resize_bicubic_torch(x, size):
+    """NHWC resize with torch-bicubic semantics (used for the Hiera absolute
+    position embedding, reference encoders.py Hiera._get_pos_embed)."""
+    H, W = size
+    if x.shape[1:3] == (H, W):
+        return x
+    Mh = _interp_matrix_torch_bicubic(x.shape[1], H)
+    Mw = _interp_matrix_torch_bicubic(x.shape[2], W)
+    return jnp.einsum("oh,bhwc,pw->bopc", Mh, x, Mw)
+
+
 class MultiScaleAttention(nn.Module):
     """Attention with optional 2x query pooling (reference blocks.py:503)."""
 
@@ -128,7 +167,7 @@ class Hiera(nn.Module):
         pos_win = self.param("pos_embed_window", nn.initializers.zeros,
                              (1, self.window_spec[0], self.window_spec[0],
                               self.embed_dim), jnp.float32)
-        pos = jax.image.resize(pos_bkg, (1, H, W, self.embed_dim), "bicubic")
+        pos = resize_bicubic_torch(pos_bkg, (H, W))
         pos = pos + jnp.tile(pos_win, (1, H // pos_win.shape[1], W // pos_win.shape[2], 1))
         x = x + pos.astype(x.dtype)
 
@@ -192,11 +231,10 @@ class FpnNeck(nn.Module):
             lat = nn.Conv(self.d_model, (1, 1), dtype=self.dtype,
                           param_dtype=jnp.float32, name=f"conv_{n - i}")(xs[i])
             if i in self.fpn_top_down_levels and prev is not None:
-                up = jax.image.resize(prev.astype(jnp.float32),
-                                      (prev.shape[0], prev.shape[1] * 2,
-                                       prev.shape[2] * 2, prev.shape[3]),
-                                      "bilinear").astype(lat.dtype)
-                prev = lat + up
+                # reference fpn_interp_model="nearest" (build.py:259): a 2x
+                # nearest upsample is a pure repeat — exact and gather-free
+                up = jnp.repeat(jnp.repeat(prev, 2, axis=1), 2, axis=2)
+                prev = lat + up.astype(lat.dtype)
             else:
                 prev = lat
             out[i] = prev
@@ -337,8 +375,9 @@ def _axial_rope(x, h: int, w: int, theta: float = 10000.0):
     RoPEAttention blocks.py:405 / utils.py compute_axial_cis).
 
     x: (B, N, nh, hd) with N = h*w (+ optional trailing tokens left unrotated
-    by callers). Pairs of channels rotate by y-angle for the first half and
-    x-angle for the second half.
+    by callers). Pairs of channels rotate by x-angle for the first hd/4 pairs
+    and y-angle for the second hd/4 (reference compute_axial_cis
+    cat([cis_x, cis_y]); tokens row-major with x fastest, utils.py init_t_xy).
     """
     B, N, nh, hd = x.shape
     quarter = hd // 4
@@ -346,7 +385,7 @@ def _axial_rope(x, h: int, w: int, theta: float = 10000.0):
     fx = fy
     ys = jnp.arange(h, dtype=jnp.float32)[:, None].repeat(w, 1).reshape(-1)
     xs = jnp.arange(w, dtype=jnp.float32)[None, :].repeat(h, 0).reshape(-1)
-    ang = jnp.concatenate([ys[:, None] * fy[None], xs[:, None] * fx[None]], -1)  # (hw, hd/2)
+    ang = jnp.concatenate([xs[:, None] * fx[None], ys[:, None] * fy[None]], -1)  # (hw, hd/2)
     cos, sin = jnp.cos(ang), jnp.sin(ang)
     cos = jnp.tile(cos[None, :, None, :], (1, 1, 1, 1))
     sin = jnp.tile(sin[None, :, None, :], (1, 1, 1, 1))
@@ -486,8 +525,6 @@ class SAM2Model(nn.Module):
         self.maskmem_tpos_enc = self.param(
             "maskmem_tpos_enc", nn.initializers.normal(0.02),
             (self.num_maskmem, 1, 1, self.mem_dim), jnp.float32)
-        self.mem_proj = nn.Dense(self.d_model, dtype=self.dtype,
-                                 param_dtype=jnp.float32, name="mem_proj")
         self.hr_proj0 = nn.Conv(self.d_model // 8, (1, 1), dtype=self.dtype,
                                 param_dtype=jnp.float32, name="hr_proj0")
         self.hr_proj1 = nn.Conv(self.d_model // 4, (1, 1), dtype=self.dtype,
@@ -542,21 +579,28 @@ class SAM2Model(nn.Module):
         embedding is indexed by RECENCY (reference sam2: maskmem_tpos_enc[
         num_maskmem - t_pos - 1]) and enters the positional stream, not the
         memory values.
+
+        The memory stays in mem_dim (64) space all the way into the cross
+        attention — the reference's cross_attn_image has kv_in_dim=64
+        (memory_attention.py:69-74), so its k/v projections consume RAW
+        memory features; the positional stream is the mem_dim sine encoding
+        the reference MemoryEncoder emits (encoders.py:378) plus the temporal
+        slot embedding.
         """
         h, w = raw_embed.shape[1:3]
         T = mem_bank.shape[0]
         if mem_tpos is None:
             mem_tpos = jnp.arange(T)  # slot order fallback (init path)
-        mem = mem_bank.reshape(1, T * h * w, self.mem_dim)
-        memory = self.mem_proj(mem)                           # kv_in 64 -> 256
+        memory = mem_bank.reshape(1, T * h * w, self.mem_dim)
         idx = jnp.clip(self.num_maskmem - 1 - mem_tpos, 0, self.num_maskmem - 1)
-        tpos = self.mem_proj(self.maskmem_tpos_enc[idx].reshape(T, self.mem_dim))
-        pos = sine_pos_encoding(h, w, self.d_model).reshape(1, h * w, -1)
-        mem_pos = (jnp.tile(pos, (1, T, 1))
+        tpos = self.maskmem_tpos_enc[idx].reshape(T, self.mem_dim)
+        mpos = sine_pos_encoding(h, w, self.mem_dim).reshape(1, h * w, -1)
+        mem_pos = (jnp.tile(mpos, (1, T, 1))
                    + jnp.repeat(tpos, h * w, axis=0)[None]).astype(memory.dtype)
         key_mask = (jnp.repeat(mem_valid, h * w) > 0)[None]   # (1, T*h*w)
         curr = raw_embed.reshape(1, h * w, -1)
-        curr_pos = pos.astype(curr.dtype)
+        curr_pos = sine_pos_encoding(h, w, self.d_model).reshape(1, h * w, -1) \
+            .astype(curr.dtype)
         out = self.memory_attention(curr, curr_pos, memory, mem_pos, (h, w),
                                     key_mask=key_mask)
         return out.reshape(raw_embed.shape)

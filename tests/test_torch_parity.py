@@ -716,3 +716,158 @@ def test_sam_converted_weights_forward_parity(tmp_path):
     merr = float(np.abs(np.asarray(masks) - lo.numpy().squeeze(0)[None]).max()) \
         if lo.ndim == 4 else float(np.abs(np.asarray(masks) - lo.numpy()).max())
     assert merr < 2e-3, f"mask logits mismatch: {merr}"
+
+
+@pytest.mark.slow
+def test_sam2_converted_weights_forward_parity(tmp_path):
+    """SAM2 torch-checkpoint conversion (models/sam/convert.py
+    translate_sam2_state_dict): a reference SAM2Model (torch, tiny Hiera
+    config) and ours match on (1) trunk+FPN image features, (2) prompt-decoded
+    masks/IoU/object scores with high-res skips, (3) memory-encoder features,
+    and (4) memory-attention conditioning with temporal slot embeddings.
+    Reference: models/sam/modules/{encoders,decoders,memory_attention,sam}.py."""
+    import contextlib
+    import io
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from ref_stubs import install_reference_stubs
+    install_reference_stubs()
+    with contextlib.redirect_stdout(io.StringIO()):
+        from ultralytics.models.sam.modules.encoders import (
+            FpnNeck, Hiera, ImageEncoder, MemoryEncoder)
+        from ultralytics.models.sam.modules.memory_attention import (
+            MemoryAttention, MemoryAttentionLayer)
+        from ultralytics.models.sam.modules.sam import SAM2Model as RefSAM2
+
+    torch.manual_seed(0)
+    image_encoder = ImageEncoder(
+        trunk=Hiera(embed_dim=16, num_heads=1, stages=[1, 1, 2, 1],
+                    global_att_blocks=[3], window_pos_embed_bkg_spatial_size=[4, 4],
+                    window_spec=[4, 4, 4, 4]),
+        neck=FpnNeck(d_model=256, backbone_channel_list=[128, 64, 32, 16],
+                     fpn_top_down_levels=[2, 3], fpn_interp_model="nearest"),
+        scalp=1)
+    ref = RefSAM2(
+        image_encoder=image_encoder,
+        memory_attention=MemoryAttention(d_model=256, pos_enc_at_input=True,
+                                         num_layers=4, layer=MemoryAttentionLayer()),
+        memory_encoder=MemoryEncoder(out_dim=64), num_maskmem=7, image_size=128,
+        sigmoid_scale_for_mem_enc=20.0, sigmoid_bias_for_mem_enc=-10.0,
+        use_mask_input_as_output_without_sam=True, directly_add_no_mem_embed=True,
+        use_high_res_features_in_sam=True, multimask_output_in_sam=True,
+        iou_prediction_use_sigmoid=True, use_obj_ptrs_in_encoder=True,
+        add_tpos_enc_to_obj_ptrs=True, only_obj_ptrs_in_the_past_for_eval=True,
+        pred_obj_scores=True, pred_obj_scores_mlp=True, fixed_no_obj_ptr=True,
+        multimask_output_for_tracking=True, use_multimask_token_for_obj_ptr=True,
+        multimask_min_pt_num=0, multimask_max_pt_num=1,
+        use_mlp_for_obj_ptr_proj=True, compile_image_encoder=False).eval()
+
+    # randomize the (zero-init) Hiera pos embeds so the bicubic-resize path
+    # and the conversion of both tables are actually exercised
+    with torch.no_grad():
+        ref.image_encoder.trunk.pos_embed.normal_(std=0.5)
+        ref.image_encoder.trunk.pos_embed_window.normal_(std=0.5)
+
+    # --- conversion via the build path ---------------------------------
+    from sar_yolo_tpu.models.sam.build import build_sam
+    from sar_yolo_tpu.models.sam.convert import translate_sam2_state_dict
+
+    variables, skipped = translate_sam2_state_dict(ref.state_dict())
+    assert not skipped, f"unmapped SAM2 keys: {skipped[:8]}"
+    ckpt = tmp_path / "sam2_test.pt"
+    torch.save({"model": ref.state_dict()}, ckpt)  # wrapped form
+    m, built_vars, info = build_sam("sam2_test", weights=ckpt)
+    assert jax.tree_util.tree_all(jax.tree.map(
+        lambda a, b: np.array_equal(np.asarray(a), np.asarray(b)),
+        built_vars, variables))
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (1, 128, 128, 3)).astype(np.float32)
+
+    # --- (1) trunk + FPN features through each side's own preprocess ----
+    feats = m.apply(variables, jnp.asarray(img), method=m.encode)
+    with torch.no_grad():
+        mean = torch.tensor([123.675, 116.28, 103.53]).view(1, 3, 1, 1)
+        std = torch.tensor([58.395, 57.12, 57.375]).view(1, 3, 1, 1)
+        x = (torch.from_numpy(img.transpose(0, 3, 1, 2)) - mean) / std
+        backbone_out = ref.image_encoder(x)
+        s16_ref = backbone_out["vision_features"].numpy().transpose(0, 2, 3, 1)
+        s0_ref = ref.sam_mask_decoder.conv_s0(
+            backbone_out["backbone_fpn"][0]).numpy().transpose(0, 2, 3, 1)
+        s1_ref = ref.sam_mask_decoder.conv_s1(
+            backbone_out["backbone_fpn"][1]).numpy().transpose(0, 2, 3, 1)
+    err = float(np.abs(np.asarray(feats["raw_embed"]) - s16_ref).max())
+    assert err < 5e-4, f"SAM2 stride-16 feature mismatch: {err}"
+    for ours, theirs, tag in ((feats["high_res_feats"][0], s0_ref, "s0"),
+                              (feats["high_res_feats"][1], s1_ref, "s1")):
+        e = float(np.abs(np.asarray(ours) - theirs).max())
+        assert e < 5e-4, f"high-res skip {tag} mismatch: {e}"
+
+    # --- (2) prompt decode with high-res skips + object score -----------
+    pts = np.array([[[40.0, 60.0]]], np.float32)
+    lbl = np.array([[1.0]], np.float32)
+    masks, iou, mask_tok, obj = m.apply(variables, feats,
+                                        points=jnp.asarray(pts),
+                                        labels=jnp.asarray(lbl), method=m.decode)
+    with torch.no_grad():
+        emb16 = torch.from_numpy(s16_ref.transpose(0, 3, 1, 2)) + \
+            ref.no_mem_embed.reshape(1, -1, 1, 1)
+        sparse, dense = ref.sam_prompt_encoder(
+            points=(torch.from_numpy(pts), torch.from_numpy(lbl)),
+            boxes=None, masks=None)
+        lo, iou_ref, tok_ref, obj_ref = ref.sam_mask_decoder.predict_masks(
+            image_embeddings=emb16,
+            image_pe=ref.sam_prompt_encoder.get_dense_pe(),
+            sparse_prompt_embeddings=sparse, dense_prompt_embeddings=dense,
+            repeat_image=False,
+            high_res_features=[torch.from_numpy(s0_ref.transpose(0, 3, 1, 2)),
+                               torch.from_numpy(s1_ref.transpose(0, 3, 1, 2))])
+    np.testing.assert_allclose(np.asarray(iou), iou_ref.numpy(), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(obj), obj_ref.numpy(), atol=1e-3)
+    merr = float(np.abs(np.asarray(masks) - lo.numpy()).max())
+    assert merr < 5e-3, f"SAM2 mask logits mismatch: {merr}"
+
+    # --- (3) memory encoder ---------------------------------------------
+    mem = m.apply(variables, jnp.asarray(feats["raw_embed"]),
+                  jnp.asarray(masks[:, :1].transpose(0, 2, 3, 1)),
+                  method=m.encode_memory)
+    with torch.no_grad():
+        mask_t = torch.from_numpy(np.asarray(masks[:, :1]))
+        mask_hi = torch.nn.functional.interpolate(
+            mask_t, size=(128, 128), mode="bilinear", align_corners=False)
+        mask_hi = torch.sigmoid(mask_hi) * 20.0 - 10.0
+        mem_out = ref.memory_encoder(
+            torch.from_numpy(s16_ref.transpose(0, 3, 1, 2)), mask_hi,
+            skip_mask_sigmoid=True)
+        mem_ref = mem_out["vision_features"].numpy().transpose(0, 2, 3, 1)
+        mem_pos_ref = mem_out["vision_pos_enc"][-1].numpy().transpose(0, 2, 3, 1)
+    e = float(np.abs(np.asarray(mem) - mem_ref).max())
+    assert e < 1e-3, f"memory features mismatch: {e}"
+
+    # --- (4) memory-attention conditioning over a 2-slot bank -----------
+    mem2 = np.stack([np.asarray(mem)[0], np.asarray(mem)[0] * 0.5])   # (T=2, h, w, 64)
+    tpos = np.array([1, 2])
+    cond = m.apply(variables, jnp.asarray(feats["raw_embed"]),
+                   jnp.asarray(mem2), jnp.ones(2), jnp.asarray(tpos),
+                   method=m.condition_on_memory)
+    with torch.no_grad():
+        h = w = 8
+        curr = torch.from_numpy(s16_ref.reshape(1, h * w, -1)).permute(1, 0, 2)
+        from sar_yolo_tpu.models.sam.modules2 import sine_pos_encoding
+        curr_pos = torch.from_numpy(np.asarray(
+            sine_pos_encoding(h, w, 256)).reshape(h * w, 1, 256))
+        mems, poss = [], []
+        for i, t in enumerate(tpos):
+            mems.append(torch.from_numpy(mem2[i].reshape(h * w, 1, 64)))
+            p = torch.from_numpy(mem_pos_ref.reshape(h * w, 1, 64)) + \
+                ref.maskmem_tpos_enc[ref.num_maskmem - int(t) - 1].reshape(1, 1, 64)
+            poss.append(p)
+        out_ref = ref.memory_attention(
+            curr=curr, memory=torch.cat(mems), curr_pos=curr_pos,
+            memory_pos=torch.cat(poss), num_obj_ptr_tokens=0)
+        out_ref = out_ref.permute(1, 0, 2).reshape(1, h, w, 256).numpy()
+    e = float(np.abs(np.asarray(cond) - out_ref).max())
+    assert e < 2e-3, f"memory conditioning mismatch: {e}"
