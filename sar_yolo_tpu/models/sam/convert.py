@@ -12,9 +12,12 @@ onto the SAMModel parameter tree in modules.py. Layout rules:
   nn.Embedding(1, C).weight         -> (C,) vector  (stacked (4, C) for the
                                        four point types)
 
-SAM2/MobileSAM checkpoints are handled by their own builders (modules2.py);
-this covers the classic sam_b/l/h ViT family. Forward parity with converted
-weights is pinned in tests/test_torch_parity.py::test_sam_converted_weights_*.
+MobileSAM checkpoints (same prompt/mask heads, TinyViT image encoder,
+reference models/sam/modules/tiny_encoder.py) are auto-detected and routed
+through `_map_tiny_encoder`, which also fills the flax `batch_stats`
+collection from the Conv2d_BN running statistics. SAM2 checkpoints are
+handled by translate_sam2_state_dict. Forward parity with converted weights
+is pinned in tests/test_torch_parity.py::test_*sam*_converted_weights_*.
 """
 
 from __future__ import annotations
@@ -108,6 +111,94 @@ def _map_two_way_transformer(rest, t, params, base):
     return True
 
 
+def _map_convbn(rest, t, leaf, params, stats, base):
+    """torch Conv2d_BN (tiny_encoder.py:24) -> flax ConvBN {c, bn}. Fills the
+    `batch_stats` tree from running_mean/var; num_batches_tracked is dropped
+    (flax keeps no step counter)."""
+    if rest[0] == "c":
+        _set(params, base + ["c", "kernel"], _conv(t))
+    elif rest[0] == "bn":
+        if leaf == "weight":
+            _set(params, base + ["bn", "scale"], t)
+        elif leaf == "bias":
+            _set(params, base + ["bn", "bias"], t)
+        elif leaf == "running_mean":
+            _set(stats, base + ["bn", "mean"], t)
+        elif leaf == "running_var":
+            _set(stats, base + ["bn", "var"], t)
+        elif leaf != "num_batches_tracked":
+            return False
+    else:
+        return False
+    return True
+
+
+def _map_tiny_encoder(rest, t, params, stats):
+    """TinyViT (MobileSAM) image-encoder keys -> tiny_vit.py names.
+
+    torch module layout (reference tiny_encoder.py): patch_embed.seq.{0,1},
+    layers.0.blocks.{i}.conv{1..3} (MBConv stage), layers.{L}.downsample
+    (PatchMerging, L=0..2), layers.{L}.blocks.{i}.{attn,local_conv,mlp}
+    (L=1..3), neck.{0..3}. The classification head (head/norm_head) is never
+    used by SAM and is dropped.
+    """
+    leaf = rest[-1]
+    base = ["image_encoder"]
+    if rest[0] == "patch_embed":  # patch_embed.seq.{0,1}.{c,bn}.*
+        name = "pe_conv1" if rest[2] == "0" else "pe_conv2"
+        return _map_convbn(rest[3:], t, leaf, params, stats, base + [name])
+    if rest[0] == "layers":
+        layer, sub = int(rest[1]), rest[2]
+        if sub == "downsample":  # layers.L.downsample.conv{j} -> merge{L+1}
+            return _map_convbn(rest[4:], t, leaf, params, stats,
+                               base + [f"merge{layer + 1}", rest[3]])
+        if sub != "blocks":
+            return False
+        blk = int(rest[3])
+        part = rest[4]
+        if layer == 0:  # MBConv stage: conv1/conv2/conv3
+            return _map_convbn(rest[5:], t, leaf, params, stats,
+                               base + [f"s0_mb{blk}", part])
+        bbase = base + [f"s{layer}_blk{blk}"]
+        if part == "attn":
+            if rest[5] == "attention_biases":
+                _set(params, bbase + ["attn", "attention_biases"], t)
+            elif rest[5] == "norm":
+                _set(params, bbase + ["attn", "norm",
+                                      "scale" if leaf == "weight" else "bias"], t)
+            elif rest[5] in ("qkv", "proj"):
+                _set(params, bbase + ["attn", rest[5],
+                                      "kernel" if leaf == "weight" else "bias"],
+                     _lin(t) if leaf == "weight" else t)
+            else:
+                return False
+            return True
+        if part == "local_conv":
+            return _map_convbn(rest[5:], t, leaf, params, stats,
+                               bbase + ["local_conv"])
+        if part == "mlp":  # mlp.{norm,fc1,fc2}
+            if rest[5] == "norm":
+                _set(params, bbase + ["mlp_norm",
+                                      "scale" if leaf == "weight" else "bias"], t)
+            else:
+                _set(params, bbase + [f"mlp_{rest[5]}",
+                                      "kernel" if leaf == "weight" else "bias"],
+                     _lin(t) if leaf == "weight" else t)
+            return True
+        return False
+    if rest[0] == "neck":  # neck.{0..3}: conv/LN2d/conv/LN2d
+        idx = int(rest[1])
+        name = {0: "neck_conv1", 1: "neck_ln1", 2: "neck_conv2", 3: "neck_ln2"}[idx]
+        if "conv" in name:
+            _set(params, base + [name, "kernel"], _conv(t))
+        else:
+            _set(params, base + [name, "scale" if leaf == "weight" else "bias"], t)
+        return True
+    if rest[0] in ("head", "norm_head"):
+        return True  # classification head: unused by SAM, dropped by design
+    return False
+
+
 def translate_sam_state_dict(state_dict, verbose: bool = False):
     """Returns ({'params': pytree}, skipped_keys). Accepts the Meta .pth layout
     (flat state_dict) or a {'model': module_or_state_dict} wrapper."""
@@ -118,15 +209,23 @@ def translate_sam_state_dict(state_dict, verbose: bool = False):
         state_dict = inner.state_dict() if hasattr(inner, "state_dict") else inner
 
     params: dict = {}
+    stats: dict = {}
     skipped: list[str] = []
     point_rows: dict[int, np.ndarray] = {}
+    # MobileSAM = same heads, TinyViT encoder (layers.* instead of blocks.*)
+    is_tiny = any(isinstance(k, str) and k.startswith("image_encoder.layers.")
+                  for k in state_dict)
 
     for key, tensor in state_dict.items():
         t = tensor.detach().cpu().numpy() if hasattr(tensor, "detach") else np.asarray(tensor)
         parts = key.split(".")
         top = parts[0]
 
-        if top == "image_encoder":
+        if top == "image_encoder" and is_tiny:
+            if not _map_tiny_encoder(parts[1:], t, params, stats):
+                skipped.append(key)
+
+        elif top == "image_encoder":
             rest = parts[1:]
             if rest[0] == "pos_embed":
                 _set(params, ["image_encoder", "pos_embed"], t)
@@ -249,7 +348,10 @@ def translate_sam_state_dict(state_dict, verbose: bool = False):
              np.stack([point_rows[i] for i in sorted(point_rows)]))
     if verbose and skipped:
         print(f"translate_sam_state_dict: {len(skipped)} unmapped keys: {skipped[:8]}")
-    return {"params": params}, skipped
+    variables = {"params": params}
+    if stats:
+        variables["batch_stats"] = stats
+    return variables, skipped
 
 
 # keys whose machinery this framework deliberately does not carry: the video

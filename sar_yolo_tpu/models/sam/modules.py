@@ -535,6 +535,7 @@ class SAMModel(nn.Module):
     prompt_embed_dim: int = 256
     decoder_heads: int = 8          # mask-decoder TwoWayTransformer heads
     encoder: str = "vit"            # "vit" | "tiny" (MobileSAM)
+    tiny_cfg: Any = None            # TinyViT size overrides (tests / custom)
     dtype: Dtype = jnp.float32
     pixel_mean: tuple = (123.675, 116.28, 103.53)
     pixel_std: tuple = (58.395, 57.12, 57.375)
@@ -543,7 +544,8 @@ class SAMModel(nn.Module):
         if self.encoder == "tiny":
             from .tiny_vit import TinyViT
             self.image_encoder = TinyViT(out_chans=self.prompt_embed_dim,
-                                         dtype=self.dtype)
+                                         dtype=self.dtype,
+                                         **(self.tiny_cfg or {}))
         else:
             self.image_encoder = ImageEncoderViT(
                 img_size=self.img_size, embed_dim=self.embed_dim, depth=self.depth,

@@ -628,7 +628,7 @@ def build_sam2_module(name: str, weights=None, dtype=jnp.float32, imgsz=None):
 
     if name.startswith("mobile_sam"):
         from .tiny_vit import build_mobile_sam
-        return build_mobile_sam(weights=weights, dtype=dtype, imgsz=imgsz)
+        return build_mobile_sam(name, weights=weights, dtype=dtype, imgsz=imgsz)
     if name not in SAM2_CONFIGS:
         raise ValueError(f"unknown SAM2 variant '{name}'")
     cfg = dict(SAM2_CONFIGS[name])

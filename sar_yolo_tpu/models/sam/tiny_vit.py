@@ -17,7 +17,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .modules import window_partition, window_unpartition
+from .modules import _gelu_exact, window_partition, window_unpartition
 
 Dtype = Any
 
@@ -50,10 +50,10 @@ class MBConv(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         h = int(self.dim * self.expand)
-        y = nn.gelu(ConvBN(h, dtype=self.dtype, name="conv1")(x, train))
-        y = nn.gelu(ConvBN(h, 3, 1, 1, groups=h, dtype=self.dtype, name="conv2")(y, train))
+        y = _gelu_exact(ConvBN(h, dtype=self.dtype, name="conv1")(x, train))
+        y = _gelu_exact(ConvBN(h, 3, 1, 1, groups=h, dtype=self.dtype, name="conv2")(y, train))
         y = ConvBN(self.dim, dtype=self.dtype, name="conv3")(y, train)
-        return nn.gelu(x + y)
+        return _gelu_exact(x + y)
 
 
 class PatchMerging(nn.Module):
@@ -66,8 +66,8 @@ class PatchMerging(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         s = 1 if self.out_dim in {320, 448, 576} else 2
-        x = nn.gelu(ConvBN(self.out_dim, dtype=self.dtype, name="conv1")(x, train))
-        x = nn.gelu(ConvBN(self.out_dim, 3, s, 1, groups=self.out_dim,
+        x = _gelu_exact(ConvBN(self.out_dim, dtype=self.dtype, name="conv1")(x, train))
+        x = _gelu_exact(ConvBN(self.out_dim, 3, s, 1, groups=self.out_dim,
                            dtype=self.dtype, name="conv2")(x, train))
         return ConvBN(self.out_dim, dtype=self.dtype, name="conv3")(x, train)
 
@@ -128,8 +128,11 @@ class TinyViTBlock(nn.Module):
         ws = self.window_size
         xw, pad_hw = window_partition(x, ws)
         xw = xw.reshape(-1, ws * ws, C)
+        # attn_ratio=1 (reference tiny_encoder.py:578): value dim == key dim,
+        # so proj maps nh*key_dim == dim back to dim
         xw = BiasAttention(self.dim, self.dim // self.num_heads, self.num_heads,
-                           resolution=(ws, ws), dtype=self.dtype, name="attn")(xw)
+                           attn_ratio=1.0, resolution=(ws, ws), dtype=self.dtype,
+                           name="attn")(xw)
         x = window_unpartition(xw.reshape(-1, ws, ws, C), ws, pad_hw, (H, W))
         x = res + x
         x = ConvBN(self.dim, 3, 1, 1, groups=self.dim, dtype=self.dtype,
@@ -138,7 +141,7 @@ class TinyViTBlock(nn.Module):
         y = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype,
                      param_dtype=jnp.float32, name="mlp_fc1")(y)
         y = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32,
-                     name="mlp_fc2")(nn.gelu(y))
+                     name="mlp_fc2")(_gelu_exact(y))
         return x + y
 
 
@@ -156,7 +159,7 @@ class TinyViT(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         d0 = self.embed_dims[0]
-        x = nn.gelu(ConvBN(d0 // 2, 3, 2, 1, dtype=self.dtype, name="pe_conv1")(x, train))
+        x = _gelu_exact(ConvBN(d0 // 2, 3, 2, 1, dtype=self.dtype, name="pe_conv1")(x, train))
         x = ConvBN(d0, 3, 2, 1, dtype=self.dtype, name="pe_conv2")(x, train)
         # stage 0: MBConv conv stage
         for i in range(self.depths[0]):
@@ -178,13 +181,25 @@ class TinyViT(nn.Module):
                             name="neck_ln2")(x)
 
 
-def build_mobile_sam(weights=None, dtype=jnp.float32, imgsz=None):
+# mobile_sam_test mirrors the parity test's reference-side TinyViT (final dim
+# must sit in PatchMerging's stride-1 set so both sides keep the /16 geometry)
+MOBILE_SAM_CONFIGS = {
+    "mobile_sam": {},
+    "mobile_sam_test": dict(
+        img_size=128,
+        tiny_cfg=dict(embed_dims=(16, 32, 40, 320), depths=(1, 1, 1, 1),
+                      num_heads=(2, 4, 5, 10), window_sizes=(4, 4, 4, 4))),
+}
+
+
+def build_mobile_sam(name="mobile_sam", weights=None, dtype=jnp.float32, imgsz=None):
     """MobileSAM = TinyViT encoder + the standard SAM prompt/mask heads."""
     from .build import _load_or_init
     from .modules import SAMModel
 
-    img_size = imgsz or 1024
-    module = SAMModel(img_size=img_size, encoder="tiny", dtype=dtype)
-    variables = _load_or_init(module, weights, img_size, "mobile_sam")
-    return module, variables, {"name": "mobile_sam", "img_size": img_size,
+    cfg = dict(MOBILE_SAM_CONFIGS.get(name, {}))
+    img_size = imgsz or cfg.pop("img_size", 1024)
+    module = SAMModel(img_size=img_size, encoder="tiny", dtype=dtype, **cfg)
+    variables = _load_or_init(module, weights, img_size, name)
+    return module, variables, {"name": name, "img_size": img_size,
                                "is_sam2": False}

@@ -719,6 +719,110 @@ def test_sam_converted_weights_forward_parity(tmp_path):
 
 
 @pytest.mark.slow
+def test_mobile_sam_converted_weights_forward_parity(tmp_path):
+    """MobileSAM torch-checkpoint conversion (models/sam/convert.py
+    _map_tiny_encoder): a reference SAMModel with a TinyViT image encoder
+    (torch, tiny config; reference models/sam/modules/tiny_encoder.py) and
+    ours match on image embeddings (through Conv2d_BN running stats ->
+    batch_stats) and on prompt-decoded masks/IoU with converted weights."""
+    import contextlib
+    import io
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from ref_stubs import install_reference_stubs
+    install_reference_stubs()
+    with contextlib.redirect_stdout(io.StringIO()):
+        from ultralytics.models.sam.modules.decoders import MaskDecoder as RefDecoder
+        from ultralytics.models.sam.modules.encoders import PromptEncoder as RefPrompt
+        from ultralytics.models.sam.modules.sam import SAMModel as RefSAM
+        from ultralytics.models.sam.modules.tiny_encoder import TinyViT as RefTinyViT
+        from ultralytics.models.sam.modules.transformer import TwoWayTransformer
+
+    torch.manual_seed(0)
+    pd = 256  # reference TinyViT hardcodes a 256-channel neck
+    ref = RefSAM(
+        image_encoder=RefTinyViT(img_size=128, in_chans=3, num_classes=1000,
+                                 embed_dims=[16, 32, 40, 320], depths=[1, 1, 1, 1],
+                                 num_heads=[2, 4, 5, 10], window_sizes=[4, 4, 4, 4],
+                                 mlp_ratio=4.0, drop_rate=0.0, drop_path_rate=0.0,
+                                 use_checkpoint=False, mbconv_expand_ratio=4.0,
+                                 local_conv_size=3, layer_lr_decay=0.8),
+        prompt_encoder=RefPrompt(embed_dim=pd, image_embedding_size=(8, 8),
+                                 input_image_size=(128, 128), mask_in_chans=16),
+        mask_decoder=RefDecoder(num_multimask_outputs=3,
+                                transformer=TwoWayTransformer(depth=2, embedding_dim=pd,
+                                                              mlp_dim=2048, num_heads=8),
+                                transformer_dim=pd, iou_head_depth=3,
+                                iou_head_hidden_dim=256)).eval()
+
+    # randomize the zero/identity-initialized pieces so the conversion of the
+    # bias tables and BatchNorm running statistics is actually exercised
+    with torch.no_grad():
+        for name, p in ref.image_encoder.named_parameters():
+            if "attention_biases" in name:
+                p.normal_(0, 0.5)
+            elif ".bn." in name:
+                p.add_(torch.randn_like(p) * 0.1)
+        for name, b in ref.image_encoder.named_buffers():
+            if name.endswith("running_mean"):
+                b.normal_(0, 0.1)
+            elif name.endswith("running_var"):
+                b.uniform_(0.5, 1.5)
+    # rebuild the reference Attention.ab caches (train(False) snapshots
+    # attention_biases; the randomization above would otherwise be stale)
+    ref.image_encoder.train(False)
+
+    from sar_yolo_tpu.models.sam.build import build_sam
+    from sar_yolo_tpu.models.sam.convert import translate_sam_state_dict
+
+    variables, skipped = translate_sam_state_dict(ref.state_dict())
+    assert not skipped, f"unmapped MobileSAM keys: {skipped[:8]}"
+    assert "batch_stats" in variables, "TinyViT BN running stats not converted"
+
+    ckpt = tmp_path / "mobile_sam_test.pt"
+    torch.save(ref.state_dict(), ckpt)
+    m, built_vars, info = build_sam("mobile_sam_test", weights=ckpt)
+    assert jax.tree_util.tree_all(jax.tree.map(
+        lambda a, b: np.array_equal(np.asarray(a), np.asarray(b)),
+        built_vars, variables))
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (1, 128, 128, 3)).astype(np.float32)
+
+    # --- TinyViT image-encoder parity (through each side's preprocess) -----
+    emb = m.apply(variables, jnp.asarray(img), method=m.encode)
+    with torch.no_grad():
+        mean = torch.tensor([123.675, 116.28, 103.53]).view(1, 3, 1, 1)
+        std = torch.tensor([58.395, 57.12, 57.375]).view(1, 3, 1, 1)
+        x = (torch.from_numpy(img.transpose(0, 3, 1, 2)) - mean) / std
+        emb_ref = ref.image_encoder(x).numpy().transpose(0, 2, 3, 1)
+    err = float(np.abs(np.asarray(emb) - emb_ref).max())
+    assert err < 5e-4, f"TinyViT embedding mismatch: {err}"
+
+    # --- prompt encoder + mask decoder parity (point prompt) ---------------
+    pts = np.array([[[40.0, 60.0]]], np.float32)
+    lbl = np.array([[1.0]], np.float32)
+    masks, iou = m.apply(variables, jnp.asarray(emb), points=jnp.asarray(pts),
+                         labels=jnp.asarray(lbl), method=m.decode)
+    with torch.no_grad():
+        sparse, dense = ref.prompt_encoder(
+            points=(torch.from_numpy(pts), torch.from_numpy(lbl)),
+            boxes=None, masks=None)
+        lo, iou_ref = ref.mask_decoder.predict_masks(
+            image_embeddings=torch.from_numpy(emb_ref.transpose(0, 3, 1, 2)),
+            image_pe=ref.prompt_encoder.get_dense_pe(),
+            sparse_prompt_embeddings=sparse,
+            dense_prompt_embeddings=dense)
+    np.testing.assert_allclose(np.asarray(iou), iou_ref.numpy(), atol=5e-4)
+    merr = float(np.abs(np.asarray(masks) - lo.numpy().squeeze(0)[None]).max()) \
+        if lo.ndim == 4 else float(np.abs(np.asarray(masks) - lo.numpy()).max())
+    assert merr < 5e-3, f"mask logits mismatch: {merr}"
+
+
+@pytest.mark.slow
 def test_sam2_converted_weights_forward_parity(tmp_path):
     """SAM2 torch-checkpoint conversion (models/sam/convert.py
     translate_sam2_state_dict): a reference SAM2Model (torch, tiny Hiera
