@@ -124,7 +124,15 @@ class DataLoader:
         t.start()
         try:
             while True:
-                batch = q.get()
+                try:
+                    batch = q.get(timeout=0.5)
+                except queue.Empty:
+                    # robust to a dropped sentinel (producer's bounded retries
+                    # can expire while the consumer stalls minutes in an XLA
+                    # compile): drained queue + dead producer == end of epoch
+                    if not t.is_alive():
+                        break
+                    continue
                 if batch is None:
                     break
                 yield batch

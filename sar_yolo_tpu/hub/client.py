@@ -62,7 +62,8 @@ def smart_request(method: str, url: str, retry: int = 3, timeout: float = 30.0,
                     LOGGER.warning(f"{PREFIX}request error ({e.__class__.__name__}), "
                                    f"attempt {i + 1}/{retry + 1}")
                 resp = None
-                time.sleep(min(2 ** i, 30))
+                if i < retry:  # no dead backoff after the final attempt
+                    time.sleep(min(2 ** i, 30))
                 continue
             if resp.status_code < 300:
                 return resp
@@ -70,7 +71,8 @@ def smart_request(method: str, url: str, retry: int = 3, timeout: float = 30.0,
                 wait = float(resp.headers.get("Retry-After", 2 ** i))
                 if verbose:
                     LOGGER.warning(f"{PREFIX}rate limited, retrying in {wait:.0f}s")
-                time.sleep(min(wait, 30))
+                if i < retry:
+                    time.sleep(min(wait, 30))
                 continue
             if resp.status_code not in RETRY_CODES:
                 if verbose:
@@ -80,7 +82,8 @@ def smart_request(method: str, url: str, retry: int = 3, timeout: float = 30.0,
             if verbose and i == 0:
                 LOGGER.warning(f"{PREFIX}transient {resp.status_code}, "
                                f"retrying up to {retry}x")
-            time.sleep(min(2 ** i, 30))
+            if i < retry:
+                time.sleep(min(2 ** i, 30))
         return resp
 
     if thread:
@@ -121,8 +124,12 @@ class Auth:
         r = smart_request("post", f"{hub_api_root()}/v1/auth",
                           headers=self.header(), retry=1, timeout=10,
                           verbose=False)
+        try:  # a 2xx with a non-JSON body (proxy, captive portal) is not auth
+            body = r.json() if r is not None else {}
+        except ValueError:
+            body = {}
         ok = bool(r is not None and r.status_code < 300
-                  and r.json().get("success", True))
+                  and body.get("success", True))
         if not ok:
             self.api_key = ""
         return ok

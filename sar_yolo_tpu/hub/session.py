@@ -31,7 +31,12 @@ RATE_LIMITS = {"metrics": 3.0, "ckpt": 900.0, "heartbeat": 300.0}  # seconds
 
 
 def zip_checkpoint(path) -> bytes:
-    """Pack an orbax checkpoint directory (or any single file) into zip bytes."""
+    """Pack an orbax checkpoint directory (or any single file) into zip bytes.
+
+    Returns bytes (held in RAM for the upload's lifetime) deliberately: the
+    smart_request retry loop re-sends `files=` kwargs verbatim, and a consumed
+    file object would silently upload an empty body on the second attempt —
+    retry-safety over memory flatness for checkpoint-sized artifacts."""
     path = Path(path)
     buf = io.BytesIO()
     with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
@@ -59,6 +64,7 @@ class HUBTrainingSession:
         self.timers: dict[str, float] = {}
         self.metrics_queue: dict[int, str] = {}
         self.metrics_upload_failed_queue: dict[int, str] = {}
+        self._metrics_lock = threading.Lock()  # guards the two queues above
         self.model: dict = {}
         self.model_id = None
         self.model_url = None
@@ -170,9 +176,10 @@ class HUBTrainingSession:
         if not self.model_id or not (self.metrics_queue or
                                      self.metrics_upload_failed_queue):
             return None
-        batch = {**self.metrics_upload_failed_queue, **self.metrics_queue}
-        self.metrics_queue = {}
-        self.metrics_upload_failed_queue = {}
+        with self._metrics_lock:  # a slow threaded send() may requeue concurrently
+            batch = {**self.metrics_upload_failed_queue, **self.metrics_queue}
+            self.metrics_queue = {}
+            self.metrics_upload_failed_queue = {}
         self._mark("metrics")
 
         def send():
@@ -180,7 +187,11 @@ class HUBTrainingSession:
                               json={"metrics": batch}, headers=self.auth.header(),
                               retry=self.request_retries, thread=False)
             if r is None or r.status_code >= 300:
-                self.metrics_upload_failed_queue.update(batch)
+                with self._metrics_lock:
+                    # setdefault: an epoch already requeued by a newer flush
+                    # wins over this (older) batch's copy
+                    for k, v in batch.items():
+                        self.metrics_upload_failed_queue.setdefault(k, v)
             return r
 
         if thread:

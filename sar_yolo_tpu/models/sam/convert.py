@@ -265,54 +265,15 @@ def translate_sam_state_dict(state_dict, verbose: bool = False):
                 skipped.append(key)
 
         elif top == "prompt_encoder":
-            rest = parts[1:]
-            if rest[0] == "pe_layer":
-                _set(params, ["prompt_encoder", "pe_layer", "gaussian_matrix"], t)
-            elif rest[0] == "point_embeddings":
-                point_rows[int(rest[1])] = t.reshape(-1)
-            elif rest[0] == "not_a_point_embed":
-                _set(params, ["prompt_encoder", "not_a_point_embed"], t.reshape(-1))
-            elif rest[0] == "no_mask_embed":
-                _set(params, ["prompt_encoder", "no_mask_embed"], t.reshape(-1))
-            elif rest[0] == "mask_downscaling":
-                idx, leaf = int(rest[1]), rest[-1]
-                name = {0: "mask_conv1", 1: "mask_ln1", 3: "mask_conv2",
-                        4: "mask_ln2", 6: "mask_conv3"}[idx]
-                if "conv" in name:
-                    _set(params, ["prompt_encoder", name,
-                                  "kernel" if leaf == "weight" else "bias"],
-                         _conv(t) if leaf == "weight" else t)
-                else:
-                    _set(params, ["prompt_encoder", name,
-                                  "scale" if leaf == "weight" else "bias"], t)
-            else:
+            if not _map_prompt_encoder(parts[1:], t, params, ["prompt_encoder"],
+                                       point_rows):
                 skipped.append(key)
 
         elif top == "mask_decoder":
             rest = parts[1:]
             if rest[0] == "transformer":
-                if rest[1] == "layers":
-                    base = ["mask_decoder", "transformer", f"layer_{rest[2]}"]
-                    sub, leaf = rest[3], rest[-1]
-                    if sub.startswith("norm"):
-                        _set(params, base + [sub, "scale" if leaf == "weight" else "bias"], t)
-                    elif sub == "mlp":
-                        _set(params, base + [f"mlp_{rest[4]}",
-                                             "kernel" if leaf == "weight" else "bias"],
-                             _lin(t) if leaf == "weight" else t)
-                    else:  # self_attn / cross_attn_* -> q/k/v/out projections
-                        _set(params, base + [sub, rest[4],
-                                             "kernel" if leaf == "weight" else "bias"],
-                             _lin(t) if leaf == "weight" else t)
-                elif rest[1] == "final_attn_token_to_image":
-                    _set(params, ["mask_decoder", "transformer",
-                                  "final_attn_token_to_image", rest[2],
-                                  "kernel" if rest[-1] == "weight" else "bias"],
-                         _lin(t) if rest[-1] == "weight" else t)
-                elif rest[1] == "norm_final_attn":
-                    _set(params, ["mask_decoder", "transformer", "norm_final_attn",
-                                  "scale" if rest[-1] == "weight" else "bias"], t)
-                else:
+                if not _map_two_way_transformer(rest[1:], t, params,
+                                                ["mask_decoder", "transformer"]):
                     skipped.append(key)
             elif rest[0] == "iou_token":
                 _set(params, ["mask_decoder", "iou_token"], t)

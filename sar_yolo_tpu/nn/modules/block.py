@@ -273,7 +273,9 @@ class AAttn(nn.Module):
         # so at short chunk lengths (640px: Na <= 400) the einsum form is ~1.6x faster
         # full-model (508 vs 835 us/img). Flash only pays once the (Na, Na) score
         # matrix is too large to materialize (large imgsz) — switch above 1024 tokens.
-        if self.use_flash is None:
+        if _AATTN_FORCE[-1] is not None:  # profiling A/B override (last wins)
+            use_flash = _AATTN_FORCE[-1]
+        elif self.use_flash is None:
             use_flash = jax.default_backend() == "tpu" and (N // self.area) > 1024
         else:
             use_flash = self.use_flash
@@ -305,9 +307,11 @@ class ABlock(nn.Module):
         return x + y
 
 
-# Swappable ABlock implementation (last entry wins): tools/experiments push
-# e.g. nn.remat(ABlock) here to A/B rematerialization on the attention stack.
-_ABLOCK_IMPL = [ABlock]
+# AAttn kernel-select override for profiling A/Bs (tools/v13_layer_profile.py):
+# push True (force Pallas flash) or False (force einsum) and pop when done.
+# None = the measured auto-select above. Without this, an A/B at small imgsz
+# silently times the einsum path twice.
+_AATTN_FORCE: list = [None]
 
 
 class A2C2f(nn.Module):
@@ -338,11 +342,10 @@ class A2C2f(nn.Module):
         for i in range(self.n):
             t = ys[-1]
             if self.a2:
-                ab = _ABLOCK_IMPL[-1]
-                t = ab(c_, num_heads, self.mlp_ratio, self.area,
-                       dtype=self.dtype, name=f"m{i}_0")(t, train)
-                t = ab(c_, num_heads, self.mlp_ratio, self.area,
-                       dtype=self.dtype, name=f"m{i}_1")(t, train)
+                t = ABlock(c_, num_heads, self.mlp_ratio, self.area,
+                           dtype=self.dtype, name=f"m{i}_0")(t, train)
+                t = ABlock(c_, num_heads, self.mlp_ratio, self.area,
+                           dtype=self.dtype, name=f"m{i}_1")(t, train)
             else:
                 t = C3k(c_, 2, self.shortcut, self.g, dtype=self.dtype, name=f"m{i}")(t, train)
             ys.append(t)

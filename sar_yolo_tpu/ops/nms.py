@@ -75,8 +75,10 @@ def _nms_single(boxes, scores, classes, extras, iou_thres: float, max_det: int,
 
     # compact alive rows (stable order = score order) into max_det slots
     keep_rank = jnp.where(alive, jnp.cumsum(alive) - 1, K + max_det)  # target slot per row
+    # rows.dtype (not boxes.dtype) so an f32 extras column — the anchor-index
+    # channel of the extras-bank path — is not silently rounded back to bf16
     rows = jnp.concatenate([boxes, scores[:, None], classes[:, None], extras], axis=1)
-    out = jnp.zeros((max_det + 1, rows.shape[1]), dtype=boxes.dtype)
+    out = jnp.zeros((max_det + 1, rows.shape[1]), dtype=rows.dtype)
     out = out.at[jnp.clip(keep_rank, 0, max_det)].set(
         jnp.where(alive[:, None] & (keep_rank < max_det)[:, None], rows, 0.0),
         mode="drop")
@@ -138,10 +140,13 @@ def non_max_suppression(preds, conf_thres: float = 0.25, iou_thres: float = 0.7,
         top_cls = gather(cls, top_idx)
         top_extras = gather(extras, top_idx) if ne else jnp.zeros((B, k, 0), preds.dtype)
     if extras_bank is not None:
-        # thread the source anchor index through suppression as one column
-        # (f32 is exact for anchor counts < 2^24)
+        # thread the source anchor index through suppression as one column —
+        # FORCED f32 (exact for anchor counts < 2^24) even when serving bf16,
+        # whose 8-bit significand would round indices > 256 onto neighboring
+        # anchors and gather the wrong embeddings
         top_extras = jnp.concatenate(
-            [top_extras, top_idx.astype(preds.dtype)[..., None]], axis=-1)
+            [top_extras.astype(jnp.float32),
+             top_idx.astype(jnp.float32)[..., None]], axis=-1)
 
     out = jax.vmap(lambda b, s, c, e: _nms_single(b, s, c, e, iou_thres, max_det, agnostic))(
         top_boxes, top_conf, top_cls, top_extras)

@@ -157,6 +157,39 @@ def test_nms_extras_bank_matches_inline():
     np.testing.assert_allclose(banked, inline, atol=1e-6)
 
 
+def test_nms_extras_bank_bf16_index_exact():
+    """half=True serving: the anchor index threaded through suppression must
+    stay exact in bf16 (8-bit significand rounds ints > 256), or the post-NMS
+    bank gather fetches a NEIGHBORING anchor's embedding. The bank row is its
+    own anchor id, so kept embedding == kept index proves the gather is exact
+    for anchors far above 256."""
+    rng = np.random.default_rng(3)
+    B, N, nc = 2, 8400, 1
+    pred = np.zeros((B, N, 4 + nc), np.float32)
+    # well-separated boxes so NMS keeps everything it sees
+    cx = (np.arange(N, dtype=np.float32) % 100) * 70 + 35
+    cy = (np.arange(N, dtype=np.float32) // 100) * 70 + 35
+    pred[..., 0], pred[..., 1] = cx, cy
+    pred[..., 2:4] = 20.0
+    pred[..., 4] = rng.uniform(0.3, 1.0, (B, N))
+    bank = np.repeat(np.arange(N, dtype=np.float32)[None, :, None], B, 0)  # (B,N,1)
+    out = np.asarray(non_max_suppression(
+        jnp.asarray(pred, jnp.bfloat16), nc=nc, max_det=50, pre_topk=512,
+        extras_bank=jnp.asarray(bank)).astype(jnp.float32))
+    keep = out[..., 4] > 0
+    assert keep.any()
+    got_ids = out[..., 6][keep]
+    assert got_ids.max() > 256, "test must exercise indices beyond bf16 exactness"
+    # recover each detection's true anchor id from its own (bf16-rounded) box:
+    # grid spacing 70 >> 2*bf16 rounding error (<=16 below 8192), so nearest
+    # grid point is unambiguous; a rounded index column would gather a
+    # NEIGHBORING anchor's id, disagreeing with the box it rides on
+    rcx = (out[..., 0] + out[..., 2]) / 2
+    rcy = (out[..., 1] + out[..., 3]) / 2
+    expect = (np.round((rcy - 35) / 70) * 100 + np.round((rcx - 35) / 70))[keep]
+    np.testing.assert_array_equal(got_ids, expect)
+
+
 def test_flash_area_attention_matches_einsum():
     """Pallas flash kernel (interpret mode) vs einsum reference."""
     import jax

@@ -85,21 +85,25 @@ def main(yaml_name="yolov13n-JDE.yaml", B=128, imgsz=640, n_iter=10):
         prev = dt
 
     # ---- AAttn kernel A/B: pallas flash vs einsum fallback -------------------
+    # Force each leg through block._AATTN_FORCE: since the measured auto-select
+    # landed (einsum when N/area <= 1024), re-tracing the model unmodified at
+    # small imgsz would time the einsum path TWICE and label one leg "pallas".
     import sar_yolo_tpu.nn.modules.block as blk
-    import sar_yolo_tpu.ops.pallas as pallas_mod
 
-    real = pallas_mod.flash_area_attention
-    t_flash = _time(run_full, (variables, x), n_iter)
-    pallas_mod.flash_area_attention = (
-        lambda q, k, v, h, a, **kw: blk.area_attention(q, k, v, h, a))
+    def _leg(force):
+        blk._AATTN_FORCE.append(force)
+        try:
+            @jax.jit
+            def run(v, x, acc):
+                feats = model.apply(v, x, train=False)
+                return acc + sum(jnp.sum(f.astype(jnp.float32)[:, ::13, ::13])
+                                 for f in feats)
+            return _time(run, (variables, x), n_iter)
+        finally:
+            blk._AATTN_FORCE.pop()
 
-    @jax.jit
-    def run_einsum(v, x, acc):
-        feats = model.apply(v, x, train=False)
-        return acc + sum(jnp.sum(f.astype(jnp.float32)[:, ::13, ::13]) for f in feats)
-
-    t_einsum = _time(run_einsum, (variables, x), n_iter)
-    pallas_mod.flash_area_attention = real
+    t_flash = _leg(True)
+    t_einsum = _leg(False)
     print(f"\nAAttn kernel A/B (full model): pallas {1e6 * t_flash / B:.1f} us/img"
           f"  vs einsum {1e6 * t_einsum / B:.1f} us/img")
 
