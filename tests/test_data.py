@@ -283,3 +283,47 @@ def test_train_on_disk_dataset_device_augment(tmp_path):
                       mesh_shape=[1], plots=False, val=False,
                       device_augment=True, copy_paste=0.0)
     assert np.isfinite(metrics["train/box"])
+
+
+def test_dataloader_survives_dropped_sentinel(monkeypatch):
+    """If the producer's bounded sentinel retries expire while the consumer is
+    stalled (minutes inside an XLA compile), the end-of-epoch None never lands
+    in the queue. The consumer must still terminate — drained queue + dead
+    producer thread == end of epoch — instead of blocking in q.get forever."""
+    import queue as _queue
+    import threading
+    import types
+
+    import sar_yolo_tpu.data.build as build_mod
+
+    class SentinelDroppingQueue(_queue.Queue):
+        def put(self, item, *a, **kw):
+            if item is None:
+                return  # simulate the expired bounded-retry sentinel
+            super().put(item, *a, **kw)
+
+    fake_queue_mod = types.SimpleNamespace(
+        Queue=SentinelDroppingQueue, Empty=_queue.Empty, Full=_queue.Full)
+    monkeypatch.setattr(build_mod, "queue", fake_queue_mod)
+
+    class TinyDataset:
+        def __len__(self):
+            return 6
+
+        def __getitem__(self, i):
+            return {"img": np.full((4, 4, 3), i, np.uint8)}
+
+    dl = build_mod.DataLoader(TinyDataset(), batch_size=2, shuffle=False,
+                              workers=1, drop_last=False)
+    got = []
+    done = threading.Event()
+
+    def consume():
+        for batch in dl:
+            got.append(int(batch["img"][0, 0, 0, 0]))
+        done.set()
+
+    t = threading.Thread(target=consume, daemon=True)
+    t.start()
+    assert done.wait(timeout=30.0), "iteration hung after the sentinel was lost"
+    assert got == [0, 2, 4]  # every batch still delivered, in order
