@@ -159,6 +159,20 @@ def test_cli_entrypoint_help(capsys):
     entrypoint([])  # prints usage, no crash
 
 
+def test_cli_python_dash_m():
+    """`python -m sar_yolo_tpu version` works uninstalled (no console script)."""
+    import os
+    import subprocess
+    import sys
+
+    r = subprocess.run([sys.executable, "-m", "sar_yolo_tpu", "version"],
+                       capture_output=True, text=True, timeout=120,
+                       env={**os.environ, "JAX_PLATFORMS": "cpu",
+                            "SARYOLO_VERBOSE": "1"})  # conftest silences logging
+    assert r.returncode == 0
+    assert "sar_yolo_tpu" in r.stdout
+
+
 def test_cli_special_modes(tmp_path, monkeypatch):
     """settings/cfg/help/version/checks/copy-cfg shells (reference
     cfg/__init__.py:862-930 special modes)."""
