@@ -285,9 +285,10 @@ def jde_loss(feats, batch, hyp, *, nc: int, reg_max: int, strides, embed_dim: in
 # Pose: detection + OKS keypoint regression + visibility
 # ---------------------------------------------------------------------------
 
-# COCO 17-keypoint OKS sigmas (public COCO eval constants)
+# COCO 17-keypoint OKS sigmas (public COCO eval constants, already /10 form —
+# reference metrics.py:17 stores [0.26, ...] / 10.0; these ARE those quotients)
 OKS_SIGMA = jnp.array([0.026, 0.025, 0.025, 0.035, 0.035, 0.079, 0.079, 0.072, 0.072,
-                       0.062, 0.062, 0.107, 0.107, 0.087, 0.087, 0.089, 0.089]) / 10.0
+                       0.062, 0.062, 0.107, 0.107, 0.087, 0.087, 0.089, 0.089])
 
 
 class PoseLossOut(NamedTuple):

@@ -86,7 +86,11 @@ def _make_inputs(rng, *, B, nc, reg_max, strides, imgsz, extra_ch=0,
     return feats_nhwc, flat, padded
 
 
-def test_v8_detection_loss_matches_reference():
+@pytest.mark.parametrize("tal_topk", [10, 1])
+def test_v8_detection_loss_matches_reference(tal_topk):
+    """topk=10 is the standard det loss; topk=1 is the one2one branch the
+    reference's E2EDetectLoss (v10, loss.py:1266) builds from the same class —
+    covering both pins the whole E2E dual-assignment loss path."""
     import torch
 
     import jax.numpy as jnp
@@ -97,7 +101,7 @@ def test_v8_detection_loss_matches_reference():
     nc, reg_max, strides, imgsz, B = 7, 16, (8, 16, 32), 128, 3
     hyp = types.SimpleNamespace(box=7.5, cls=0.5, dfl=1.5)
     model = _fake_torch_model(torch, nc=nc, reg_max=reg_max, strides=strides, hyp=hyp)
-    ref_fn = ref_loss_mod.v8DetectionLoss(model)
+    ref_fn = ref_loss_mod.v8DetectionLoss(model, tal_topk=tal_topk)
 
     for trial in range(3):
         rng = np.random.default_rng(100 + trial)
@@ -111,7 +115,8 @@ def test_v8_detection_loss_matches_reference():
 
         out = detection_loss([jnp.asarray(f) for f in feats],
                              {k: jnp.asarray(v) for k, v in padded.items()},
-                             hyp, nc=nc, reg_max=reg_max, strides=strides)
+                             hyp, nc=nc, reg_max=reg_max, strides=strides,
+                             tal_topk=tal_topk)
         np.testing.assert_allclose(np.asarray(out.items),
                                    ref_items.numpy(), rtol=2e-4, atol=2e-5)
         np.testing.assert_allclose(float(out.total), float(ref_total),
@@ -185,3 +190,174 @@ def test_v13_jde_loss_matches_reference():
         np.testing.assert_allclose(ours[[0, 1, 2, 4]].sum() * B,
                                    float(ref_total) - float(ref[3]) * B,
                                    rtol=3e-4)
+
+
+def test_v8_segmentation_loss_matches_reference():
+    """box/cls/dfl + prototype mask BCE parity with the reference's
+    v8SegmentationLoss (/root/reference/ultralytics/utils/loss.py:801).
+
+    Our mask term computes BCE on the top-`mask_topk` anchors by assigned
+    weight instead of the reference's per-image dynamic fg loop — identical
+    when every fg anchor fits in the top-K (guaranteed here: <= 10 topk * 4
+    boxes = 40 fg per image < 64) and every fg anchor has weight > 0
+    (asserted below)."""
+    import torch
+
+    import jax.numpy as jnp
+
+    ref_loss_mod = _import_ref_loss()
+    from sar_yolo_tpu.utils.loss import segmentation_loss
+
+    nc, reg_max, strides, imgsz, B, nm = 5, 16, (8, 16, 32), 128, 2, 8
+    mh = mw = imgsz // 4
+    hyp = types.SimpleNamespace(box=7.5, cls=0.5, dfl=1.5, overlap_mask=True)
+    model = _fake_torch_model(torch, nc=nc, reg_max=reg_max, strides=strides, hyp=hyp)
+    ref_fn = ref_loss_mod.v8SegmentationLoss(model)
+
+    no = 4 * reg_max + nc
+    for trial in range(2):
+        rng = np.random.default_rng(300 + trial)
+        feats, flat, padded = _make_inputs(
+            rng, B=B, nc=nc, reg_max=reg_max, strides=strides, imgsz=imgsz,
+            extra_ch=nm, boxes_per_img=4)
+        protos = rng.normal(0, 1.0, (B, mh, mw, nm)).astype(np.float32)
+
+        # overlap-encoded gt masks at proto resolution: rectangle per valid gt
+        masks = np.zeros((B, mh, mw), np.float32)
+        M = padded["bboxes"].shape[1]
+        for b in range(B):
+            for m in range(M):
+                if padded["mask"][b, m] <= 0:
+                    continue
+                cx, cy, w, h = padded["bboxes"][b, m]
+                x1 = int(np.clip((cx - w / 2) * mw, 0, mw - 1))
+                x2 = int(np.clip((cx + w / 2) * mw, x1 + 1, mw))
+                y1 = int(np.clip((cy - h / 2) * mh, 0, mh - 1))
+                y2 = int(np.clip((cy + h / 2) * mh, y1 + 1, mh))
+                masks[b, y1:y2, x1:x2] = m + 1
+
+        # reference: feats carry only the det channels; coeffs + protos separate
+        feats_t = [torch.from_numpy(f[..., :no].transpose(0, 3, 1, 2)).contiguous()
+                   for f in feats]
+        pmasks_t = torch.cat(
+            [torch.from_numpy(f[..., no:].transpose(0, 3, 1, 2).reshape(B, nm, -1))
+             for f in feats], dim=2).contiguous()
+        proto_t = torch.from_numpy(protos.transpose(0, 3, 1, 2)).contiguous()
+        batch_t = {k: torch.from_numpy(v) for k, v in flat.items()}
+        batch_t["masks"] = torch.from_numpy(masks)
+        ref_total, ref_items = ref_fn((feats_t, pmasks_t, proto_t), batch_t)
+
+        padded_j = {k: jnp.asarray(v) for k, v in padded.items()}
+        padded_j["masks"] = jnp.asarray(masks)
+        out = segmentation_loss(
+            ([jnp.asarray(f) for f in feats], jnp.asarray(protos)),
+            padded_j, hyp, nc=nc, reg_max=reg_max, strides=strides, nm=nm)
+        np.testing.assert_allclose(np.asarray(out.items),
+                                   ref_items.numpy(), rtol=3e-4, atol=3e-5)
+        np.testing.assert_allclose(float(out.total), float(ref_total), rtol=3e-4)
+
+
+def test_v8_pose_loss_matches_reference():
+    """box/cls/dfl + OKS keypoint + visibility-BCE parity with the reference's
+    v8PoseLoss (/root/reference/ultralytics/utils/loss.py:984), including the
+    COCO OKS sigmas and the per-anchor K/visible-count loss factor."""
+    import torch
+
+    import jax.numpy as jnp
+
+    ref_loss_mod = _import_ref_loss()
+    from sar_yolo_tpu.utils.loss import pose_loss
+
+    nc, reg_max, strides, imgsz, B = 1, 16, (8, 16, 32), 128, 2
+    K, kdim = 17, 3
+    hyp = types.SimpleNamespace(box=7.5, cls=0.5, dfl=1.5, pose=12.0, kobj=1.0)
+    model = _fake_torch_model(torch, nc=nc, reg_max=reg_max, strides=strides, hyp=hyp)
+    model.model[-1].kpt_shape = [K, kdim]
+    ref_fn = ref_loss_mod.v8PoseLoss(model)
+
+    no = 4 * reg_max + nc
+    for trial in range(2):
+        rng = np.random.default_rng(500 + trial)
+        feats, flat, padded = _make_inputs(
+            rng, B=B, nc=nc, reg_max=reg_max, strides=strides, imgsz=imgsz,
+            extra_ch=K * kdim, boxes_per_img=4)
+        M = padded["bboxes"].shape[1]
+        kpts = np.concatenate(
+            [rng.uniform(0.1, 0.9, (B, M, K, 2)),
+             rng.choice([0.0, 2.0], (B, M, K, 1), p=[0.3, 0.7])],
+            axis=-1).astype(np.float32)
+        padded["keypoints"] = kpts
+        bidx = flat["batch_idx"].astype(np.int64)
+        rows = np.concatenate([np.nonzero(bidx == b)[0] for b in range(B)])
+        # flat keypoints in the same (image-major, valid-first) order as flat boxes
+        valid_rows = (padded["mask"] > 0)
+        flat_kpts = np.concatenate([kpts[b][valid_rows[b]] for b in range(B)], axis=0)
+
+        feats_t = [torch.from_numpy(f[..., :no].transpose(0, 3, 1, 2)).contiguous()
+                   for f in feats]
+        pkpts_t = torch.cat(
+            [torch.from_numpy(f[..., no:].transpose(0, 3, 1, 2).reshape(B, K * kdim, -1))
+             for f in feats], dim=2).contiguous()
+        batch_t = {k: torch.from_numpy(v) for k, v in flat.items()}
+        batch_t["keypoints"] = torch.from_numpy(flat_kpts)
+        ref_total, ref_items = ref_fn((feats_t, pkpts_t), batch_t)
+
+        out = pose_loss([jnp.asarray(f) for f in feats],
+                        {k: jnp.asarray(v) for k, v in padded.items()},
+                        hyp, nc=nc, reg_max=reg_max, strides=strides,
+                        kpt_shape=(K, kdim))
+        np.testing.assert_allclose(np.asarray(out.items),
+                                   ref_items.numpy(), rtol=3e-4, atol=3e-5)
+        np.testing.assert_allclose(float(out.total), float(ref_total), rtol=3e-4)
+
+
+def test_v8_obb_loss_matches_reference():
+    """Rotated box parity with the reference's v8OBBLoss
+    (/root/reference/ultralytics/utils/loss.py:1150): rotated assigner,
+    probiou box loss, DFL on the axis-aligned hull. Square image on purpose:
+    the reference's tiny-rbox filter multiplies w by imgsz[0] (H) and h by
+    imgsz[1] (W) (loss.py:1197), so only square shapes are comparable."""
+    import torch
+
+    import jax.numpy as jnp
+
+    ref_loss_mod = _import_ref_loss()
+    from sar_yolo_tpu.utils.loss import obb_loss
+
+    nc, reg_max, strides, imgsz, B = 3, 16, (8, 16, 32), 128, 2
+    hyp = types.SimpleNamespace(box=7.5, cls=0.5, dfl=1.5)
+    model = _fake_torch_model(torch, nc=nc, reg_max=reg_max, strides=strides, hyp=hyp)
+    ref_fn = ref_loss_mod.v8OBBLoss(model)
+
+    no = 4 * reg_max + nc
+    for trial in range(2):
+        rng = np.random.default_rng(700 + trial)
+        feats, flat, padded = _make_inputs(
+            rng, B=B, nc=nc, reg_max=reg_max, strides=strides, imgsz=imgsz,
+            extra_ch=1, boxes_per_img=5)
+        # append a radian angle column to both formats
+        M = padded["bboxes"].shape[1]
+        ang = rng.uniform(-np.pi / 4, np.pi / 4, (B, M, 1)).astype(np.float32)
+        padded["bboxes"] = np.concatenate([padded["bboxes"], ang], axis=-1)
+        bidx = flat["batch_idx"].astype(np.int64)
+        valid_rows = (padded["mask"] > 0)
+        flat["bboxes"] = np.concatenate(
+            [padded["bboxes"][b][valid_rows[b]] for b in range(B)], axis=0)
+
+        feats_t = [torch.from_numpy(f[..., :no].transpose(0, 3, 1, 2)).contiguous()
+                   for f in feats]
+        pangle_t = torch.cat(
+            [torch.from_numpy(f[..., no:].transpose(0, 3, 1, 2).reshape(B, 1, -1))
+             for f in feats], dim=2).contiguous()
+        # the reference's OBB head transforms angle logits BEFORE the loss
+        # (head.py:293: (sigmoid - 0.25) * pi); our obb_loss takes raw logits
+        pangle_t = (pangle_t.sigmoid() - 0.25) * np.pi
+        batch_t = {k: torch.from_numpy(v) for k, v in flat.items()}
+        ref_total, ref_items = ref_fn((feats_t, pangle_t), batch_t)
+
+        out = obb_loss([jnp.asarray(f) for f in feats],
+                       {k: jnp.asarray(v) for k, v in padded.items()},
+                       hyp, nc=nc, reg_max=reg_max, strides=strides, ne=1)
+        np.testing.assert_allclose(np.asarray(out.items),
+                                   ref_items.numpy(), rtol=3e-4, atol=3e-5)
+        np.testing.assert_allclose(float(out.total), float(ref_total), rtol=3e-4)
