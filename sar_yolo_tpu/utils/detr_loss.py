@@ -59,12 +59,27 @@ class DETRLossOut(NamedTuple):
     items: jnp.ndarray  # (3,) cls, bbox, giou (summed over layers)
 
 
-def _single_layer_loss(pred_boxes, pred_scores, gt_boxes, gt_cls, gt_mask, assign_q, nc):
-    """VFL cls + L1 + GIoU for one decoder layer, one batch (vmapped caller)."""
-    # build per-query targets from the assignment
+def _bce_elem(logits, targets):
+    return (jnp.maximum(logits, 0) - logits * targets +
+            jnp.log1p(jnp.exp(-jnp.abs(logits))))
+
+
+def _single_layer_terms(pred_boxes, pred_scores, gt_boxes, gt_cls, gt_mask,
+                        assign_q, nc, use_vfl):
+    """One image, one decoder layer: RAW loss sums + valid-gt count.
+
+    The caller normalizes by the BATCH-total matched-gt count, matching the
+    reference exactly (DETRLoss._get_loss, models/utils/loss.py:218, flattens
+    the whole batch before dividing by len(gt_bboxes)) — a per-image mean
+    would diverge whenever images carry different numbers of boxes.
+    `use_vfl` is the reference's batch-level `num_gts and self.vfl` switch:
+    VarifocalLoss when the batch has any gt, FocalLoss otherwise.
+    """
     Q = pred_scores.shape[0]
-    matched_iou = bbox_iou(xywh2xyxy(jnp.take(pred_boxes, assign_q, axis=0)),
-                           xywh2xyxy(gt_boxes)).squeeze(-1)              # (M,)
+    # reference detaches the iou used as the vfl target (loss.py:243)
+    matched_iou = jax.lax.stop_gradient(
+        bbox_iou(xywh2xyxy(jnp.take(pred_boxes, assign_q, axis=0)),
+                 xywh2xyxy(gt_boxes)).squeeze(-1))                       # (M,)
     valid = gt_mask > 0
     tgt_scores = jnp.zeros((Q,))
     tgt_labels = jnp.full((Q,), nc, jnp.int32)
@@ -75,18 +90,21 @@ def _single_layer_loss(pred_boxes, pred_scores, gt_boxes, gt_cls, gt_mask, assig
     gt_score_map = onehot * tgt_scores[:, None]
     p = jax.nn.sigmoid(pred_scores)
     # VarifocalLoss (reference loss.py:114)
-    weight = 0.75 * p ** 2.0 * (1 - onehot) + gt_score_map
-    bce = jnp.maximum(pred_scores, 0) - pred_scores * gt_score_map + \
-        jnp.log1p(jnp.exp(-jnp.abs(pred_scores)))
-    n_gt = jnp.maximum(valid.sum(), 1)
-    loss_cls = (bce * weight).mean(1).sum() * nc / n_gt
+    vfl = _bce_elem(pred_scores, gt_score_map) * (
+        0.75 * p ** 2.0 * (1 - onehot) + gt_score_map)
+    # FocalLoss gamma=1.5 alpha=0.25 on the one-hot target (reference loss.py:138;
+    # taken only when the whole batch has zero gts, loss.py:80)
+    p_t = onehot * p + (1 - onehot) * (1 - p)
+    fl = _bce_elem(pred_scores, onehot) * (1.0 - p_t) ** 1.5 * (
+        onehot * 0.25 + (1 - onehot) * 0.75)
+    cls_sum = jnp.where(use_vfl, vfl, fl).sum()
 
     pb = jnp.take(pred_boxes, assign_q, axis=0)                          # (M, 4)
     l1 = jnp.abs(pb - gt_boxes).sum(-1)
     giou = bbox_iou(xywh2xyxy(pb), xywh2xyxy(gt_boxes), GIoU=True).squeeze(-1)
-    loss_bbox = jnp.where(valid, l1, 0.0).sum() / n_gt
-    loss_giou = jnp.where(valid, 1 - giou, 0.0).sum() / n_gt
-    return loss_cls, loss_bbox, loss_giou
+    l1_sum = jnp.where(valid, l1, 0.0).sum()
+    giou_sum = jnp.where(valid, 1 - giou, 0.0).sum()
+    return cls_sum, l1_sum, giou_sum, valid.sum()
 
 
 def dn_loss(dn_meta, batch, *, nc: int):
@@ -107,21 +125,27 @@ def dn_loss(dn_meta, batch, *, nc: int):
     gt_cls = batch["cls"].astype(jnp.int32)
     gt_mask = batch["mask"].astype(jnp.float32)
     assign_q = jnp.arange(M, dtype=jnp.int32)
+    # reference normalizer: the dn branch matches every gt once PER GROUP, so
+    # len(gt_bboxes) in DETRLoss._get_loss is G * total-valid-gt (loss.py:333)
+    total_gt = (gt_mask > 0).sum()
+    use_vfl = total_gt > 0
+    denom = jnp.maximum(total_gt * G, 1).astype(jnp.float32)
 
     def per_group(pb, ps, gb, gc, gm):
-        return _single_layer_loss(pb, ps, gb, gc, gm, assign_q, nc)
+        return _single_layer_terms(pb, ps, gb, gc, gm, assign_q, nc, use_vfl)
 
     def per_image(pb, ps, gb, gc, gm):
-        lc, lb, lg = jax.vmap(lambda b, s: per_group(b, s, gb, gc, gm))(
+        cs, l1s, gs, _ = jax.vmap(lambda b, s: per_group(b, s, gb, gc, gm))(
             pb.reshape(G, M2, 4), ps.reshape(G, M2, nc))
-        return lc.mean(), lb.mean(), lg.mean()
+        return cs.sum(), l1s.sum(), gs.sum()
 
     def per_layer(pb, ps):
-        lc, lb, lg = jax.vmap(per_image)(pb, ps, gt_boxes, gt_cls, gt_mask)
-        return lc.mean(), lb.mean(), lg.mean()
+        cs, l1s, gs = jax.vmap(per_image)(pb, ps, gt_boxes, gt_cls, gt_mask)
+        return cs.sum() / denom, l1s.sum() / denom, gs.sum() / denom
 
     lc, lb, lg = jax.vmap(per_layer)(dn_boxes, dn_scores)
-    return lc.sum(), lb.sum(), lg.sum()
+    has_gt = total_gt > 0
+    return lc.sum(), jnp.where(has_gt, lb.sum(), 0.0), jnp.where(has_gt, lg.sum(), 0.0)
 
 
 def detr_loss(outputs, batch, hyp, *, nc: int):
@@ -140,16 +164,23 @@ def detr_loss(outputs, batch, hyp, *, nc: int):
 
     all_boxes = jnp.concatenate([dec_bboxes, enc_bboxes[None]], 0)
     all_scores = jnp.concatenate([dec_scores, enc_scores[None]], 0)
+    total_gt = (gt_mask > 0).sum()
+    use_vfl = total_gt > 0
+    denom = jnp.maximum(total_gt, 1).astype(jnp.float32)
 
     def layer_loss(boxes_l, scores_l):
         def per_image(pb, ps, gb, gc, gm):
             aq, _ = hungarian_match(pb, ps, gb, gc, gm)
-            return _single_layer_loss(pb, ps, gb, gc, gm, aq, nc)
-        lc, lb, lg = jax.vmap(per_image)(boxes_l, scores_l, gt_boxes, gt_cls, gt_mask)
-        return lc.mean(), lb.mean(), lg.mean()
+            return _single_layer_terms(pb, ps, gb, gc, gm, aq, nc, use_vfl)
+        cs, l1s, gs, _ = jax.vmap(per_image)(boxes_l, scores_l,
+                                             gt_boxes, gt_cls, gt_mask)
+        return cs.sum() / denom, l1s.sum() / denom, gs.sum() / denom
 
     lc, lb, lg = jax.vmap(layer_loss)(all_boxes, all_scores)
-    lc, lb, lg = lc.sum(), lb.sum(), lg.sum()
+    has_gt = total_gt > 0
+    lc = lc.sum()
+    lb = jnp.where(has_gt, lb.sum(), 0.0)
+    lg = jnp.where(has_gt, lg.sum(), 0.0)
     if dn_meta is not None:
         dc, db, dg = dn_loss(dn_meta, batch, nc=nc)
         lc, lb, lg = lc + dc, lb + db, lg + dg
@@ -158,4 +189,7 @@ def detr_loss(outputs, batch, hyp, *, nc: int):
         LOSS_GAIN["bbox"] * lb,
         LOSS_GAIN["giou"] * lg,
     ])
-    return DETRLossOut(items.sum() * B, jax.lax.stop_gradient(items))
+    # NOTE: unlike the v8-family losses, the reference does NOT scale the
+    # RT-DETR total by batch size (nn/tasks.py:582 returns sum(loss.values()))
+    # — the num_gts normalizer already tracks the batch.
+    return DETRLossOut(items.sum(), jax.lax.stop_gradient(items))

@@ -361,3 +361,94 @@ def test_v8_obb_loss_matches_reference():
         np.testing.assert_allclose(np.asarray(out.items),
                                    ref_items.numpy(), rtol=3e-4, atol=3e-5)
         np.testing.assert_allclose(float(out.total), float(ref_total), rtol=3e-4)
+
+
+def _import_ref_detr_loss():
+    from ref_stubs import install_reference_stubs
+    install_reference_stubs()
+    try:
+        from ultralytics.models.utils import loss as ref_detr
+    except Exception as e:  # noqa: BLE001
+        pytest.skip(f"reference detr loss not importable: {e}")
+    return ref_detr
+
+
+@pytest.mark.parametrize("with_dn", [False, True])
+def test_rtdetr_loss_matches_reference(with_dn):
+    """Hungarian matching + VFL + L1/GIoU (+ CDN denoising branch) parity with
+    the reference's RTDETRDetectionLoss(use_vfl=True)
+    (/root/reference/ultralytics/models/utils/loss.py:291, wired in
+    nn/tasks.py:535-585). Images carry DIFFERENT gt counts (incl. one empty) so
+    the batch-total num_gts normalization is exercised, not just the equal-count
+    special case."""
+    import torch
+
+    import jax.numpy as jnp
+
+    ref_detr = _import_ref_detr_loss()
+    from sar_yolo_tpu.utils.detr_loss import detr_loss
+
+    L, B, Q, nc, M = 3, 3, 24, 5, 4
+    counts = [2, 4, 0]  # per-image gt counts (one empty image)
+    rng = np.random.default_rng(900 + int(with_dn))
+
+    dec_boxes = rng.uniform(0.15, 0.55, (L, B, Q, 4)).astype(np.float32)
+    dec_scores = rng.normal(0, 1.5, (L, B, Q, nc)).astype(np.float32)
+    enc_boxes = rng.uniform(0.15, 0.55, (B, Q, 4)).astype(np.float32)
+    enc_scores = rng.normal(0, 1.5, (B, Q, nc)).astype(np.float32)
+
+    gt_padded = np.zeros((B, M, 4), np.float32)
+    cls_padded = np.zeros((B, M), np.int32)
+    mask = np.zeros((B, M), np.float32)
+    for b, n in enumerate(counts):
+        gt_padded[b, :n] = rng.uniform(0.2, 0.5, (n, 4))
+        cls_padded[b, :n] = rng.integers(0, nc, n)
+        mask[b, :n] = 1.0
+
+    batch_j = {"bboxes": jnp.asarray(gt_padded), "cls": jnp.asarray(cls_padded),
+               "mask": jnp.asarray(mask)}
+    outputs = [jnp.asarray(dec_boxes), jnp.asarray(dec_scores),
+               jnp.asarray(enc_boxes), jnp.asarray(enc_scores)]
+
+    # reference batch: flat (image-major) gts + per-image counts
+    flat_boxes = np.concatenate([gt_padded[b, :n] for b, n in enumerate(counts)])
+    flat_cls = np.concatenate([cls_padded[b, :n] for b, n in enumerate(counts)])
+    targets = {"cls": torch.from_numpy(flat_cls).long(),
+               "bboxes": torch.from_numpy(flat_boxes),
+               "gt_groups": counts}
+
+    dn_bboxes_t = dn_scores_t = dn_meta_t = None
+    if with_dn:
+        G = 2
+        M2 = 2 * M                      # [M positives | M negatives] per group
+        DN = G * M2
+        dn_boxes = rng.uniform(0.15, 0.55, (L, B, DN, 4)).astype(np.float32)
+        dn_scores = rng.normal(0, 1.5, (L, B, DN, nc)).astype(np.float32)
+        outputs.append({"dn_bboxes": jnp.asarray(dn_boxes),
+                        "dn_scores": jnp.asarray(dn_scores), "G": G})
+        # reference CDN match indices: positive query g*M2+m <-> gt row m
+        dn_pos_idx = [torch.cat([torch.arange(n) + g * M2 for g in range(G)])
+                      for n in counts]
+        dn_meta_t = {"dn_pos_idx": dn_pos_idx, "dn_num_group": G}
+        dn_bboxes_t = torch.from_numpy(dn_boxes)
+        dn_scores_t = torch.from_numpy(dn_scores)
+
+    ref_fn = ref_detr.RTDETRDetectionLoss(nc=nc, use_vfl=True)
+    # the reference receives [enc | dec] stacked (nn/tasks.py:575): last = main
+    ref_boxes = torch.from_numpy(
+        np.concatenate([enc_boxes[None], dec_boxes], axis=0))
+    ref_scores = torch.from_numpy(
+        np.concatenate([enc_scores[None], dec_scores], axis=0))
+    ref = ref_fn((ref_boxes, ref_scores), targets, dn_bboxes=dn_bboxes_t,
+                 dn_scores=dn_scores_t, dn_meta=dn_meta_t)
+
+    def ref_sum(stem):
+        return sum(float(v) for k, v in ref.items() if k.startswith(stem))
+
+    out = detr_loss(tuple(outputs), batch_j, None, nc=nc)
+    ours = np.asarray(out.items)
+    np.testing.assert_allclose(ours[0], ref_sum("loss_class"), rtol=2e-4)
+    np.testing.assert_allclose(ours[1], ref_sum("loss_bbox"), rtol=2e-4)
+    np.testing.assert_allclose(ours[2], ref_sum("loss_giou"), rtol=2e-4)
+    np.testing.assert_allclose(float(out.total),
+                               float(sum(v for v in ref.values())), rtol=2e-4)
