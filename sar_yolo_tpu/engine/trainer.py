@@ -289,11 +289,10 @@ class BaseTrainer(HasCallbacks):
             self.loss_names = ("box", "cls", "dfl")
             return fn
         if self.task == "classify":
+            from sar_yolo_tpu.utils.loss import classification_loss
             def fn(logits, batch, cb):
-                labels = batch["cls"].astype(jnp.int32).reshape(-1)
-                ce = optax.softmax_cross_entropy_with_integer_labels(
-                    logits.astype(jnp.float32), labels).mean()
-                return ce, jnp.stack([ce]), cb
+                out = classification_loss(logits, batch)
+                return out.total, out.items, cb
             self.loss_names = ("loss",)
             return fn
         if meta.get("head") == "v10Detect":

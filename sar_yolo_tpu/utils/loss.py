@@ -541,3 +541,24 @@ def obb_loss(feats, batch, hyp, *, nc: int, reg_max: int, strides, ne: int = 1,
 
     items = jnp.stack([loss_box * hyp.box, loss_cls * hyp.cls, loss_dfl * hyp.dfl])
     return OBBLossOut(items.sum() * B, jax.lax.stop_gradient(items))
+
+
+# ---------------------------------------------------------------------------
+# Classify: plain softmax cross-entropy
+# ---------------------------------------------------------------------------
+
+
+class ClsLossOut(NamedTuple):
+    total: jnp.ndarray
+    items: jnp.ndarray  # (1,)
+
+
+def classification_loss(logits, batch):
+    """Mean softmax CE (reference v8ClassificationLoss, utils/loss.py:1139:
+    F.cross_entropy(preds, batch['cls'], reduction='mean'))."""
+    import optax
+
+    labels = batch["cls"].astype(jnp.int32).reshape(-1)
+    ce = optax.softmax_cross_entropy_with_integer_labels(
+        logits.astype(jnp.float32), labels).mean()
+    return ClsLossOut(ce, jax.lax.stop_gradient(jnp.stack([ce])))

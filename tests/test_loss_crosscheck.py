@@ -452,3 +452,29 @@ def test_rtdetr_loss_matches_reference(with_dn):
     np.testing.assert_allclose(ours[2], ref_sum("loss_giou"), rtol=2e-4)
     np.testing.assert_allclose(float(out.total),
                                float(sum(v for v in ref.values())), rtol=2e-4)
+
+
+def test_v8_classification_loss_matches_reference():
+    """Mean softmax CE parity with the reference's v8ClassificationLoss
+    (/root/reference/ultralytics/utils/loss.py:1139) — completes the loss
+    family: every task's training loss is now pinned to the reference."""
+    import torch
+
+    import jax.numpy as jnp
+
+    ref_loss_mod = _import_ref_loss()
+    from sar_yolo_tpu.utils.loss import classification_loss
+
+    ref_fn = ref_loss_mod.v8ClassificationLoss()
+    rng = np.random.default_rng(1100)
+    B, nc = 16, 10
+    logits = rng.normal(0, 2.0, (B, nc)).astype(np.float32)
+    labels = rng.integers(0, nc, B)
+
+    ref_total, ref_items = ref_fn(torch.from_numpy(logits),
+                                  {"cls": torch.from_numpy(labels).long()})
+    out = classification_loss(jnp.asarray(logits),
+                              {"cls": jnp.asarray(labels)})
+    np.testing.assert_allclose(float(out.total), float(ref_total), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.items), [float(ref_items)],
+                               rtol=1e-5)
