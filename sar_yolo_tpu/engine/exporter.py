@@ -32,7 +32,7 @@ def export_formats():
         {"format": "stablehlo", "suffix": ".stablehlo", "args": []},
         {"format": "saved_model", "suffix": "_saved_model", "args": ["keras"]},
         {"format": "tflite", "suffix": ".tflite", "args": ["int8"]},
-        {"format": "onnx", "suffix": ".onnx", "args": ["opset"]},  # needs tf2onnx
+        {"format": "onnx", "suffix": ".onnx", "args": ["opset"]},
         {"format": "pb", "suffix": ".pb", "args": []},  # frozen TF GraphDef
     ]
 
@@ -89,10 +89,62 @@ class Exporter:
                 yield [rng.integers(0, 256, (1, imgsz, imgsz, 3), np.uint8)]
 
     def _build_infer_fn(self, model, variables, meta, with_nms: bool):
-        strides = tuple(meta["strides"])
-        nc = meta["nc"]
-        extra_sig = meta.get("state_classes") or 0
+        """Task-aware serving graph (≙ reference Exporter covering every task
+        via the model's own export-mode forward, engine/exporter.py:181).
 
+        Output layouts (documented in the metadata sidecar):
+          detect/jde  raw: (B, N, 4+nc+E) · nms: (B, max_det, 6+E)
+          pose        raw/nms: + decoded keypoint pixels as trailing columns
+          segment     raw: ((B, N, 4+nc+nm), (B, Hp, Wp, nm) protos)
+                      nms: ((B, max_det, 6+nm), (B, max_det, H, W) masks)
+          obb         raw: (B, N, 4+nc+1) · nms: (B, max_det, 7) xywhr+conf+cls
+          classify    (B, nc) softmax probabilities
+        """
+        strides = tuple(meta.get("strides") or ())
+        nc = meta["nc"]
+        task = meta.get("task") or "detect"
+        conf, iou, max_det = 0.25, self.args.iou, self.args.max_det
+
+        if task == "classify":
+            def infer(img):
+                x = img.astype(jnp.float32) / 255.0
+                return jax.nn.softmax(model.apply(variables, x, train=False), -1)
+            return infer
+
+        if task == "segment":
+            def infer(img):
+                x = img.astype(jnp.float32) / 255.0
+                feats, protos = model.apply(variables, x, train=False)
+                preds = decode_detect(feats, strides, nc, meta["reg_max"])
+                if not with_nms:
+                    return preds, protos
+                from sar_yolo_tpu.ops.masks import process_mask
+                dets = non_max_suppression(preds, conf_thres=conf, iou_thres=iou,
+                                           max_det=max_det, nc=nc)
+                H = img.shape[1]
+                masks = jax.vmap(lambda p, dd: process_mask(
+                    p, dd[:, 6:], dd[:, :4], (H, H)))(protos, dets)
+                return dets[..., :6], masks
+            return infer
+
+        if task == "obb":
+            from sar_yolo_tpu.ops.decode import decode_obb
+            from sar_yolo_tpu.ops.nms import non_max_suppression_rotated
+
+            def infer(img):
+                x = img.astype(jnp.float32) / 255.0
+                feats = model.apply(variables, x, train=False)
+                preds = decode_obb(feats, strides, nc, meta["reg_max"])
+                if not with_nms:
+                    return preds
+                return non_max_suppression_rotated(preds, conf_thres=conf,
+                                                   iou_thres=iou, max_det=max_det,
+                                                   nc=nc)
+            return infer
+
+        kpt_shape = (tuple(meta["kpt_shape"])
+                     if task == "pose" and meta.get("kpt_shape") else None)
+        extra_sig = meta.get("state_classes") or 0
         # embedded-NMS JDE artifacts use the bank path (embeddings gathered per
         # kept detection, ops/nms.py); raw-preds artifacts keep channels inline
         # so external consumers see the full documented (B, N, no) layout
@@ -102,13 +154,14 @@ class Exporter:
             x = img.astype(jnp.float32) / 255.0
             feats = model.apply(variables, x, train=False)
             preds = decode_detect(feats, strides, nc, meta["reg_max"],
-                                  extra_sigmoid=extra_sig, split_extras=emb_dim)
+                                  extra_sigmoid=extra_sig, kpt_shape=kpt_shape,
+                                  split_extras=emb_dim)
             bank = None
             if emb_dim:
                 preds, bank = preds
             if with_nms:
-                return non_max_suppression(preds, conf_thres=0.25, iou_thres=self.args.iou,
-                                           max_det=self.args.max_det, nc=nc,
+                return non_max_suppression(preds, conf_thres=conf, iou_thres=iou,
+                                           max_det=max_det, nc=nc,
                                            extras_bank=bank)
             return preds
 
@@ -135,8 +188,21 @@ class Exporter:
             "imgsz": imgsz, "nc": meta["nc"], "task": meta.get("task"),
             "names": meta.get("names") or {i: f"c{i}" for i in range(meta["nc"])},
             "with_nms": bool(self.args.nms),
-            "output": "(B, max_det, 6+E) dets" if self.args.nms else "(B, N, 4+nc+E) raw preds",
+            "output": {
+                "classify": "(B, nc) softmax probs",
+                "segment": ("((B, max_det, 6) dets, (B, max_det, H, W) masks)"
+                            if self.args.nms else
+                            "((B, N, 4+nc+nm) preds, (B, Hp, Wp, nm) protos)"),
+                "obb": ("(B, max_det, 7) xywhr+conf+cls" if self.args.nms
+                        else "(B, N, 4+nc+1) raw preds, trailing angle"),
+            }.get(meta.get("task"),
+                  "(B, max_det, 6+E) dets" if self.args.nms
+                  else "(B, N, 4+nc+E) raw preds"),
         }
+        for k in ("kpt_shape", "embed_dim", "state_classes"):
+            if meta.get(k):
+                sidecar[k] = (list(meta[k]) if isinstance(meta[k], (tuple, list))
+                              else meta[k])
 
         if fmt == "stablehlo":
             if dynamic:
@@ -206,29 +272,25 @@ class Exporter:
             sidecar["outputs"] = [t.name for t in frozen.outputs]
             (out_dir / f"{stem}.pb.json").write_text(json.dumps(sidecar))
         elif fmt == "onnx":
-            # jax2tf graph -> ONNX via tf2onnx (reference export_onnx analog,
-            # exporter.py:~470). tf2onnx is not bundled in the zero-egress TPU
-            # image, so this errors actionably when absent.
-            try:
-                import tf2onnx  # noqa: F401
-            except ImportError as e:
+            # native jaxpr->ONNX writer (reference export_onnx analog,
+            # exporter.py:~470 — no torch.onnx/onnx wheel needed). Raw-preds
+            # graphs only: the fixed-point NMS loop has no ONNX mapping.
+            from sar_yolo_tpu.export.onnx_export import (UnsupportedPrimitive,
+                                                         export_onnx)
+            if self.args.nms:
                 from sar_yolo_tpu.utils.errors import ExportError
                 raise ExportError(
-                    "ONNX export requires `tf2onnx` (pip install tf2onnx), which "
-                    "is not bundled in this image. Portable alternatives already "
-                    "supported: 'stablehlo' (hardware-neutral, versioned) or "
-                    "'saved_model' (TF C API / serving).") from e
-            import tensorflow as tf
-            from jax.experimental import jax2tf
-            tf_fn = tf.function(
-                jax2tf.convert(infer, with_gradient=False),
-                input_signature=[tf.TensorSpec(spec_shape, tf.uint8)],
-                autograph=False)
+                    "format='onnx' exports the raw-predictions graph; embedded "
+                    "NMS uses on-device control flow with no ONNX mapping. "
+                    "Export with nms=False (NMS runs in the consumer), or use "
+                    "'stablehlo'/'saved_model' for embedded-NMS artifacts.")
             path = out_dir / f"{stem}.onnx"
-            tf2onnx.convert.from_function(
-                tf_fn, input_signature=[tf.TensorSpec(spec_shape, tf.uint8)],
-                opset=int(getattr(self.args, "opset", None) or 17),
-                output_path=str(path))
+            try:
+                export_onnx(infer, np.zeros(spec_shape, np.uint8), str(path),
+                            opset=int(getattr(self.args, "opset", None) or 17))
+            except UnsupportedPrimitive as e:
+                from sar_yolo_tpu.utils.errors import ExportError
+                raise ExportError(str(e)) from e
             (out_dir / f"{stem}.onnx.json").write_text(json.dumps(sidecar))
         else:
             raise ValueError(f"Unsupported export format '{fmt}'. "

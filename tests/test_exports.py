@@ -108,20 +108,22 @@ def test_autobackend_warmup_and_meta(native, tmp_path):
     assert out.ndim == 3 and out.shape[0] == 1
 
 
-def test_onnx_export_gated_actionable(tmp_path):
-    """format='onnx' raises ExportError with install guidance when tf2onnx is
-    absent (real conversion path exists; the lib isn't bundled)."""
+def test_onnx_roundtrip(native, tmp_path):
+    """Native jaxpr->ONNX export reloads through AutoBackend (numpy reference
+    runtime) and reproduces predictions (≙ reference test_exports onnx rows)."""
+    path = _roundtrip(native, "onnx", tmp_path)
+    assert path.endswith(".onnx")
+
+
+def test_onnx_embedded_nms_gated_actionable(tmp_path):
+    """nms=True has no ONNX mapping (fixed-point suppression loop) and must
+    error actionably, pointing at nms=False / stablehlo."""
     import pytest
     from sar_yolo_tpu import YOLO
     from sar_yolo_tpu.utils.errors import ExportError
     m = YOLO("tinydet.yaml")
-    try:
-        import tf2onnx  # noqa: F401
-        pytest.skip("tf2onnx installed; gating not applicable")
-    except ImportError:
-        pass
-    with pytest.raises(ExportError, match="tf2onnx"):
-        m.export(format="onnx", imgsz=64, project=str(tmp_path))
+    with pytest.raises(ExportError, match="nms=False"):
+        m.export(format="onnx", imgsz=64, nms=True, project=str(tmp_path))
 
 
 def test_profile_models_sweep(tmp_path):

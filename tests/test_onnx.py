@@ -1,0 +1,148 @@
+"""Native ONNX export stack: protobuf round-trip, primitive mappings, and
+model-level numerics vs the jitted forward.
+
+≙ reference tests/test_exports.py onnx rows (`:52-117`) — there the onnx wheel
++ onnxruntime do the verifying; here the artifact is executed by the in-repo
+numpy reference runtime, which implements ONNX operator semantics
+independently of the exporter.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sar_yolo_tpu.export import onnx_proto as P
+from sar_yolo_tpu.export.onnx_export import export_onnx
+from sar_yolo_tpu.export.onnx_runtime import OnnxReferenceRuntime
+
+
+def _check(fn, x, tmp_path, atol=1e-5, name="m.onnx"):
+    ref = np.asarray(fn(jnp.asarray(x)))
+    path = str(tmp_path / name)
+    export_onnx(fn, np.asarray(x), path)
+    out = OnnxReferenceRuntime(path)(np.asarray(x))[0]
+    assert out.shape == ref.shape and out.dtype == ref.dtype, \
+        f"{out.shape}/{out.dtype} vs {ref.shape}/{ref.dtype}"
+    np.testing.assert_allclose(out, ref, atol=atol, rtol=1e-4)
+    return path
+
+
+def test_proto_tensor_roundtrip():
+    for arr in (np.arange(12, dtype=np.float32).reshape(3, 4),
+                np.array([True, False]),
+                np.arange(-3, 3, dtype=np.int64),
+                np.zeros((2, 0, 3), np.float32)):
+        blob = P.tensor_proto("t", arr)
+        # wrap in a graph so parse_model sees it as an initializer
+        g = P.graph_proto([], "g", [blob], [], [])
+        m = P.parse_model(P.model_proto(g))
+        got = m.graph.initializers[0].to_numpy()
+        assert got.dtype == arr.dtype and got.shape == arr.shape
+        np.testing.assert_array_equal(got, arr)
+        assert m.opset >= 13 and m.ir_version == 8
+
+
+def test_elementwise_and_reduce_chain(tmp_path):
+    w = jnp.asarray(np.random.default_rng(0).normal(size=(6, 6)).astype(np.float32))
+
+    def fn(x):
+        y = jnp.tanh(x @ w) + jax.nn.sigmoid(x)
+        y = jnp.clip(y, -0.5, 0.8)
+        sm = jax.nn.softmax(y, axis=-1)          # exp / reduce_max / reduce_sum
+        z = jnp.where(y > 0, sm, -sm)
+        return z.sum(axis=1) / jnp.sqrt(jnp.abs(z).max(axis=(1, 2), keepdims=True)[:, 0] + 1.0)
+
+    x = np.random.default_rng(1).normal(size=(3, 5, 6)).astype(np.float32)
+    _check(fn, x, tmp_path)
+
+
+def test_conv_and_maxpool_nhwc(tmp_path):
+    k = jnp.asarray(np.random.default_rng(2).normal(size=(3, 3, 4, 8), scale=0.2)
+                    .astype(np.float32))
+
+    def fn(x):
+        dn = jax.lax.conv_dimension_numbers(x.shape, k.shape, ("NHWC", "HWIO", "NHWC"))
+        y = jax.lax.conv_general_dilated(x, k, (2, 2), [(1, 1), (1, 1)],
+                                         dimension_numbers=dn)
+        y = jax.nn.silu(y)
+        return jax.lax.reduce_window(y, -jnp.inf, jax.lax.max, (1, 3, 3, 1),
+                                     (1, 1, 1, 1), [(0, 0), (1, 1), (1, 1), (0, 0)])
+
+    x = np.random.default_rng(3).normal(size=(2, 8, 8, 4)).astype(np.float32)
+    _check(fn, x, tmp_path)
+
+
+def test_depthwise_conv_group(tmp_path):
+    k = jnp.asarray(np.random.default_rng(4).normal(size=(3, 3, 1, 6), scale=0.3)
+                    .astype(np.float32))
+
+    def fn(x):
+        dn = jax.lax.conv_dimension_numbers(x.shape, k.shape, ("NHWC", "HWIO", "NHWC"))
+        return jax.lax.conv_general_dilated(x, k, (1, 1), [(1, 1), (1, 1)],
+                                            dimension_numbers=dn,
+                                            feature_group_count=6)
+
+    x = np.random.default_rng(5).normal(size=(1, 6, 6, 6)).astype(np.float32)
+    _check(fn, x, tmp_path)
+
+
+def test_transposed_conv(tmp_path):
+    """lhs-dilated lax conv -> ONNX ConvTranspose (the seg Proto upsample)."""
+    k = jnp.asarray(np.random.default_rng(6).normal(size=(2, 2, 5, 3), scale=0.3)
+                    .astype(np.float32))
+
+    def fn(x):
+        dn = jax.lax.conv_dimension_numbers(x.shape, k.shape, ("NHWC", "HWIO", "NHWC"))
+        return jax.lax.conv_general_dilated(
+            x, k, (1, 1), [(1, 0), (1, 0)], lhs_dilation=(2, 2),
+            dimension_numbers=dn)
+
+    x = np.random.default_rng(7).normal(size=(2, 5, 5, 5)).astype(np.float32)
+    _check(fn, x, tmp_path)
+
+
+def test_dot_general_batched_and_pad_rev(tmp_path):
+    w = jnp.asarray(np.random.default_rng(8).normal(size=(3, 4, 7)).astype(np.float32))
+
+    def fn(x):
+        y = jnp.einsum("bik,bkj->bij", x, w)           # batched dot_general
+        y = jnp.pad(y, ((0, 0), (1, 2), (0, 1)), constant_values=0.5)
+        y = jnp.flip(y, axis=2)                         # rev
+        i = jnp.argmax(y, axis=-1)                      # argmax + cast
+        return y + i[..., None].astype(y.dtype)
+
+    x = np.random.default_rng(9).normal(size=(3, 2, 4)).astype(np.float32)
+    _check(fn, x, tmp_path)
+
+
+def test_model_level_yolov8n_raw_preds(tmp_path):
+    """Full yolov8n: export the serving graph (uint8 in, decoded preds out)
+    and compare the numpy runtime against the eager forward."""
+    from sar_yolo_tpu import YOLO
+    from sar_yolo_tpu.cfg import get_cfg
+    from sar_yolo_tpu.engine.exporter import Exporter
+
+    m = YOLO("yolov8n.yaml")
+    m._ensure_variables(64)
+    args = get_cfg(overrides={"mode": "export", "format": "onnx", "imgsz": 64,
+                              "nms": False})
+    infer = Exporter(args)._build_infer_fn(m.model, m.variables, m.meta,
+                                           with_nms=False)
+    x = np.random.default_rng(10).integers(0, 256, (1, 64, 64, 3), np.uint8)
+    ref = np.asarray(infer(jnp.asarray(x)))
+    path = str(tmp_path / "v8n.onnx")
+    export_onnx(infer, x, path)
+    out = OnnxReferenceRuntime(path)(x)[0]
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=2e-3, rtol=1e-3)
+
+
+def test_runtime_rejects_unknown_op(tmp_path):
+    node = P.node_proto("NoSuchOp", ["x"], ["y"])
+    g = P.graph_proto([node], "g", [],
+                      [P.value_info_proto("x", np.float32, (1,))],
+                      [P.value_info_proto("y", np.float32, (1,))])
+    rt = OnnxReferenceRuntime(P.model_proto(g))
+    with pytest.raises(NotImplementedError, match="NoSuchOp"):
+        rt(np.zeros(1, np.float32))
