@@ -96,7 +96,9 @@ class Exporter:
           detect/jde  raw: (B, N, 4+nc+E) · nms: (B, max_det, 6+E)
           pose        raw/nms: + decoded keypoint pixels as trailing columns
           segment     raw: ((B, N, 4+nc+nm), (B, Hp, Wp, nm) protos)
-                      nms: ((B, max_det, 6+nm), (B, max_det, H, W) masks)
+                      nms: ((B, max_det, 6), (B, max_det, Hp, Wp) bool masks
+                      at PROTO resolution, Hp=H/4 — same contract as the
+                      native predictor; upsample to input res client-side)
           obb         raw: (B, N, 4+nc+1) · nms: (B, max_det, 7) xywhr+conf+cls
           classify    (B, nc) softmax probabilities
         """
@@ -190,7 +192,8 @@ class Exporter:
             "with_nms": bool(self.args.nms),
             "output": {
                 "classify": "(B, nc) softmax probs",
-                "segment": ("((B, max_det, 6) dets, (B, max_det, H, W) masks)"
+                "segment": ("((B, max_det, 6) dets, (B, max_det, Hp, Wp) bool "
+                            "masks at proto resolution Hp=H/4)"
                             if self.args.nms else
                             "((B, N, 4+nc+nm) preds, (B, Hp, Wp, nm) protos)"),
                 "obb": ("(B, max_det, 7) xywhr+conf+cls" if self.args.nms

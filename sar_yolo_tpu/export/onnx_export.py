@@ -36,15 +36,19 @@ class UnsupportedPrimitive(Exception):
 class _Builder:
     def __init__(self):
         self.nodes: list[bytes] = []
-        self.initializers: list[bytes] = []
         self.const_vals: dict[str, np.ndarray] = {}  # for export-time folding
         self._names = (f"t{i}" for i in itertools.count())
         self._const_cache: dict = {}
+        self._used: set[str] = set()  # const names referenced by emitted nodes
 
     def fresh(self) -> str:
         return next(self._names)
 
     def const(self, arr, name: str | None = None) -> str:
+        """Register a constant LAZILY: the tensor_proto is only serialized if
+        an emitted node actually references the name (initializers()).
+        Folded-away intermediates (e.g. an HWIO weight superseded by its
+        transposed OIHW copy) therefore cost zero bytes in the .onnx file."""
         arr = np.asarray(arr)
         key = None
         if name is None and arr.size <= 64:
@@ -52,16 +56,24 @@ class _Builder:
             if key in self._const_cache:
                 return self._const_cache[key]
         name = name or self.fresh()
-        self.initializers.append(P.tensor_proto(name, arr))
         self.const_vals[name] = arr
         if key is not None:
             self._const_cache[key] = name
         return name
 
     def node(self, op: str, inputs: list[str], n_out: int = 1, **attrs):
+        self._used.update(i for i in inputs if i in self.const_vals)
         outs = [self.fresh() for _ in range(n_out)]
         self.nodes.append(P.node_proto(op, inputs, outs, **attrs))
         return outs[0] if n_out == 1 else outs
+
+    def raw_node(self, proto: bytes, inputs: list[str]):
+        self._used.update(i for i in inputs if i in self.const_vals)
+        self.nodes.append(proto)
+
+    def initializers(self) -> list[bytes]:
+        return [P.tensor_proto(n, a) for n, a in self.const_vals.items()
+                if n in self._used]
 
     def i64(self, vals) -> str:
         return self.const(np.asarray(vals, np.int64))
@@ -77,6 +89,7 @@ _ELTWISE = {
     "tanh": "Tanh", "erf": "Erf", "sqrt": "Sqrt", "neg": "Neg", "abs": "Abs",
     "log": "Log", "floor": "Floor", "sign": "Sign", "ceil": "Ceil",
     "and": "And", "or": "Or", "not": "Not",
+    "cos": "Cos", "sin": "Sin",  # dist2rbox angle math (OBB head)
 }
 _COMPARE = {"eq": "Equal", "lt": "Less", "le": "LessOrEqual",
             "gt": "Greater", "ge": "GreaterOrEqual"}
@@ -249,6 +262,10 @@ def _register_all():
     H["reduce_sum"] = _reduce("ReduceSum")
     H["reduce_and"] = None  # unsupported
     H["rsqrt"] = lambda b, e, iv: b.node("Reciprocal", [b.node("Sqrt", iv)])
+    # erfc(x) = 1 - erf(x) (gelu tails in attention blocks)
+    H["erfc"] = lambda b, e, iv: b.node(
+        "Sub", [b.const(np.asarray(1, e.invars[0].aval.dtype)),
+                b.node("Erf", iv)])
     H["stop_gradient"] = lambda b, e, iv: iv[0]
     H["copy"] = lambda b, e, iv: iv[0]
     H["convert_element_type"] = lambda b, e, iv: b.node(
@@ -351,6 +368,38 @@ _INLINE = {"pjit", "jit", "closed_call", "remat", "checkpoint",
            "custom_jvp_call", "custom_vjp_call", "custom_jvp_call_jaxpr",
            "custom_vjp_call_jaxpr", "remat2"}
 
+# Pure ops folded at export time when ALL inputs are constants. This is what
+# lets initializer-derived weights reach `conv` as constants even when the
+# trace routes them through transpose/rev/reshape first (e.g. the Proto
+# upsample's ConvTranspose kernel — round-4 advisor finding). Size-guarded so
+# a scalar broadcast to an image-sized tensor is NOT materialized.
+_FOLDABLE = {"transpose", "rev", "reshape", "squeeze", "expand_dims",
+             "broadcast_in_dim", "convert_element_type", "slice",
+             "concatenate", "neg", "mul", "add", "sub", "div", "pad"}
+
+
+def _try_fold(b: _Builder, eqn, invals, env) -> bool:
+    """Constant-fold `eqn` into const_vals; True when folded."""
+    if eqn.primitive.name not in _FOLDABLE:
+        return False
+    if not all(n in b.const_vals for n in invals):
+        return False
+    ins = [b.const_vals[n] for n in invals]
+    out_sz = sum(int(np.prod(v.aval.shape)) for v in eqn.outvars)
+    in_sz = sum(int(a.size) for a in ins)
+    if out_sz > 2 * max(in_sz, 1024):  # block constant blow-ups
+        return False
+    try:
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            res = eqn.primitive.bind(*ins, **eqn.params)
+    except Exception:  # noqa: BLE001 — fall back to graph emission
+        return False
+    res = list(res) if eqn.primitive.multiple_results else [res]
+    for ov, r in zip(eqn.outvars, res):
+        env[ov] = b.const(np.asarray(r))
+    return True
+
 
 def _emit(b: _Builder, jaxpr, env: dict):
     from jax._src.core import Literal
@@ -363,6 +412,8 @@ def _emit(b: _Builder, jaxpr, env: dict):
     for eqn in jaxpr.eqns:
         name = eqn.primitive.name
         invals = [read(v) for v in eqn.invars]
+        if _try_fold(b, eqn, invals, env):
+            continue
         if name in _INLINE:
             inner = (eqn.params.get("jaxpr") or eqn.params.get("call_jaxpr")
                      or eqn.params.get("fun_jaxpr"))
@@ -418,19 +469,24 @@ def export_onnx(fn, example_input: np.ndarray, path: str, opset: int = 17,
     try:
         outs = _emit(b, closed.jaxpr, env)
     except UnsupportedPrimitive as e:
+        hint = (" Embedded-NMS/dynamic-control-flow graphs are not "
+                "ONNX-exportable; export with nms=False, or use 'stablehlo' / "
+                "'saved_model' for full-pipeline artifacts."
+                if any(k in str(e) for k in ("while", "cond", "scan", "sort",
+                                             "top_k", "gather", "scatter"))
+                else "")
         raise UnsupportedPrimitive(
             f"ONNX export: the traced program uses a primitive with no ONNX "
-            f"mapping ({e}). Embedded-NMS/dynamic-control-flow graphs are not "
-            f"ONNX-exportable; export with nms=False, or use 'stablehlo' / "
-            f"'saved_model' for full-pipeline artifacts.") from e
+            f"mapping ({e}).{hint}") from e
     out_avals = [v.aval for v in closed.jaxpr.outvars]
     output_names = output_names or [f"output{i}" if i else "output"
                                     for i in range(len(outs))]
-    # terminal Identity nodes pin the public output names
+    # terminal Identity nodes pin the public output names (raw_node marks a
+    # directly-returned constant as used so its initializer is serialized)
     for o, nm in zip(outs, output_names):
-        b.nodes.append(P.node_proto("Identity", [o], [nm]))
+        b.raw_node(P.node_proto("Identity", [o], [nm]), [o])
     g = P.graph_proto(
-        b.nodes, graph_name, b.initializers,
+        b.nodes, graph_name, b.initializers(),
         inputs=[P.value_info_proto(input_name, example_input.dtype,
                                    example_input.shape)],
         outputs=[P.value_info_proto(nm, av.dtype, av.shape)

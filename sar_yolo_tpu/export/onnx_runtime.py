@@ -114,7 +114,9 @@ class OnnxReferenceRuntime:
         un = {"Exp": np.exp, "Sqrt": np.sqrt, "Neg": np.negative, "Tanh": np.tanh,
               "Abs": np.abs, "Log": np.log, "Floor": np.floor, "Ceil": np.ceil,
               "Sign": np.sign, "Not": np.logical_not,
-              "Reciprocal": lambda x: (1.0 / x).astype(x.dtype), "Erf": _erf}
+              "Reciprocal": lambda x: (1.0 / x).astype(x.dtype), "Erf": _erf,
+              "Cos": lambda x: np.cos(x).astype(x.dtype),
+              "Sin": lambda x: np.sin(x).astype(x.dtype)}
         if op in un:
             return un[op](iv[0])
         bi = {"Add": np.add, "Sub": np.subtract, "Mul": np.multiply,

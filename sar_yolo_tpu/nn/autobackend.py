@@ -112,7 +112,10 @@ class AutoBackend:
             import onnxruntime  # noqa: F401
             sess = onnxruntime.InferenceSession(str(p))
             iname = sess.get_inputs()[0].name
-            self._fn = lambda img: sess.run(None, {iname: np.asarray(img, np.uint8)})[0]
+            # keep ALL session outputs (a segment artifact is preds+protos;
+            # dropping to [0] broke _post_segment's 2-tuple unpack — r4 advisor)
+            self._fn = lambda img: _squeeze_outs(
+                sess.run(None, {iname: np.asarray(img, np.uint8)}))
         except ImportError:
             from sar_yolo_tpu.export.onnx_runtime import OnnxReferenceRuntime
             rt = OnnxReferenceRuntime(str(p))

@@ -115,30 +115,52 @@ def detection_loss(feats, batch, hyp, *, nc: int, reg_max: int, strides, tal_top
 
 
 def triplet_embedding_loss(embeds, tags, conf, valid, *, margin: float = 0.075,
-                           conf_fraction: float = 0.5):
+                           conf_fraction: float = 0.5, n_total=None):
     """Hard-positive / semi-hard-negative triplet loss over fixed-size candidates.
 
-    Matches the reference mining strategy (MetricLearningLoss:19 with
-    BatchEasyHardMiner(pos='hard', neg='semihard') + top-50%-confidence gating)
-    in fixed shapes: K candidates, masked pairwise distances.
+    Faithful to the reference MetricLearningLoss (reference utils/loss.py:19-41:
+    pytorch_metric_learning BatchEasyHardMiner(pos='hard', neg='semihard') +
+    TripletMarginLoss(margin=0.075) + top-50%-confidence gating), re-derived
+    in fixed shapes. The library semantics matter and are matched exactly
+    (pinned by tests/test_loss_crosscheck.py::test_triplet_embed_loss_*):
+
+      * LpDistance defaults to normalize_embeddings=True — distances are L2
+        on UNIT-normalized embeddings even though the reference passes
+        normalize=False (that flag only guards an extra explicit F.normalize).
+      * neg_strategy='semihard': an anchor with NO negative farther than its
+        hardest positive is DROPPED (the library has no hardest-negative
+        fallback; that fallback exists only in the unused MetricLearningLoss1).
+      * TripletMarginLoss's default reducer is AvgNonZeroReducer: the mean runs
+        over triplets with loss > 0 only; 0 when none.
+      * gating: top_k = int(0.5 * n_fg) — derived from the TOTAL foreground
+        count (pass `n_total`), so the static-K gather stays exact for
+        n_fg <= 2*K.
 
     Args:
         embeds: (K, D) candidate embeddings (already gathered fg/top-conf).
         tags:   (K,) int person ids.
         conf:   (K,) detection confidence of each candidate.
         valid:  (K,) candidate validity mask.
+        n_total: scalar total fg count before the top-K gather (defaults to
+            valid.sum()); the gating keep-count is floor(conf_fraction * it).
     """
     K = embeds.shape[0]
-    keep = max(1, int(conf_fraction * K))
-    # keep top-`keep` by confidence among valid
-    conf_m = jnp.where(valid, conf, -1.0)
-    thresh = jax.lax.top_k(conf_m, keep)[0][-1]
-    sel = valid & (conf_m >= thresh)
+    n_valid = valid.sum()
+    nt = jnp.minimum(n_total if n_total is not None else n_valid, n_valid)
+    keep = jnp.floor(conf_fraction * nt).astype(jnp.int32)
+    keep = jnp.minimum(keep, n_valid)
+    conf_m = jnp.where(valid, conf, -jnp.inf)
+    sc = jnp.sort(conf_m)[::-1]
+    thresh = sc[jnp.clip(keep - 1, 0, K - 1)]
+    sel = valid & (conf_m >= thresh) & (keep > 0)
 
-    sq = jnp.sum((embeds[:, None, :] - embeds[None, :, :]) ** 2, -1)
+    # LpDistance(normalize_embeddings=True): pairwise L2 on the unit sphere
+    e = embeds / jnp.maximum(
+        jnp.linalg.norm(embeds, axis=-1, keepdims=True), 1e-12)
+    sq = jnp.sum((e[:, None, :] - e[None, :, :]) ** 2, -1)
     # safe sqrt: zero-distance pairs (diagonal, collapsed embeddings) get zero
     # gradient instead of the 1/sqrt(eps) explosion
-    d = jnp.sqrt(jnp.where(sq > 1e-9, sq, 1e-9))
+    d = jnp.sqrt(jnp.where(sq > 1e-12, sq, 1e-12))
     same = (tags[:, None] == tags[None, :])
     pair_ok = sel[:, None] & sel[None, :]
     eye = jnp.eye(K, dtype=bool)
@@ -149,17 +171,18 @@ def triplet_embedding_loss(embeds, tags, conf, valid, *, margin: float = 0.075,
     BIG = 1e9
     hard_pos = jnp.max(jnp.where(pos_mask, d, -BIG), axis=1)           # (K,)
     has_pos = pos_mask.any(axis=1)
-    neg_d = jnp.where(neg_mask, d, BIG)
-    semi = neg_d > hard_pos[:, None]
-    semi_min = jnp.min(jnp.where(semi, neg_d, BIG), axis=1)
-    any_semi = (jnp.where(semi & neg_mask, 1, 0).sum(axis=1)) > 0
-    hard_neg = jnp.where(any_semi, semi_min, jnp.min(neg_d, axis=1))
-    has_neg = neg_mask.any(axis=1)
+    # semihard: closest negative STRICTLY farther than the hardest positive;
+    # no fallback — anchors without one produce no triplet (library semantics)
+    semi = neg_mask & (d > hard_pos[:, None])
+    semi_min = jnp.min(jnp.where(semi, d, BIG), axis=1)
+    has_semi = semi.any(axis=1)
 
-    anchor_ok = sel & has_pos & has_neg
-    per_anchor = jnp.maximum(hard_pos - hard_neg + margin, 0.0)
-    denom = jnp.maximum(anchor_ok.sum(), 1)
-    return jnp.where(anchor_ok, per_anchor, 0.0).sum() / denom
+    anchor_ok = sel & has_pos & has_semi
+    per_anchor = jnp.maximum(hard_pos - semi_min + margin, 0.0)
+    # AvgNonZeroReducer: mean over VIOLATING triplets only
+    nz = anchor_ok & (per_anchor > 0)
+    denom = jnp.maximum(nz.sum(), 1)
+    return jnp.where(nz, per_anchor, 0.0).sum() / denom
 
 
 class JDELossOut(NamedTuple):

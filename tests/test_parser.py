@@ -59,8 +59,9 @@ def test_yolov13_jde_parse():
     assert head.args == (1, 256, 6)  # nc, embed_dim, state_classes
 
 
-@pytest.mark.slow
 def test_yolov8n_param_count_and_forward():
+    """Fast-tier representative: exact param parity + forward shapes for the
+    canonical v8 family (full-family goldens live in the slow tier)."""
     model, meta = build_model("yolov8n.yaml")
     variables = init_model(model, meta, jax.random.PRNGKey(0), imgsz=64)
     # reference yolov8n: 3,157,184 gradients (trainable params; +16 frozen DFL proj)
@@ -71,8 +72,8 @@ def test_yolov8n_param_count_and_forward():
     assert [f.shape for f in feats] == [(1, 8, 8, 144), (1, 4, 4, 144), (1, 2, 2, 144)]
 
 
-@pytest.mark.slow
 def test_yolov13n_jde_forward():
+    """Fast-tier representative for the flagship JDE family."""
     model, meta = build_model("yolov13n-JDE.yaml")
     variables = init_model(model, meta, jax.random.PRNGKey(0), imgsz=64)
     assert meta["strides"] == [8, 16, 32]
@@ -99,6 +100,14 @@ def test_rtdetr_yaml_parses():
     specs, save, meta = parse_model(d)
     assert meta["head"] == "RTDETRDecoder"
     assert specs[0].name == "HGStem"
+
+
+def test_yolo11_param_parity_fast():
+    """Fast-tier representative for the yolo11 family: exact trainable-param
+    parity for yolo11n (the FORK's yaml, nc=1 person detection)."""
+    model, meta = build_model("yolo11n.yaml")
+    variables = init_model(model, meta, jax.random.PRNGKey(0), imgsz=64)
+    assert n_params(variables) == 2_590_019
 
 
 @pytest.mark.slow
