@@ -243,7 +243,11 @@ def jde_loss_components(feats, batch, hyp, *, nc: int, reg_max: int, strides,
     emb_flat = pred_embeds.reshape(-1, embed_dim)[top_idx]
     tag_flat = assign.target_tags.reshape(-1)[top_idx]
     valid = top_conf > 0
-    loss_emb = triplet_embedding_loss(emb_flat, tag_flat, top_conf, valid)
+    # gating keep-count derives from the TOTAL fg count (reference
+    # MetricLearningLoss takes int(0.5*n_fg) of ALL fg anchors): exact vs the
+    # reference whenever floor(0.5*n_fg) <= triplet_k
+    loss_emb = triplet_embedding_loss(emb_flat, tag_flat, top_conf, valid,
+                                      n_total=assign.fg_mask.sum())
 
     # ---- state loss: focal CE with class-balanced EMA weights over fg anchors
     # (reference uses target tags clamped into state range as state labels)

@@ -31,22 +31,9 @@ def install_reference_stubs():
     for sub in ("miners", "distances", "losses", "reducers"):
         setattr(pml, sub, sys.modules[f"pytorch_metric_learning.{sub}"])
 
-    class _Unavailable:
-        """Constructible placeholder so v13JDELoss.__init__ (which builds
-        MetricLearningLoss eagerly, reference loss.py:392) imports; raises if
-        the miner/loss is actually invoked — tests must zero embed_loss."""
-
-        def __init__(self, *a, **k):
-            pass
-
-        def __call__(self, *a, **k):
-            raise RuntimeError("pytorch_metric_learning is stubbed in this image")
-
-        def to(self, *a, **k):
-            return self
-
-    sys.modules["pytorch_metric_learning.miners"].BatchEasyHardMiner = _Unavailable
-    sys.modules["pytorch_metric_learning.losses"].TripletMarginLoss = _Unavailable
+    miner_cls, loss_cls = _make_metric_learning_oracle()
+    sys.modules["pytorch_metric_learning.miners"].BatchEasyHardMiner = miner_cls
+    sys.modules["pytorch_metric_learning.losses"].TripletMarginLoss = loss_cls
     if "lap" not in sys.modules:
         sys.modules["lap"] = _make_lap_stub()
     if "torchvision" not in sys.modules:
@@ -54,6 +41,82 @@ def install_reference_stubs():
         sys.modules["torchvision.ops"] = sys.modules["torchvision"].ops
     if "/root/reference" not in sys.path:
         sys.path.insert(0, "/root/reference")
+
+
+def _make_metric_learning_oracle():
+    """Faithful test-local re-implementation of the two pytorch_metric_learning
+    classes the reference's MetricLearningLoss instantiates
+    (/root/reference/ultralytics/utils/loss.py:19-41), written from the
+    library's documented contract so the JDE embed term can be crosschecked
+    without the wheel:
+
+    * Both classes use the library default distance, LpDistance(p=2,
+      normalize_embeddings=True): pairwise L2 on UNIT-normalized embeddings.
+    * BatchEasyHardMiner(pos_strategy='hard', neg_strategy='semihard'):
+      per anchor, the positive is the FARTHEST same-label element (self
+      excluded); the negative is the CLOSEST different-label element that is
+      strictly farther than that positive. Anchors lacking either are dropped
+      (the library has no hardest-negative fallback). Returns (a, p, n) index
+      tensors.
+    * TripletMarginLoss(margin): relu(d(a,p) - d(a,n) + margin) per mined
+      triplet, reduced by the default AvgNonZeroReducer — mean over VIOLATING
+      triplets only, 0 when none (or no triplets).
+    """
+    import torch
+    import torch.nn.functional as F
+
+    class BatchEasyHardMiner:
+        def __init__(self, pos_strategy="hard", neg_strategy="semihard"):
+            assert (pos_strategy, neg_strategy) == ("hard", "semihard"), \
+                "oracle implements exactly the reference's configuration"
+
+        def to(self, *a, **k):
+            return self
+
+        def __call__(self, embeddings, labels):
+            e = F.normalize(embeddings.float(), p=2, dim=1)
+            d = torch.cdist(e, e, p=2)
+            n = len(labels)
+            idx = torch.arange(n)
+            a_out, p_out, n_out = [], [], []
+            for i in range(n):
+                pos = (labels == labels[i]) & (idx != i)
+                neg = labels != labels[i]
+                if not pos.any() or not neg.any():
+                    continue
+                pd = torch.where(pos, d[i], torch.tensor(-torch.inf))
+                hard_pos = pd.max()
+                p_i = int(pd.argmax())
+                semi = neg & (d[i] > hard_pos)
+                if not semi.any():
+                    continue
+                nd = torch.where(semi, d[i], torch.tensor(torch.inf))
+                n_i = int(nd.argmin())
+                a_out.append(i)
+                p_out.append(p_i)
+                n_out.append(n_i)
+            t = lambda v: torch.tensor(v, dtype=torch.long)
+            return t(a_out), t(p_out), t(n_out)
+
+    class TripletMarginLoss:
+        def __init__(self, margin=0.05):
+            self.margin = margin
+
+        def to(self, *a, **k):
+            return self
+
+        def __call__(self, embeddings, labels, indices_tuple):
+            a, p, nn = indices_tuple
+            if len(a) == 0:
+                return torch.tensor(0.0)
+            e = F.normalize(embeddings.float(), p=2, dim=1)
+            d_ap = (e[a] - e[p]).norm(dim=1)
+            d_an = (e[a] - e[nn]).norm(dim=1)
+            viol = torch.relu(d_ap - d_an + self.margin)
+            nz = viol > 0
+            return viol[nz].mean() if nz.any() else torch.tensor(0.0)
+
+    return BatchEasyHardMiner, TripletMarginLoss
 
 
 def _make_torchvision_stub():
