@@ -92,6 +92,12 @@ def check_cfg(cfg: dict, hard: bool = True) -> None:
                 raise TypeError(f"'{k}={v}' must be an int")
             cfg[k] = int(v)
         elif k in CFG_BOOL_KEYS and not isinstance(v, bool):
+            if k == "int8" and str(v).lower() == "auto":
+                cfg[k] = "auto"  # scale-aware int8 policy (engine/model.py)
+                continue
+            if k == "profile" and str(v).lower() == "trace":
+                cfg[k] = "trace"  # jax.profiler trace dir (engine/trainer.py)
+                continue
             if hard:
                 raise TypeError(f"'{k}={v}' must be a bool")
             cfg[k] = bool(v)

@@ -16,6 +16,28 @@ from sar_yolo_tpu.utils import DEFAULT_CFG_DICT, LOGGER
 from sar_yolo_tpu.utils.checkpoint import is_checkpoint, load_checkpoint
 
 
+def resolve_int8_policy(int8_req, scale) -> tuple[bool, str | None]:
+    """Scale-aware int8 serving policy (VERDICT r4 Weak #7).
+
+    Measured on TPU v5e (PROFILE.md r4): int8 MXU serving is +14% at m-scale
+    but -30% at s-scale — the quantize/rescale overhead dominates small convs.
+    int8='auto' applies int8 only at m-scale and above; int8=True below
+    m-scale obeys but warns. Returns (apply_int8, log_note).
+    """
+    s = (scale or "").lower()
+    small = s in ("n", "t", "s")
+    if str(int8_req).lower() == "auto":
+        if small:
+            return False, (f"int8='auto': scale '{s}' is below m — serving "
+                           "bf16/f32 (int8 measured slower at this scale on TPU).")
+        return True, None
+    if small:
+        return True, (f"int8=True on scale '{s}': int8 MXU serving is measured "
+                      "~30% SLOWER than bf16 below m-scale on TPU (PROFILE.md); "
+                      "use int8='auto' to let the policy decide.")
+    return True, None
+
+
 class YOLO:
     """Load a model from yaml (new) or checkpoint dir (trained) and run any mode.
 
@@ -226,18 +248,26 @@ class YOLO:
                 variables = jax.tree.map(
                     lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
                     variables)
-        if getattr(args, "int8", False) and not getattr(model, "fused", False):
+        int8_req = getattr(args, "int8", False)
+        if int8_req and not getattr(model, "fused", False):
             from sar_yolo_tpu.utils import LOGGER
             LOGGER.warning(
                 "int8=True requested but the model could not be fused (BN fold "
                 "failed) — serving full precision instead.")
-        if getattr(args, "int8", False) and getattr(model, "fused", False):
-            # int8 MXU serving (≙ reference int8=True / TRT dynamic-range int8):
-            # dense convs quantize weight-per-channel + activation-per-tensor
-            # inside the jit (conv.py Int8Conv2D) — params stay the fused f32/bf16
-            # tree, so no separate quantized checkpoint is needed
-            import dataclasses
-            model = dataclasses.replace(model, quant="int8")
+        if int8_req and getattr(model, "fused", False):
+            from sar_yolo_tpu.utils import LOGGER
+            apply_int8, note = resolve_int8_policy(
+                int8_req, self.meta.get("scale"))
+            if note:
+                (LOGGER.warning if apply_int8 else LOGGER.info)(note)
+            if apply_int8:
+                # int8 MXU serving (≙ reference int8=True / TRT dynamic-range
+                # int8): dense convs quantize weight-per-channel +
+                # activation-per-tensor inside the jit (conv.py Int8Conv2D) —
+                # params stay the fused f32/bf16 tree, so no separate
+                # quantized checkpoint is needed
+                import dataclasses
+                model = dataclasses.replace(model, quant="int8")
         predictor = predictor_cls(model, variables, self.meta, args, names)
         for ev, fns in getattr(self, "_callbacks", {}).items():
             for fn in fns:

@@ -493,9 +493,22 @@ class BaseTrainer(HasCallbacks):
                         LOGGER.warning(f"plot_images failed: {e}")
                 if args.multi_scale:
                     batch = self._multi_scale(batch, i)
+                # profile=trace (SURVEY §5.1: the reference's torch-profiler
+                # hooks map to jax.profiler): capture steps 1-3 of epoch 0
+                # (post-compile) into a tensorboard/xprof-loadable trace dir.
+                if str(getattr(args, "profile", False)).lower() == "trace" \
+                        and epoch == 0 and i == 1:
+                    self._trace_dir = str(self.save_dir / "trace")
+                    jax.profiler.start_trace(self._trace_dir)
                 batch = shard_batch(self.mesh, batch)
                 self.state, total, items = self._train_step(self.state, batch,
                                                             self._mosaic_on)
+                if getattr(self, "_trace_dir", None) and epoch == 0 and i == 3:
+                    jax.block_until_ready(total)  # flush async dispatches
+                    jax.profiler.stop_trace()
+                    LOGGER.info(f"jax.profiler trace written to {self._trace_dir} "
+                                "(load with tensorboard --logdir)")
+                    self._trace_dir = None
                 # accumulate the loss items ON DEVICE (async dispatch) — a
                 # per-step np.asarray would block the host on the device fetch
                 # and stall dispatch of step i+1 by one tunnel round-trip
@@ -503,6 +516,11 @@ class BaseTrainer(HasCallbacks):
                 mloss = items if mloss is None else mloss + items
                 n_seen += 1
                 self.run_callbacks("on_train_batch_end")
+            if getattr(self, "_trace_dir", None):  # <4-batch epoch: close out
+                jax.block_until_ready(total)
+                jax.profiler.stop_trace()
+                LOGGER.info(f"jax.profiler trace written to {self._trace_dir}")
+                self._trace_dir = None
             mloss = np.asarray(mloss) / max(n_seen, 1) if mloss is not None else None
             # schedules live on the optimizer-update timeline (see build_optimizer)
             step_now = int(self.state.step) // max(self.accumulate, 1)

@@ -197,13 +197,15 @@ class BaseValidator:
                     save_dir = _P(getattr(args, "save_dir", None) or ".")
                     save_dir.mkdir(parents=True, exist_ok=True)
                     nb = {k: np.asarray(v) for k, v in batch.items()
-                          if k in ("img", "bboxes", "mask", "cls")}
+                          if k in ("img", "bboxes", "mask", "cls", "masks",
+                                   "keypoints")}
                     plot_images(nb, save_dir / "val_batch0_labels.jpg",
                                 names=self.data.get("names"))
                     plot_predictions(np.asarray(batch["img"]), list(dets[:n_eff]),
                                      save_dir / "val_batch0_pred.jpg",
                                      names=self.data.get("names"),
-                                     conf=max(conf, 0.25))
+                                     conf=max(conf, 0.25),
+                                     **self._plot_pred_extras(batch, dets, n_eff))
                 except Exception as e:  # noqa: BLE001 — plots never fail a val run
                     LOGGER.warning(f"val batch plotting failed: {e}")
             self.update_metrics(dets[:n_eff], _trim_batch(batch, n_eff), img.shape[1:3])
@@ -266,6 +268,10 @@ class BaseValidator:
 
     def _extra_update(self, d, gt_boxes, gt_cls, batch, bi):
         pass
+
+    def _plot_pred_extras(self, batch, dets, n_eff) -> dict:
+        """Task-specific plot_predictions kwargs (masks / kpts overlays)."""
+        return {}
 
     def finalize_metrics(self) -> dict:
         return self.det_metrics.process()
@@ -501,6 +507,15 @@ class PoseValidator(BaseValidator):
                     tp[p, t] = True
         self.pose_metrics.update(tp, d[:, 4], d[:, 5], gt_cls)
 
+    def _plot_pred_extras(self, batch, dets, n_eff):
+        """Keypoint + skeleton overlays for the first-batch prediction mosaic
+        (reference Annotator.kpts path)."""
+        K, kd = self.meta.get("kpt_shape", (17, 3))
+        kpts = [np.asarray(dets[bi])[:, 6:6 + K * kd].reshape(-1, K, kd)
+                if len(dets[bi]) else None
+                for bi in range(min(n_eff, len(dets)))]
+        return {"kpts": kpts}
+
     def finalize_metrics(self):
         results = super().finalize_metrics()
         pose = self.pose_metrics.process()
@@ -559,6 +574,26 @@ class SegmentValidator(BaseValidator):
                     seen_p.add(p)
                     tp[p, t] = True
         self.mask_metrics.update(tp, d[:, 4], d[:, 5], gt_cls)
+
+    def _plot_pred_extras(self, batch, dets, n_eff):
+        """Instance-mask overlays for the first-batch prediction mosaic
+        (reference plot_images masks path, utils/plotting.py:~450)."""
+        if self._protos is None:
+            return {}
+        from sar_yolo_tpu.ops.masks import process_mask
+        import jax.numpy as jnp
+        nm = self.meta.get("nm", 32)
+        h, w = np.asarray(batch["img"]).shape[1:3]
+        masks = []
+        for bi in range(min(n_eff, len(dets))):
+            d = dets[bi]  # unfiltered: masks stay row-aligned with the mosaic
+            if len(d) == 0:
+                masks.append(None)
+                continue
+            masks.append(np.asarray(process_mask(
+                jnp.asarray(self._protos[bi]), jnp.asarray(d[:, 6:6 + nm]),
+                jnp.asarray(d[:, :4]), (h, w))))
+        return {"masks": masks}
 
     def finalize_metrics(self):
         results = super().finalize_metrics()
@@ -643,6 +678,26 @@ class OBBValidator(BaseValidator):
             img = jnp.asarray(batch["img"])
             dets = np.asarray(predict(variables, img))
             h, w = img.shape[1:3]
+            if args.plots and n_img == 0:
+                # rotated-box GT + prediction mosaics (reference OBB val plots)
+                try:
+                    from pathlib import Path as _P
+
+                    from sar_yolo_tpu.utils.plotting import (plot_images,
+                                                             plot_predictions)
+                    save_dir = _P(getattr(args, "save_dir", None) or ".")
+                    save_dir.mkdir(parents=True, exist_ok=True)
+                    nb = {k: np.asarray(v) for k, v in batch.items()
+                          if k in ("img", "bboxes", "mask", "cls")}
+                    plot_images(nb, save_dir / "val_batch0_labels.jpg",
+                                names=self.data.get("names"))
+                    plot_predictions(np.asarray(batch["img"]),
+                                     list(dets[:dets.shape[0] - npad]),
+                                     save_dir / "val_batch0_pred.jpg",
+                                     names=self.data.get("names"),
+                                     conf=max(conf, 0.25), rotated=True)
+                except Exception as e:  # noqa: BLE001 — plots never fail val
+                    LOGGER.warning(f"val batch plotting failed: {e}")
             for bi in range(dets.shape[0] - npad):
                 d = dets[bi]
                 d = d[d[:, 5] > 0]  # conf col 5 for rotated rows

@@ -169,11 +169,65 @@ def plot_labels(boxes, cls, names=None, save_dir="."):
     return out
 
 
+# COCO 17-keypoint skeleton (reference plotting.py Annotator.kpts skeleton)
+COCO_SKELETON = [(15, 13), (13, 11), (16, 14), (14, 12), (11, 12), (5, 11),
+                 (6, 12), (5, 6), (5, 7), (6, 8), (7, 9), (8, 10), (1, 2),
+                 (0, 1), (0, 2), (1, 3), (2, 4), (3, 5), (4, 6)]
+
+
+def _blend_mask(img, mask, color, alpha=0.45):
+    """Alpha-blend a boolean instance mask (any resolution) onto img in place."""
+    import cv2
+    h, w = img.shape[:2]
+    m = np.asarray(mask)
+    if m.shape != (h, w):
+        m = cv2.resize(m.astype(np.uint8), (w, h),
+                       interpolation=cv2.INTER_NEAREST).astype(bool)
+    else:
+        m = m.astype(bool)
+    img[m] = (img[m] * (1 - alpha) + np.asarray(color, np.float32) * alpha
+              ).astype(np.uint8)
+
+
+def _draw_kpts(img, kpts, color, kpt_conf=0.25):
+    """Draw a (K, 2|3) keypoint set with the COCO skeleton when K==17."""
+    import cv2
+    kpts = np.asarray(kpts, np.float32)
+    K = len(kpts)
+    vis = kpts[:, 2] > kpt_conf if kpts.shape[1] > 2 else np.ones(K, bool)
+    for (x, y), v in zip(kpts[:, :2], vis):
+        if v and x > 0 and y > 0:
+            cv2.circle(img, (int(x), int(y)), 2, color, -1)
+    if K == 17:
+        for a, b in COCO_SKELETON:
+            if vis[a] and vis[b] and kpts[a, :2].min() > 0 and kpts[b, :2].min() > 0:
+                cv2.line(img, (int(kpts[a, 0]), int(kpts[a, 1])),
+                         (int(kpts[b, 0]), int(kpts[b, 1])), color, 1)
+
+
+def _rbox_corners(cx, cy, w, h, r):
+    """4 corner points of a rotated box (cxcywh + radians, reference xywhr)."""
+    cos, sin = np.cos(r), np.sin(r)
+    dx = np.array([w / 2, w / 2, -w / 2, -w / 2])
+    dy = np.array([h / 2, -h / 2, -h / 2, h / 2])
+    xs = cx + dx * cos - dy * sin
+    ys = cy + dx * sin + dy * cos
+    return np.stack([xs, ys], -1).astype(np.int32)
+
+
 def plot_predictions(imgs, dets, save_path="val_batch_pred.png", names=None,
-                     max_images: int = 16, conf: float = 0.25):
+                     max_images: int = 16, conf: float = 0.25, masks=None,
+                     kpts=None, rotated: bool = False):
     """Prediction-overlay mosaic for val batches (reference plot_images with
     preds, used by BaseValidator.plot_predictions). dets: list per image of
-    (n, >=6) [x1 y1 x2 y2 conf cls] in letterbox pixel space."""
+    (n, >=6) [x1 y1 x2 y2 conf cls] in letterbox pixel space, or — with
+    rotated=True — (n, 7) [cx cy w h r conf cls] rows.
+
+    Optional overlays (reference utils/plotting.py:393-560 capability):
+      masks: list per image of (n, mh, mw) bool instance masks aligned with
+             det rows (any resolution — resized to the image).
+      kpts:  list per image of (n, K, 2|3) keypoints in letterbox pixels.
+    """
     import cv2
     imgs = np.asarray(imgs)
     if imgs.dtype != np.uint8:
@@ -183,18 +237,33 @@ def plot_predictions(imgs, dets, save_path="val_batch_pred.png", names=None,
     cols = int(np.ceil(np.sqrt(B)))
     rows = int(np.ceil(B / cols))
     canvas = np.full((rows * s, cols * s, 3), 255, np.uint8)
+    conf_c, cls_c = (5, 6) if rotated else (4, 5)
     for b in range(B):
-        img = np.ascontiguousarray(imgs[b])
+        # copy, not ascontiguousarray: a contiguous view would alias the
+        # caller's batch and the overlay draws would mutate it
+        img = imgs[b].copy()
         d = np.asarray(dets[b]) if b < len(dets) and dets[b] is not None else np.zeros((0, 6))
-        for row in d:
-            if row[4] < conf:
+        for ri, row in enumerate(d):
+            if row[conf_c] < conf:
                 continue
-            c = int(row[5])
+            c = int(row[cls_c])
             color = tuple(int(v) for v in PALETTE[c % len(PALETTE)])
-            cv2.rectangle(img, (int(row[0]), int(row[1])), (int(row[2]), int(row[3])),
-                          color, 1)
-            label = f"{(names or {}).get(c, c)} {row[4]:.2f}"
-            cv2.putText(img, label, (int(row[0]), max(10, int(row[1]) - 2)),
+            if rotated:
+                pts = _rbox_corners(*(float(v) for v in row[:5]))
+                cv2.polylines(img, [pts], isClosed=True, color=color, thickness=1)
+                tx, ty = int(row[0]), max(10, int(row[1]) - 2)
+            else:
+                cv2.rectangle(img, (int(row[0]), int(row[1])),
+                              (int(row[2]), int(row[3])), color, 1)
+                tx, ty = int(row[0]), max(10, int(row[1]) - 2)
+            if masks is not None and b < len(masks) and masks[b] is not None \
+                    and ri < len(masks[b]):
+                _blend_mask(img, masks[b][ri], PALETTE[ri % len(PALETTE)])
+            if kpts is not None and b < len(kpts) and kpts[b] is not None \
+                    and ri < len(kpts[b]):
+                _draw_kpts(img, kpts[b][ri], color)
+            label = f"{(names or {}).get(c, c)} {row[conf_c]:.2f}"
+            cv2.putText(img, label, (tx, ty),
                         cv2.FONT_HERSHEY_SIMPLEX, 0.35, color, 1)
         r, col = divmod(b, cols)
         canvas[r * s:(r + 1) * s, col * s:(col + 1) * s] = img
@@ -203,7 +272,14 @@ def plot_predictions(imgs, dets, save_path="val_batch_pred.png", names=None,
 
 
 def plot_images(batch, save_path="train_batch.png", max_images: int = 16, names=None):
-    """Labeled image mosaic of a training batch (reference plot_images)."""
+    """Labeled image mosaic of a training batch (reference plot_images).
+
+    Ground-truth overlays beyond boxes (reference utils/plotting.py:393-560):
+      batch["masks"]     (B, mh, mw) instance-id overlap map -> alpha-blended
+                         per-instance masks;
+      batch["keypoints"] (B, M, K, 2|3) normalized -> dots + COCO skeleton;
+      5-column bboxes    (cx cy w h r) -> rotated box polylines (OBB).
+    """
     import cv2
     imgs = batch["img"]
     if imgs.dtype != np.uint8:
@@ -219,11 +295,28 @@ def plot_images(batch, save_path="train_batch.png", max_images: int = 16, names=
         mask = np.asarray(batch["mask"][b]) > 0
         boxes = np.asarray(batch["bboxes"][b])[mask]
         cls = np.asarray(batch["cls"][b])[mask]
-        for box, c in zip(boxes, cls):
-            cx, cy, bw, bh = box * [w, h, w, h]
+        rotated = boxes.shape[-1] == 5 if boxes.ndim == 2 else False
+        if "masks" in batch:  # instance-id overlap map (segment GT)
+            overlap = np.asarray(batch["masks"][b])
+            for ii, gi in enumerate(np.nonzero(mask)[0]):
+                _blend_mask(img, overlap == gi + 1, PALETTE[ii % len(PALETTE)])
+        for ii, (box, c) in enumerate(zip(boxes, cls)):
             color = tuple(int(v) for v in PALETTE[int(c) % len(PALETTE)])
-            cv2.rectangle(img, (int(cx - bw / 2), int(cy - bh / 2)),
-                          (int(cx + bw / 2), int(cy + bh / 2)), color, 1)
+            if rotated:
+                cx, cy, bw, bh = box[0] * w, box[1] * h, box[2] * w, box[3] * h
+                pts = _rbox_corners(cx, cy, bw, bh, float(box[4]))
+                cv2.polylines(img, [pts], isClosed=True, color=color, thickness=1)
+            else:
+                cx, cy, bw, bh = box[:4] * [w, h, w, h]
+                cv2.rectangle(img, (int(cx - bw / 2), int(cy - bh / 2)),
+                              (int(cx + bw / 2), int(cy + bh / 2)), color, 1)
+        if "keypoints" in batch:
+            kpts = np.asarray(batch["keypoints"][b])[mask]  # (G, K, 2|3) normalized
+            for ii, kp in enumerate(kpts):
+                kp = kp.copy().astype(np.float32)
+                kp[..., 0] *= w
+                kp[..., 1] *= h
+                _draw_kpts(img, kp, tuple(int(v) for v in PALETTE[ii % len(PALETTE)]))
         r, col = divmod(b, cols)
         canvas[r * s:(r + 1) * s, col * s:(col + 1) * s] = img
     cv2.imwrite(str(save_path), canvas[..., ::-1])
