@@ -100,14 +100,18 @@ def get_global_mesh(axis_names=("dp", "tp"), tp=1, allow_split_physical_axes=Fal
     n = jax.device_count()
     if n % tp:
         raise ValueError(f"tp={tp} does not divide device_count={n}")
-    shape = (n // tp, tp)
+    # 1-D dp-only mesh when a single axis name is given (tp must be 1)
+    one_d = len(axis_names) == 1
+    if one_d and tp != 1:
+        raise ValueError(f"tp={tp} needs a second mesh axis name")
+    shape = (n,) if one_d else (n // tp, tp)
     try:
         # contiguous_submeshes keeps each host's devices adjacent along dp
         dev = mesh_utils.create_device_mesh(
             shape, allow_split_physical_axes=allow_split_physical_axes)
     except Exception:
         dev = np.array(jax.devices()).reshape(shape)
-    return Mesh(dev, axis_names[:2])
+    return Mesh(dev, axis_names if one_d else axis_names[:2])
 
 
 def process_shard(n_samples: int, shuffle_seed=None):

@@ -221,3 +221,52 @@ def test_train_2d_mesh_dp_tp(tmp_path):
                       val=False, save=False, plots=False, project=str(tmp_path),
                       mesh_shape=[4, 2])
     assert np.isfinite(metrics["train/cls"])
+
+
+@pytest.mark.slow
+def test_two_process_multihost_train_step(tmp_path):
+    """Two REAL jax.distributed CPU processes (2 virtual devices each, 4
+    global) run one SPMD train step on host-local batch halves assembled via
+    host_local_batch_to_global; loss + post-step param checksum must match a
+    single-process run of the identical step (VERDICT r4 item 9 — keeps the
+    ICI/DCN multi-host story honest without real multi-chip hardware)."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    import jax
+
+    from multihost_step import GLOBAL_BATCH, make_step_fn, param_checksum
+    from sar_yolo_tpu.parallel.mesh import get_mesh, shard_batch
+
+    # single-process reference on a 4-device submesh of the virtual CPU mesh
+    mesh = get_mesh([4], devices=jax.devices()[:4])
+    step = make_step_fn(mesh)
+    loss_ref, v_ref = step(shard_batch(mesh, GLOBAL_BATCH()))
+    loss_ref, ck_ref = float(loss_ref), param_checksum(v_ref)
+
+    with socket.socket() as s:  # free port for the coordinator
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    env = {**os.environ, "PYTHONPATH": os.pathsep.join(
+        [os.path.dirname(__file__), os.path.dirname(os.path.dirname(__file__)),
+         os.environ.get("PYTHONPATH", "")])}
+    env.pop("JAX_PLATFORMS", None)  # worker sets its own
+    script = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+    procs = [subprocess.Popen(
+        [sys.executable, script, str(port), str(i)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+        for i in range(2)]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+        outs.append(out)
+    for i, out in enumerate(outs):
+        line = [ln for ln in out.splitlines() if ln.startswith("RESULT")][-1]
+        _, loss_s, ck_s = line.split()
+        assert abs(float(loss_s) - loss_ref) < 5e-5, \
+            f"worker {i} loss {loss_s} vs single-process {loss_ref}"
+        assert abs(float(ck_s) - ck_ref) / max(ck_ref, 1.0) < 1e-6, \
+            f"worker {i} checksum {ck_s} vs single-process {ck_ref}"
