@@ -163,7 +163,18 @@ def bench_jde_e2e(B: int, imgsz: int = 640, n_iter: int = 20,
         acc = e2e(variables, img, acc)
     float(acc)
     dt = time.perf_counter() - t0
-    return B * n_iter / dt
+    ips = B * n_iter / dt
+    try:  # MFU sidecar (B=1 fwd cost analysis; persistent-cache cheap)
+        from sar_yolo_tpu.utils.mfu import chip_peak_bf16_tflops, model_fwd_gflops
+        g = model_fwd_gflops(model, variables, meta, imgsz)
+        peak = chip_peak_bf16_tflops()
+        if g and peak:
+            _RESULT["extra"][f"jde_mfu_{imgsz}px"] = {
+                "gflops_per_img": round(g, 2),
+                "mfu_pct": round(100.0 * ips * g / 1e3 / peak, 1)}
+    except Exception:  # noqa: BLE001
+        pass
+    return ips
 
 
 def main():

@@ -166,6 +166,26 @@ def plot_labels(boxes, cls, names=None, save_dir="."):
     out = Path(save_dir) / "labels.jpg"
     fig.savefig(out, dpi=120)
     plt.close(fig)
+    # correlogram: pairwise xywh densities (reference labels_correlogram.jpg,
+    # seaborn pairplot there; pure-matplotlib hist2d matrix here)
+    if len(boxes):
+        dims = ["x", "y", "width", "height"]
+        fig, axes = plt.subplots(4, 4, figsize=(9, 9))
+        for i in range(4):
+            for j in range(4):
+                ax = axes[i][j]
+                if i == j:
+                    ax.hist(boxes[:, i], bins=50, color="#3070ff")
+                else:
+                    ax.hist2d(boxes[:, j], boxes[:, i], bins=50, cmap="Blues")
+                if i == 3:
+                    ax.set_xlabel(dims[j], fontsize=8)
+                if j == 0:
+                    ax.set_ylabel(dims[i], fontsize=8)
+                ax.tick_params(labelsize=6)
+        fig.tight_layout()
+        fig.savefig(Path(save_dir) / "labels_correlogram.jpg", dpi=120)
+        plt.close(fig)
     return out
 
 

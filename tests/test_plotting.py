@@ -90,3 +90,17 @@ def test_plot_images_gt_overlays(tmp_path, img_batch):
     obb_batch["bboxes"] = np.array([[[0.5, 0.5, 0.5, 0.2, 0.7]]], np.float32)
     obb = _imread(plot_images(obb_batch, tmp_path / "gt_r.png"))
     assert (base != obb).any(-1).sum() > 30
+
+
+def test_plot_labels_and_correlogram(tmp_path):
+    """plot_labels writes labels.jpg + labels_correlogram.jpg (reference
+    plot_labels + seaborn correlogram capability)."""
+    rng = np.random.default_rng(3)
+    boxes = np.clip(rng.normal(0.5, 0.15, (200, 4)), 0.05, 0.95)
+    cls = rng.integers(0, 3, 200)
+    from sar_yolo_tpu.utils.plotting import plot_labels
+    out = plot_labels(boxes, cls, names={0: "a", 1: "b", 2: "c"},
+                      save_dir=tmp_path)
+    assert out.exists() and out.stat().st_size > 0
+    corr = tmp_path / "labels_correlogram.jpg"
+    assert corr.exists() and corr.stat().st_size > 0
