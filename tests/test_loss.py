@@ -66,12 +66,23 @@ def test_triplet_loss_separates():
     valid = np.ones(K, bool)
     loss_sep = float(triplet_embedding_loss(jnp.asarray(emb, jnp.float32), jnp.asarray(tags),
                                             jnp.asarray(conf), jnp.asarray(valid)))
-    # collapsed embeddings -> loss ~= margin
+    # collapsed embeddings: all pairwise distances equal -> NO negative is
+    # strictly farther than the hardest positive -> the semihard miner drops
+    # every anchor -> loss 0 (library semantics, pinned vs the reference's
+    # MetricLearningLoss in test_loss_crosscheck.py; the old behavior of
+    # returning the margin came from a hardest-negative fallback the
+    # pytorch_metric_learning miner does not have)
     emb2 = np.zeros((K, D), np.float32)
     loss_col = float(triplet_embedding_loss(jnp.asarray(emb2), jnp.asarray(tags),
                                             jnp.asarray(conf), jnp.asarray(valid)))
     assert loss_sep < 1e-3
-    assert abs(loss_col - 0.075) < 1e-4
+    assert loss_col == 0.0
+    # mildly-overlapping clusters still produce a positive training signal
+    emb3 = np.concatenate([rng.normal(0, 1.0, (8, D)), rng.normal(0.5, 1.0, (8, D))])
+    loss_mix = float(triplet_embedding_loss(jnp.asarray(emb3, jnp.float32),
+                                            jnp.asarray(tags), jnp.asarray(conf),
+                                            jnp.asarray(valid)))
+    assert loss_mix > 0.01
 
 
 @pytest.mark.slow
