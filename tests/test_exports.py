@@ -204,3 +204,26 @@ def test_dynamic_batch_export(tmp_path):
     for B in (1, 3):
         out = exported.call(np.zeros((B, 64, 64, 3), np.uint8))
         assert out.shape[0] == B
+
+
+@pytest.mark.slow
+def test_onnx_segment_multi_output_roundtrip(tmp_path):
+    """Segment ONNX artifact (preds + protos, 2 outputs) exports via the
+    constant-folded ConvTranspose path (r4 advisor finding) and reloads
+    through AutoBackend's multi-output branch, producing masks end-to-end."""
+    m = YOLO("tinyseg.yaml", task="segment")
+    m._ensure_variables(64)
+    path = m.export(format="onnx", imgsz=64, project=str(tmp_path))
+    assert path.endswith(".onnx")
+    from sar_yolo_tpu.nn.autobackend import AutoBackend
+    ab = AutoBackend(path)
+    outs = ab(np.zeros((1, 64, 64, 3), np.uint8))
+    assert isinstance(outs, (tuple, list)) and len(outs) == 2, \
+        "segment artifact must return (preds, protos)"
+    preds, protos = outs
+    assert preds.ndim == 3 and protos.ndim == 4
+    # full predict path: raw-preds artifact -> NMS + prototype mask compose
+    img = np.full((64, 64, 3), 30, np.uint8)
+    img[10:50, 10:50] = (220, 40, 40)
+    res = YOLO(path).predict(img)
+    assert res[0].masks is None or res[0].masks.data.ndim == 3
