@@ -425,7 +425,9 @@ class JDEValidator(BaseValidator):
         return results
 
     def _export_consolidated(self, results):
-        """Append one row per run to a cumulative CSV (ref jde/val.py:935 Excel)."""
+        """Append one row per run to a cumulative CSV AND mirror the full
+        table into jde_results.xlsx (ref jde/val.py:935 openpyxl workbook;
+        dependency-free writer in utils/xlsx.py)."""
         import csv
         from datetime import datetime
         from pathlib import Path
@@ -442,6 +444,13 @@ class JDEValidator(BaseValidator):
             if not exists:
                 w.writeheader()
             w.writerow(row)
+        try:  # Excel mirror of the cumulative table (never fails a val run)
+            from sar_yolo_tpu.utils.xlsx import write_xlsx
+            with path.open(newline="") as f:
+                rows = list(csv.DictReader(f))
+            write_xlsx(save_dir / "jde_results.xlsx", rows)
+        except Exception as e:  # noqa: BLE001
+            LOGGER.warning(f"jde_results.xlsx export failed: {e}")
 
     def print_results(self, results, n_img):
         super().print_results(results, n_img)

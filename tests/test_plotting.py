@@ -104,3 +104,24 @@ def test_plot_labels_and_correlogram(tmp_path):
     assert out.exists() and out.stat().st_size > 0
     corr = tmp_path / "labels_correlogram.jpg"
     assert corr.exists() and corr.stat().st_size > 0
+
+
+def test_xlsx_writer_roundtrip(tmp_path):
+    """Dependency-free xlsx writer (JDE consolidated workbook, reference
+    jde/val.py:935 openpyxl analog): write -> valid zip parts -> read back."""
+    import zipfile
+
+    from sar_yolo_tpu.utils.xlsx import read_xlsx, write_xlsx
+    rows = [{"timestamp": "2026-08-20T12:00:00", "model": "a.yaml",
+             "mAP50-95(B)": "0.51234", "state_acc": "0.91000"},
+            {"timestamp": "2026-08-20T13:00:00", "model": "b & c.yaml",
+             "mAP50-95(B)": "0.52000", "state_acc": "0.92"}]
+    p = write_xlsx(tmp_path / "res.xlsx", rows)
+    with zipfile.ZipFile(p) as z:  # structurally a valid xlsx package
+        assert "[Content_Types].xml" in z.namelist()
+        assert "xl/worksheets/sheet1.xml" in z.namelist()
+    back = read_xlsx(p)
+    assert len(back) == 2
+    assert back[0]["timestamp"] == "2026-08-20T12:00:00"
+    assert back[1]["model"] == "b & c.yaml"  # XML escaping round-trips
+    assert float(back[1]["mAP50-95(B)"]) == 0.52
