@@ -390,8 +390,12 @@ def _try_fold(b: _Builder, eqn, invals, env) -> bool:
     if out_sz > 2 * max(in_sz, 1024):  # block constant blow-ups
         return False
     try:
-        cpu = jax.devices("cpu")[0]
-        with jax.default_device(cpu):
+        import contextlib
+        try:  # prefer folding on host CPU; an accel-only platform config
+            ctx = jax.default_device(jax.devices("cpu")[0])
+        except RuntimeError:  # (e.g. JAX_PLATFORMS=axon) folds on the default
+            ctx = contextlib.nullcontext()
+        with ctx:
             res = eqn.primitive.bind(*ins, **eqn.params)
     except Exception:  # noqa: BLE001 — fall back to graph emission
         return False
