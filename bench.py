@@ -310,8 +310,10 @@ def main():
                                n_iter=20 if on_tpu else 2)),
         # SAR regime: P2-headed JDE at 1280px (ultra-small persons — the
         # fork's raison d'etre; VERDICT r4 item 4)
+        # B=8: measured-optimal at 1280 (B=16 loses ~8% to HBM pressure on the
+        # P2-resolution maps; A/B in tools/p24_flash_ab.py)
         ("e2e_yolov13njde_p2_1280_imgs_per_sec",
-         lambda: bench_jde_e2e(B=16 if on_tpu else 1, imgsz=1280,
+         lambda: bench_jde_e2e(B=8 if on_tpu else 1, imgsz=1280,
                                n_iter=10 if on_tpu else 1,
                                yaml_name="yolov13n-JDE_P24.yaml",
                                src_hw=(960, 1280))),
