@@ -142,6 +142,38 @@ class BaseValidator:
             else:
                 dets, self._protos = np.asarray(out), None
             n_eff = img.shape[0] - npad  # trailing pad rows are duplicate samples
+            if getattr(args, "save_txt", False):
+                # per-image YOLO-format label files in NATIVE normalized xywh
+                # (+conf) — reference BaseValidator save_txt/save_one_txt
+                # (validator.py:98, detect/val.py:166-279)
+                from pathlib import Path as _P
+                lbl_dir = _P(getattr(args, "save_dir", None) or ".") / "labels"
+                lbl_dir.mkdir(parents=True, exist_ok=True)
+                h, w = img.shape[1:3]
+                for bi in range(n_eff):
+                    d = dets[bi]
+                    d = d[d[:, 4] > 0]
+                    if "im_file" in batch:
+                        stem = _P(str(batch["im_file"][bi])).stem
+                        rt, padx, pady = (float(v) for v in batch["ratio_pad"][bi])
+                        oh, ow = (float(v) for v in batch["ori_shape"][bi])
+                    else:
+                        stem = f"image{n_img + bi}"
+                        rt, padx, pady, oh, ow = 1.0, 0.0, 0.0, float(h), float(w)
+                    lines = []
+                    for row in d:
+                        x1 = min(max((float(row[0]) - padx) / rt, 0.0), ow)
+                        x2 = min(max((float(row[2]) - padx) / rt, 0.0), ow)
+                        y1 = min(max((float(row[1]) - pady) / rt, 0.0), oh)
+                        y2 = min(max((float(row[3]) - pady) / rt, 0.0), oh)
+                        cx, cy = (x1 + x2) / 2 / ow, (y1 + y2) / 2 / oh
+                        bw, bh = (x2 - x1) / ow, (y2 - y1) / oh
+                        conf_s = f" {float(row[4]):.6f}" if getattr(
+                            args, "save_conf", False) else ""
+                        lines.append(f"{int(row[5])} {cx:.6f} {cy:.6f} "
+                                     f"{bw:.6f} {bh:.6f}{conf_s}")
+                    (lbl_dir / f"{stem}.txt").write_text(
+                        "\n".join(lines) + ("\n" if lines else ""))
             if args.save_json:
                 h, w = img.shape[1:3]
                 scale = np.array([w, h, w, h], np.float32)

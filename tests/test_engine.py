@@ -21,9 +21,13 @@ def _train_kwargs(tmp_path, **kw):
 @pytest.mark.slow
 def test_detect_train_val_predict(tmp_path):
     m = YOLO("tinydet.yaml")
-    metrics = m.train(**_train_kwargs(tmp_path, epochs=2))
+    metrics = m.train(**_train_kwargs(tmp_path, epochs=2, save_txt=True))
     assert "train/box" in metrics and np.isfinite(metrics["train/box"])
     assert "metrics/mAP50-95(B)" in metrics
+    # val-side save_txt (reference BaseValidator save_txt, validator.py:98):
+    # one YOLO-format label file per val image under save_dir/labels
+    txts = list((m.trainer.save_dir / "labels").glob("*.txt"))
+    assert txts, "val save_txt wrote no label files"
 
     img = np.full((96, 128, 3), 30, np.uint8)
     img[20:60, 30:90] = (220, 40, 40)
