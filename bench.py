@@ -297,13 +297,14 @@ def main():
 
     # ---- EXTRAS: started only while wall-clock budget remains ----
     extras_plan = [
-        # train batch sizes are the measured-optimal occupancy points (PROFILE.md
-        # round-4 B sweep: yolov8n 517@64 -> 758@128; JDE 233@32 -> 237@64)
+        # train batch sizes are the measured-optimal occupancy points
+        # (PROFILE.md: yolov8n 517@64 -> 758@128; JDE r5 sweep 237@64 ->
+        # 284@96 -> 298@128 — the r4 "64 is optimal" stopped the sweep early)
         ("train_yolov8n_640_imgs_per_sec",
          lambda: bench_train("yolov8n.yaml", "detect", B=128 if on_tpu else 2,
                              n_iter=12 if on_tpu else 2)),
         ("train_yolov13njde_640_imgs_per_sec",
-         lambda: bench_train("yolov13n-JDE.yaml", "jde", B=64 if on_tpu else 2,
+         lambda: bench_train("yolov13n-JDE.yaml", "jde", B=128 if on_tpu else 2,
                              n_iter=10 if on_tpu else 2)),
         ("e2e_yolov13njde_640_imgs_per_sec",
          lambda: bench_jde_e2e(B=128 if on_tpu else 2,
