@@ -103,15 +103,37 @@ def check_cfg(cfg: dict, hard: bool = True) -> None:
             cfg[k] = bool(v)
 
 
+def _handle_deprecation(custom: dict) -> dict:
+    """Map legacy keys to their current names with a warning (reference
+    cfg/__init__.py:413 _handle_deprecation — lets configs written for old
+    ultralytics versions keep working)."""
+    from sar_yolo_tpu.utils import LOGGER
+    renames = {"boxes": "show_boxes", "line_thickness": "line_width"}
+    inverted = {"hide_labels": "show_labels", "hide_conf": "show_conf"}
+    for old, new in renames.items():
+        if old in custom:
+            LOGGER.warning(f"'{old}' is deprecated, use '{new}'")
+            custom[new] = custom.pop(old)
+    for old, new in inverted.items():
+        if old in custom:
+            LOGGER.warning(f"'{old}' is deprecated, use '{new}' (inverted)")
+            v = custom.pop(old)
+            custom[new] = (str(v) == "False") if isinstance(v, str) else not v
+    if "label_smoothing" in custom:
+        LOGGER.warning("'label_smoothing' is deprecated and has no effect")
+        custom.pop("label_smoothing")
+    return custom
+
+
 def get_cfg(cfg=None, overrides: dict | None = None) -> IterableSimpleNamespace:
     """Merge overrides onto cfg (default config if None) and validate.
 
     Layering matches the reference: default < cfg < overrides.
     """
     cfg = cfg2dict(cfg) if cfg is not None else dict(DEFAULT_CFG_DICT)
-    merged = {**DEFAULT_CFG_DICT, **cfg}
+    merged = {**DEFAULT_CFG_DICT, **_handle_deprecation(cfg)}
     if overrides:
-        overrides = cfg2dict(overrides)
+        overrides = _handle_deprecation(cfg2dict(overrides))
         overrides.pop("save_dir", None)
         check_dict_alignment(merged, overrides)
         merged = {**merged, **overrides}

@@ -485,3 +485,17 @@ def test_profile_trace_writes_trace_dir(tmp_path):
     files = list(trace.rglob("*"))
     assert any(f.is_file() and f.stat().st_size > 0 for f in files), \
         f"trace dir empty: {files}"
+
+
+def test_cfg_deprecation_shims():
+    """Legacy keys map to current names with inversion where the reference
+    does it (cfg/__init__.py:413 _handle_deprecation)."""
+    from sar_yolo_tpu.cfg import get_cfg
+    args = get_cfg(overrides={"boxes": False, "hide_labels": "False",
+                              "hide_conf": True, "line_thickness": 3})
+    assert args.show_boxes is False
+    assert args.show_labels is True      # "False" string -> True (inverted)
+    assert args.show_conf is False       # True bool -> False (inverted)
+    assert args.line_width == 3
+    args = get_cfg(overrides={"label_smoothing": 0.1})  # dropped, no error
+    assert not hasattr(args, "label_smoothing")
