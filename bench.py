@@ -49,7 +49,7 @@ A100_TRT_E2E_IMGS_PER_SEC = 1150.0  # A100 TensorRT-FP16 batched e2e class figur
 # Total wall-clock budget for the EXTRAS (seconds). The headline is never
 # budgeted — it always runs. Extras are started oldest-first while
 # elapsed < budget; anything not started is reported as "skipped: budget".
-EXTRAS_BUDGET_S = 420.0
+EXTRAS_BUDGET_S = 700.0
 
 _T_START = time.perf_counter()
 _RESULT: dict = {}
@@ -296,16 +296,12 @@ def main():
         extra["e2e_yolov8n_mfu"] = f"error: {type(e).__name__}: {e}"
 
     # ---- EXTRAS: started only while wall-clock budget remains ----
+    # cheapest-first: the inference extras cost ~1 min each warm; the train
+    # extras each pay a full _setup_train (host-side model+optimizer build)
+    # on top of the cached compile, so they go LAST — any budget or driver
+    # timeout cut then loses the least (each completed extra re-emits the
+    # full line, so a kill mid-extra preserves everything before it)
     extras_plan = [
-        # train batch sizes are the measured-optimal occupancy points
-        # (PROFILE.md: yolov8n 517@64 -> 758@128; JDE r5 sweep 237@64 ->
-        # 284@96 -> 298@128 — the r4 "64 is optimal" stopped the sweep early)
-        ("train_yolov8n_640_imgs_per_sec",
-         lambda: bench_train("yolov8n.yaml", "detect", B=128 if on_tpu else 2,
-                             n_iter=12 if on_tpu else 2)),
-        ("train_yolov13njde_640_imgs_per_sec",
-         lambda: bench_train("yolov13n-JDE.yaml", "jde", B=128 if on_tpu else 2,
-                             n_iter=10 if on_tpu else 2)),
         ("e2e_yolov13njde_640_imgs_per_sec",
          lambda: bench_jde_e2e(B=128 if on_tpu else 2,
                                n_iter=20 if on_tpu else 2)),
@@ -318,6 +314,15 @@ def main():
                                n_iter=10 if on_tpu else 1,
                                yaml_name="yolov13n-JDE_P24.yaml",
                                src_hw=(960, 1280))),
+        # train batch sizes are the measured-optimal occupancy points
+        # (PROFILE.md: yolov8n 517@64 -> 758@128; JDE r5 sweep 237@64 ->
+        # 284@96 -> 298@128 — the r4 "64 is optimal" stopped the sweep early)
+        ("train_yolov8n_640_imgs_per_sec",
+         lambda: bench_train("yolov8n.yaml", "detect", B=128 if on_tpu else 2,
+                             n_iter=12 if on_tpu else 2)),
+        ("train_yolov13njde_640_imgs_per_sec",
+         lambda: bench_train("yolov13n-JDE.yaml", "jde", B=128 if on_tpu else 2,
+                             n_iter=10 if on_tpu else 2)),
     ]
     for key, fn in extras_plan:
         if _elapsed() > EXTRAS_BUDGET_S:
