@@ -242,11 +242,20 @@ class Exporter:
                 converter = tf.lite.TFLiteConverter.from_saved_model(str(sm_path))
                 converter.target_spec.supported_ops = [
                     tf.lite.OpsSet.TFLITE_BUILTINS, tf.lite.OpsSet.SELECT_TF_OPS]
-                if getattr(self.args, "int8", False):
+                int8_req = getattr(self.args, "int8", False)
+                if int8_req:
                     # Post-training full-integer quantization with float
                     # fallback (reference export_tflite int8 path,
                     # exporter.py:1055): conv/matmul kernels calibrate to int8
                     # from representative frames; NMS/control ops stay float.
+                    # int8='auto' quantizes here too (deliberately): the TPU
+                    # scale policy (engine/model.py resolve_int8_policy) is an
+                    # MXU heuristic — TFLite artifacts target edge CPUs where
+                    # int8 helps at every scale.
+                    if str(int8_req).lower() == "auto":
+                        LOGGER.info("int8='auto': TFLite export quantizes at "
+                                    "every scale (edge-CPU target; the m-scale "
+                                    "policy applies only to TPU serving)")
                     converter.optimizations = [tf.lite.Optimize.DEFAULT]
                     rep = list(self._representative_images(imgsz))
                     converter.representative_dataset = lambda: iter(rep)

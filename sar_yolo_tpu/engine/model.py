@@ -249,16 +249,18 @@ class YOLO:
                     lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
                     variables)
         int8_req = getattr(args, "int8", False)
-        if int8_req and not getattr(model, "fused", False):
-            from sar_yolo_tpu.utils import LOGGER
-            LOGGER.warning(
-                "int8=True requested but the model could not be fused (BN fold "
-                "failed) — serving full precision instead.")
-        if int8_req and getattr(model, "fused", False):
+        if int8_req:
             from sar_yolo_tpu.utils import LOGGER
             apply_int8, note = resolve_int8_policy(
                 int8_req, self.meta.get("scale"))
-            if note:
+            if apply_int8 and not getattr(model, "fused", False):
+                # policy resolved first so an 'auto' user on a small scale
+                # (where int8 is declined anyway) gets no spurious warning
+                LOGGER.warning(
+                    f"int8={int8_req!r} requested but the model could not be "
+                    "fused (BN fold failed) — serving full precision instead.")
+                apply_int8 = False
+            elif note:
                 (LOGGER.warning if apply_int8 else LOGGER.info)(note)
             if apply_int8:
                 # int8 MXU serving (≙ reference int8=True / TRT dynamic-range

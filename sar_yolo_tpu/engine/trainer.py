@@ -443,6 +443,22 @@ class BaseTrainer(HasCallbacks):
         self._train_step = jax.jit(train_step, donate_argnums=(0,), static_argnums=(2,))
         self.run_callbacks("on_pretrain_routine_end")
 
+    def _stop_trace(self, total=None):
+        """Close an active jax.profiler trace (profile='trace'); safe to call
+        on the exception path — an active trace must never leak past the step
+        that started it (a later start_trace would raise)."""
+        if not getattr(self, "_trace_dir", None):
+            return
+        try:
+            if total is not None:
+                jax.block_until_ready(total)  # flush async dispatches
+            jax.profiler.stop_trace()
+            LOGGER.info(f"jax.profiler trace written to {self._trace_dir} "
+                        "(load with tensorboard --logdir)")
+        except Exception as e:  # noqa: BLE001 — tracing is best-effort
+            LOGGER.warning(f"stop_trace failed: {e}")
+        self._trace_dir = None
+
     # ------------------------------------------------------------------ train
     def train(self):
         self._setup_train()
@@ -495,20 +511,23 @@ class BaseTrainer(HasCallbacks):
                     batch = self._multi_scale(batch, i)
                 # profile=trace (SURVEY §5.1: the reference's torch-profiler
                 # hooks map to jax.profiler): capture steps 1-3 of epoch 0
-                # (post-compile) into a tensorboard/xprof-loadable trace dir.
+                # (post-compile; step 0 when the epoch has a single batch)
+                # into a tensorboard/xprof-loadable trace dir.
                 if str(getattr(args, "profile", False)).lower() == "trace" \
-                        and epoch == 0 and i == 1:
+                        and epoch == 0 and not getattr(self, "_trace_done", False) \
+                        and (i == 1 or len(self.train_loader) <= 1):
                     self._trace_dir = str(self.save_dir / "trace")
+                    self._trace_done = True  # one capture per run
                     jax.profiler.start_trace(self._trace_dir)
-                batch = shard_batch(self.mesh, batch)
-                self.state, total, items = self._train_step(self.state, batch,
-                                                            self._mosaic_on)
-                if getattr(self, "_trace_dir", None) and epoch == 0 and i == 3:
-                    jax.block_until_ready(total)  # flush async dispatches
-                    jax.profiler.stop_trace()
-                    LOGGER.info(f"jax.profiler trace written to {self._trace_dir} "
-                                "(load with tensorboard --logdir)")
-                    self._trace_dir = None
+                try:
+                    batch = shard_batch(self.mesh, batch)
+                    self.state, total, items = self._train_step(
+                        self.state, batch, self._mosaic_on)
+                except BaseException:
+                    self._stop_trace(total=None)  # never leak an active trace
+                    raise
+                if getattr(self, "_trace_dir", None) and i >= 3:
+                    self._stop_trace(total)
                 # accumulate the loss items ON DEVICE (async dispatch) — a
                 # per-step np.asarray would block the host on the device fetch
                 # and stall dispatch of step i+1 by one tunnel round-trip
@@ -517,10 +536,7 @@ class BaseTrainer(HasCallbacks):
                 n_seen += 1
                 self.run_callbacks("on_train_batch_end")
             if getattr(self, "_trace_dir", None):  # <4-batch epoch: close out
-                jax.block_until_ready(total)
-                jax.profiler.stop_trace()
-                LOGGER.info(f"jax.profiler trace written to {self._trace_dir}")
-                self._trace_dir = None
+                self._stop_trace(total)
             mloss = np.asarray(mloss) / max(n_seen, 1) if mloss is not None else None
             # schedules live on the optimizer-update timeline (see build_optimizer)
             step_now = int(self.state.step) // max(self.accumulate, 1)

@@ -142,38 +142,7 @@ class BaseValidator:
             else:
                 dets, self._protos = np.asarray(out), None
             n_eff = img.shape[0] - npad  # trailing pad rows are duplicate samples
-            if getattr(args, "save_txt", False):
-                # per-image YOLO-format label files in NATIVE normalized xywh
-                # (+conf) — reference BaseValidator save_txt/save_one_txt
-                # (validator.py:98, detect/val.py:166-279)
-                from pathlib import Path as _P
-                lbl_dir = _P(getattr(args, "save_dir", None) or ".") / "labels"
-                lbl_dir.mkdir(parents=True, exist_ok=True)
-                h, w = img.shape[1:3]
-                for bi in range(n_eff):
-                    d = dets[bi]
-                    d = d[d[:, 4] > 0]
-                    if "im_file" in batch:
-                        stem = _P(str(batch["im_file"][bi])).stem
-                        rt, padx, pady = (float(v) for v in batch["ratio_pad"][bi])
-                        oh, ow = (float(v) for v in batch["ori_shape"][bi])
-                    else:
-                        stem = f"image{n_img + bi}"
-                        rt, padx, pady, oh, ow = 1.0, 0.0, 0.0, float(h), float(w)
-                    lines = []
-                    for row in d:
-                        x1 = min(max((float(row[0]) - padx) / rt, 0.0), ow)
-                        x2 = min(max((float(row[2]) - padx) / rt, 0.0), ow)
-                        y1 = min(max((float(row[1]) - pady) / rt, 0.0), oh)
-                        y2 = min(max((float(row[3]) - pady) / rt, 0.0), oh)
-                        cx, cy = (x1 + x2) / 2 / ow, (y1 + y2) / 2 / oh
-                        bw, bh = (x2 - x1) / ow, (y2 - y1) / oh
-                        conf_s = f" {float(row[4]):.6f}" if getattr(
-                            args, "save_conf", False) else ""
-                        lines.append(f"{int(row[5])} {cx:.6f} {cy:.6f} "
-                                     f"{bw:.6f} {bh:.6f}{conf_s}")
-                    (lbl_dir / f"{stem}.txt").write_text(
-                        "\n".join(lines) + ("\n" if lines else ""))
+            self._save_txt_batch(batch, dets, n_eff, n_img)
             if args.save_json:
                 h, w = img.shape[1:3]
                 scale = np.array([w, h, w, h], np.float32)
@@ -184,14 +153,12 @@ class BaseValidator:
                     # from the real file stem — scoreable against an external
                     # instances_*.json. Datasets without file metadata
                     # (synthetic) fall back to letterbox space + sequential ids.
+                    stem, rt, padx, pady, oh, ow = self._native_params(
+                        batch, bi, h, w, n_img)
                     if "im_file" in batch:
-                        from pathlib import Path as _P
-                        stem = _P(str(batch["im_file"][bi])).stem
                         image_id = int(stem) if stem.isnumeric() else stem
-                        rt, padx, pady = (float(v) for v in batch["ratio_pad"][bi])
-                        oh, ow = (float(v) for v in batch["ori_shape"][bi])
                     else:
-                        image_id, rt, padx, pady, oh, ow = n_img + bi, 1.0, 0.0, 0.0, h, w
+                        image_id = n_img + bi
 
                     def to_native(x1, y1, x2, y2):
                         x1, y1, x2, y2 = float(x1), float(y1), float(x2), float(y2)
@@ -220,26 +187,7 @@ class BaseValidator:
                                               cx + bw / 2, cy + bh / 2),
                         })
             if args.plots and n_img == 0:
-                # first-batch GT + prediction overlay mosaics (reference
-                # BaseValidator plot_val_samples/plot_predictions)
-                try:
-                    from pathlib import Path as _P
-
-                    from sar_yolo_tpu.utils.plotting import plot_images, plot_predictions
-                    save_dir = _P(getattr(args, "save_dir", None) or ".")
-                    save_dir.mkdir(parents=True, exist_ok=True)
-                    nb = {k: np.asarray(v) for k, v in batch.items()
-                          if k in ("img", "bboxes", "mask", "cls", "masks",
-                                   "keypoints")}
-                    plot_images(nb, save_dir / "val_batch0_labels.jpg",
-                                names=self.data.get("names"))
-                    plot_predictions(np.asarray(batch["img"]), list(dets[:n_eff]),
-                                     save_dir / "val_batch0_pred.jpg",
-                                     names=self.data.get("names"),
-                                     conf=max(conf, 0.25),
-                                     **self._plot_pred_extras(batch, dets, n_eff))
-                except Exception as e:  # noqa: BLE001 — plots never fail a val run
-                    LOGGER.warning(f"val batch plotting failed: {e}")
+                self._plot_first_batch(batch, dets, n_eff, conf)
             self.update_metrics(dets[:n_eff], _trim_batch(batch, n_eff), img.shape[1:3])
             n_img += n_eff
         results = self.finalize_metrics()
@@ -304,6 +252,83 @@ class BaseValidator:
     def _plot_pred_extras(self, batch, dets, n_eff) -> dict:
         """Task-specific plot_predictions kwargs (masks / kpts overlays)."""
         return {}
+
+    def _native_params(self, batch, bi, h, w, n_img):
+        """(stem, ratio, padx, pady, ori_h, ori_w) for un-letterboxing one
+        image — shared by save_txt and save_json (single source for the
+        de-padding math)."""
+        from pathlib import Path as _P
+        if "im_file" in batch:
+            stem = _P(str(batch["im_file"][bi])).stem
+            rt, padx, pady = (float(v) for v in batch["ratio_pad"][bi])
+            oh, ow = (float(v) for v in batch["ori_shape"][bi])
+            return stem, rt, padx, pady, oh, ow
+        return f"image{n_img + bi}", 1.0, 0.0, 0.0, float(h), float(w)
+
+    def _save_txt_batch(self, batch, dets, n_eff, n_img, rotated=False):
+        """Per-image YOLO-format label files in NATIVE normalized coords
+        (+conf with save_conf) — reference BaseValidator save_txt /
+        save_one_txt (validator.py:98, detect/val.py:166-279). `dets` is a
+        (B, N, C) array or list of per-image (n, C) arrays; rotated rows are
+        [cx cy w h r conf cls] (OBB), else [x1 y1 x2 y2 conf cls...]."""
+        args = self.args
+        if not getattr(args, "save_txt", False):
+            return
+        from pathlib import Path as _P
+        lbl_dir = _P(getattr(args, "save_dir", None) or ".") / "labels"
+        lbl_dir.mkdir(parents=True, exist_ok=True)
+        h, w = np.asarray(batch["img"]).shape[1:3]
+        conf_c, cls_c = (5, 6) if rotated else (4, 5)
+        save_conf = getattr(args, "save_conf", False)
+        for bi in range(n_eff):
+            d = np.asarray(dets[bi])
+            d = d[d[:, conf_c] > 0]
+            stem, rt, padx, pady, oh, ow = self._native_params(batch, bi, h, w, n_img)
+            lines = []
+            for row in d:
+                conf_s = f" {float(row[conf_c]):.6f}" if save_conf else ""
+                if rotated:
+                    # native normalized cxcywh + radians (reference OBB
+                    # save_one_txt xywhr rows)
+                    cx = min(max((float(row[0]) - padx) / rt, 0.0), ow)
+                    cy = min(max((float(row[1]) - pady) / rt, 0.0), oh)
+                    bw, bh = float(row[2]) / rt, float(row[3]) / rt
+                    lines.append(f"{int(row[cls_c])} {cx / ow:.6f} {cy / oh:.6f} "
+                                 f"{bw / ow:.6f} {bh / oh:.6f} {float(row[4]):.6f}"
+                                 f"{conf_s}")
+                else:
+                    x1 = min(max((float(row[0]) - padx) / rt, 0.0), ow)
+                    x2 = min(max((float(row[2]) - padx) / rt, 0.0), ow)
+                    y1 = min(max((float(row[1]) - pady) / rt, 0.0), oh)
+                    y2 = min(max((float(row[3]) - pady) / rt, 0.0), oh)
+                    lines.append(f"{int(row[cls_c])} {(x1 + x2) / 2 / ow:.6f} "
+                                 f"{(y1 + y2) / 2 / oh:.6f} {(x2 - x1) / ow:.6f} "
+                                 f"{(y2 - y1) / oh:.6f}{conf_s}")
+            (lbl_dir / f"{stem}.txt").write_text(
+                "\n".join(lines) + ("\n" if lines else ""))
+
+    def _plot_first_batch(self, batch, dets, n_eff, conf, rotated=False):
+        """First-batch GT + prediction overlay mosaics (reference
+        BaseValidator plot_val_samples/plot_predictions); shared by the base
+        loop and OBBValidator's own loop."""
+        try:
+            from pathlib import Path as _P
+
+            from sar_yolo_tpu.utils.plotting import plot_images, plot_predictions
+            save_dir = _P(getattr(self.args, "save_dir", None) or ".")
+            save_dir.mkdir(parents=True, exist_ok=True)
+            nb = {k: np.asarray(v) for k, v in batch.items()
+                  if k in ("img", "bboxes", "mask", "cls", "masks", "keypoints")}
+            plot_images(nb, save_dir / "val_batch0_labels.jpg",
+                        names=self.data.get("names"))
+            plot_predictions(np.asarray(batch["img"]), list(dets[:n_eff]),
+                             save_dir / "val_batch0_pred.jpg",
+                             names=self.data.get("names"),
+                             conf=max(conf, 0.25), rotated=rotated,
+                             **({} if rotated else
+                                self._plot_pred_extras(batch, dets, n_eff)))
+        except Exception as e:  # noqa: BLE001 — plots never fail a val run
+            LOGGER.warning(f"val batch plotting failed: {e}")
 
     def finalize_metrics(self) -> dict:
         return self.det_metrics.process()
@@ -720,25 +745,10 @@ class OBBValidator(BaseValidator):
             dets = np.asarray(predict(variables, img))
             h, w = img.shape[1:3]
             if args.plots and n_img == 0:
-                # rotated-box GT + prediction mosaics (reference OBB val plots)
-                try:
-                    from pathlib import Path as _P
-
-                    from sar_yolo_tpu.utils.plotting import (plot_images,
-                                                             plot_predictions)
-                    save_dir = _P(getattr(args, "save_dir", None) or ".")
-                    save_dir.mkdir(parents=True, exist_ok=True)
-                    nb = {k: np.asarray(v) for k, v in batch.items()
-                          if k in ("img", "bboxes", "mask", "cls")}
-                    plot_images(nb, save_dir / "val_batch0_labels.jpg",
-                                names=self.data.get("names"))
-                    plot_predictions(np.asarray(batch["img"]),
-                                     list(dets[:dets.shape[0] - npad]),
-                                     save_dir / "val_batch0_pred.jpg",
-                                     names=self.data.get("names"),
-                                     conf=max(conf, 0.25), rotated=True)
-                except Exception as e:  # noqa: BLE001 — plots never fail val
-                    LOGGER.warning(f"val batch plotting failed: {e}")
+                self._plot_first_batch(batch, dets, dets.shape[0] - npad, conf,
+                                       rotated=True)
+            self._save_txt_batch(batch, dets, dets.shape[0] - npad, n_img,
+                                 rotated=True)
             for bi in range(dets.shape[0] - npad):
                 d = dets[bi]
                 d = d[d[:, 5] > 0]  # conf col 5 for rotated rows
@@ -804,6 +814,7 @@ class RTDETRValidator(BaseValidator):
             boxes, scores = (np.asarray(o) for o in predict(variables, img))
             h, w = img.shape[1:3]
             B = img.shape[0]
+            batch_dets = []  # per-image rows for the shared save_txt helper
             for bi in range(B - npad):
                 s = scores[bi]
                 cls_conf = s.max(-1)
@@ -816,6 +827,7 @@ class RTDETRValidator(BaseValidator):
                     if keep.any() else np.zeros((0, 6), np.float32)
                 order = np.argsort(-d[:, 4])
                 d = d[order][: args.max_det]
+                batch_dets.append(d)
                 gt_mask = batch["mask"][bi] > 0
                 gt_cls = batch["cls"][bi][gt_mask]
                 gb = batch["bboxes"][bi][gt_mask] * np.array([w, h, w, h])
@@ -825,6 +837,8 @@ class RTDETRValidator(BaseValidator):
                 tp = match_predictions(d[:, :4], d[:, 5], gt_boxes, gt_cls)
                 self.det_metrics.update(tp, d[:, 4], d[:, 5], gt_cls)
                 n_img += 1
+            self._save_txt_batch(batch, batch_dets, len(batch_dets),
+                                 n_img - len(batch_dets))
         results = self.finalize_metrics()
         if n_img:
             results["speed/ms_per_image"] = (time.time() - t0) / n_img * 1000

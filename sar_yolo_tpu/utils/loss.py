@@ -146,7 +146,12 @@ def triplet_embedding_loss(embeds, tags, conf, valid, *, margin: float = 0.075,
     """
     K = embeds.shape[0]
     n_valid = valid.sum()
-    nt = jnp.minimum(n_total if n_total is not None else n_valid, n_valid)
+    # keep = min(floor(frac * n_fg_TOTAL), n_valid): the fraction is taken of
+    # the FULL fg count first (reference: int(0.5 * len(confidences))), THEN
+    # clamped to the candidates actually gathered — exact whenever
+    # floor(frac*n_fg) <= K. (Clamping n_total before the fraction would halve
+    # the kept set for K < n_fg <= 2K — round-5 review finding.)
+    nt = n_total if n_total is not None else n_valid
     keep = jnp.floor(conf_fraction * nt).astype(jnp.int32)
     keep = jnp.minimum(keep, n_valid)
     conf_m = jnp.where(valid, conf, -jnp.inf)

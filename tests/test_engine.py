@@ -204,11 +204,17 @@ def test_cli_special_modes(tmp_path, monkeypatch):
 @pytest.mark.slow
 def test_obb_train_and_predict(tmp_path, caplog):
     m = YOLO("tinyobb.yaml")
-    metrics = m.train(**_train_kwargs(tmp_path, epochs=1, plots=True))
+    metrics = m.train(**_train_kwargs(tmp_path, epochs=1, plots=True,
+                                      save_txt=True))
     assert all(np.isfinite(v) for v in metrics.values())
     # rotated-box val mosaics (OBBValidator's own plot block)
     assert (m.trainer.save_dir / "val_batch0_pred.jpg").exists()
     assert "val batch plotting failed" not in caplog.text
+    # rotated save_txt rows: cls cx cy w h r (reference OBB save_one_txt)
+    txts = list((m.trainer.save_dir / "labels").glob("*.txt"))
+    assert txts, "OBB val save_txt wrote no label files"
+    rows = [ln for t in txts for ln in t.read_text().splitlines()]
+    assert all(len(r.split()) == 6 for r in rows)
     img = np.full((64, 64, 3), 30, np.uint8)
     img[10:50, 20:40] = (220, 40, 40)
     res = m.predict(img, imgsz=64)

@@ -233,18 +233,26 @@ def test_triplet_embed_loss_matches_reference_semantics():
                   rng.integers(0, 3, 10).astype(np.int64),
                   rng.uniform(0.1, 0.9, 10).astype(np.float32)))
 
+    # K < n_fg <= 2K: the top-K gather truncates candidates but the gating
+    # fraction must still be taken of the FULL fg count (r5 review finding:
+    # clamping n_total before the fraction halved the kept set here)
+    cases.append((rng.normal(size=(100, 16)).astype(np.float32),
+                  rng.integers(0, 12, 100).astype(np.int64),
+                  rng.uniform(0.05, 0.99, 100).astype(np.float32)))
+
     for ci, (emb, tags, conf) in enumerate(cases):
         ref = float(ml.forward(torch.from_numpy(emb), torch.from_numpy(tags),
                                torch.from_numpy(conf)))
         n = len(emb)
-        # our fixed-shape call: pad to K, order by conf desc (as the top-K
-        # gather in jde_loss_components produces)
-        order = np.argsort(-conf)
-        pad = K - n
+        # our fixed-shape call: top-K by conf desc (as the top-K gather in
+        # jde_loss_components produces), padded to K, n_total = FULL count
+        order = np.argsort(-conf)[:K]
+        kcnt = len(order)
+        pad = K - kcnt
         e_p = np.concatenate([emb[order], np.zeros((pad, 16), np.float32)])
         t_p = np.concatenate([tags[order], np.full(pad, -1, np.int64)])
         c_p = np.concatenate([conf[order], np.zeros(pad, np.float32)])
-        v_p = np.concatenate([np.ones(n, bool), np.zeros(pad, bool)])
+        v_p = np.concatenate([np.ones(kcnt, bool), np.zeros(pad, bool)])
         ours = float(triplet_embedding_loss(
             jnp.asarray(e_p), jnp.asarray(t_p), jnp.asarray(c_p),
             jnp.asarray(v_p), n_total=jnp.asarray(n)))
