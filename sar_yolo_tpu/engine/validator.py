@@ -839,6 +839,8 @@ class RTDETRValidator(BaseValidator):
                 n_img += 1
             self._save_txt_batch(batch, batch_dets, len(batch_dets),
                                  n_img - len(batch_dets))
+            if args.plots and n_img - len(batch_dets) == 0:
+                self._plot_first_batch(batch, batch_dets, len(batch_dets), conf)
         results = self.finalize_metrics()
         if n_img:
             results["speed/ms_per_image"] = (time.time() - t0) / n_img * 1000
