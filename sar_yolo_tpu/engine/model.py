@@ -187,7 +187,17 @@ class YOLO:
                                   use_tags=use_tags, max_labels=args.max_labels,
                                   task=self.task,
                                   kpt_shape=tuple(data.get("kpt_shape", (17, 3))))
-        self.metrics = validator(model=self.model, variables=self.variables, meta=self.meta,
+        # deploy-time fusion for the eval forward (reference val runs through
+        # AutoBackend fuse=True): BN fold measured 1.79x on the bf16 forward;
+        # exact to <1e-3 (tests/test_fuse.py), falls back unfused on failure
+        vmodel, vvars = self.model, self.variables
+        if not getattr(vmodel, "fused", False):
+            try:
+                from sar_yolo_tpu.nn.fuse import fuse as _fuse
+                vmodel, vvars = _fuse(vmodel, vvars)
+            except Exception:  # unexpected param structure: eval unfused
+                vmodel, vvars = self.model, self.variables
+        self.metrics = validator(model=vmodel, variables=vvars, meta=self.meta,
                                  dataset=dataset, args=args, data=data)
         return self.metrics
 
