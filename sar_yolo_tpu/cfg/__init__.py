@@ -47,7 +47,7 @@ CFG_BOOL_KEYS = {"save", "exist_ok", "verbose", "deterministic", "single_cls", "
                  "show", "save_txt", "save_conf", "save_crop", "save_frames", "show_labels",
                  "show_conf", "visualize", "augment", "agnostic_nms", "retina_masks",
                  "show_boxes", "keras", "optimize", "int8", "dynamic", "simplify", "nms",
-                 "profile", "multi_scale", "stream_buffer", "use_state_cb"}
+                 "profile", "multi_scale", "stream_buffer", "use_state_cb", "remat"}
 
 
 def cfg2dict(cfg) -> dict:

@@ -322,6 +322,14 @@ class BaseTrainer(HasCallbacks):
         dtype = jnp.bfloat16 if (args.half or args.amp) and jax.default_backend() == "tpu" else jnp.float32
         self.model, self.meta = build_model(args.model, nc=nc, dtype=dtype,
                                             dropout=float(args.dropout or 0.0))
+        if getattr(args, "remat", False):
+            # activation checkpointing: per-block rematerialization in the
+            # backward (jax.checkpoint via nn.remat) — HBM for FLOPs, enabling
+            # larger batch/imgsz/scale on a chip (nn/tasks.py GraphModel.remat)
+            import dataclasses
+            self.model = dataclasses.replace(self.model, remat=True)
+            LOGGER.info("remat=True: per-block activation checkpointing "
+                        "(larger batches at ~1/3 extra backward FLOPs)")
         rng = jax.random.PRNGKey(args.seed)
         variables = init_model(self.model, self.meta, rng, imgsz=args.imgsz)
         if dtype == jnp.bfloat16:

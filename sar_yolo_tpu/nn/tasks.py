@@ -426,6 +426,7 @@ class GraphModel(nn.Module):
     act: str = "silu"
     fused: bool = False
     quant: str = ""       # "int8": fused Convs run int8 MXU convolutions (serving)
+    remat: bool = False   # train-time activation checkpointing per block
     dropout: float = 0.0  # classify-head dropout (reference ClassificationModel arg)
     txt_nc: int = 0       # world vocabulary row count override (0 -> nc); lets
                           # set_classes change the text rows without touching
@@ -479,6 +480,14 @@ class GraphModel(nn.Module):
                 out = inp  # text side-channel update; x passes through (ref :681)
             elif spec.name == "WorldDetect":
                 out = blk(inp, train=train, txt=txt0)
+            elif self.remat and train and spec is not last:
+                # activation checkpointing (remat=True): per-block
+                # rematerialization trades ~1/3 extra fwd FLOPs in the
+                # backward for O(depth) -> O(1) stored activations per block —
+                # the standard jax.checkpoint HBM lever for larger models /
+                # batches on TPU. The head stays un-remat'ed (its outputs feed
+                # the loss directly).
+                out = nn.remat(lambda m, xi: m(xi, train=True))(blk, inp)
             else:
                 out = blk(inp, train=train)
             if spec.i in self.save:

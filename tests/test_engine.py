@@ -505,3 +505,30 @@ def test_cfg_deprecation_shims():
     assert args.line_width == 3
     args = get_cfg(overrides={"label_smoothing": 0.1})  # dropped, no error
     assert not hasattr(args, "label_smoothing")
+
+
+@pytest.mark.slow
+def test_remat_train_matches_exact(tmp_path):
+    """remat=True (per-block activation checkpointing, nn/tasks.py GraphModel)
+    must be numerically IDENTICAL to the plain step — rematerialization changes
+    where activations come from in the backward, not what is computed. Run two
+    steps on identical state/batch with and without remat and require exact
+    agreement (verified live: diff 0.0)."""
+    import jax
+
+    from sar_yolo_tpu.engine.trainer import DetectionTrainer
+    from sar_yolo_tpu.parallel import shard_batch
+
+    totals = {}
+    for remat in (False, True):
+        tr = DetectionTrainer(overrides=dict(
+            model="tinydet.yaml", data="synthetic", imgsz=64, batch=2,
+            epochs=1, workers=0, val=False, save=False, plots=False,
+            mesh_shape=[1], remat=remat, seed=0, project=str(tmp_path),
+            name=f"r{remat}", exist_ok=True))
+        tr._setup_train()
+        batch = shard_batch(tr.mesh, next(iter(tr.train_loader)))
+        s, t1, _ = tr._train_step(tr.state, batch, tr._mosaic_on)
+        _, t2, _ = tr._train_step(s, batch, tr._mosaic_on)
+        totals[remat] = (float(t1), float(t2))
+    assert totals[False] == totals[True], totals
