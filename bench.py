@@ -307,9 +307,10 @@ def main():
                                n_iter=20 if on_tpu else 2)),
         # SAR regime: P2-headed JDE at 1280px (ultra-small persons — the
         # fork's raison d'etre; VERDICT r4 item 4)
-        # B=4: measured-optimal at 1280 (uncontended sweep: 64.4@4 > 56.9@8 >
-        # 58.7@16 — the P2-resolution 320x320 maps are HBM-hungry, so small
-        # batch wins at high res; A/B in tools/p24_flash_ab.py)
+        # B=4: measured-optimal at 1280 (sweep: 64.4@4, 56.9@8, 58.7@16 —
+        # B=4 clearly wins; the 8-vs-16 gap is inside the ±4% tunnel noise.
+        # The P2-resolution 320x320 maps are HBM-hungry, so small batch wins
+        # at high res; A/B in tools/p24_flash_ab.py)
         ("e2e_yolov13njde_p2_1280_imgs_per_sec",
          lambda: bench_jde_e2e(B=4 if on_tpu else 1, imgsz=1280,
                                n_iter=15 if on_tpu else 1,

@@ -190,16 +190,27 @@ class YOLO:
         # deploy-time fusion for the eval forward (reference val runs through
         # AutoBackend fuse=True): BN fold measured 1.79x on the bf16 forward;
         # exact to <1e-3 (tests/test_fuse.py), falls back unfused on failure
-        vmodel, vvars = self.model, self.variables
-        if not getattr(vmodel, "fused", False):
-            try:
-                from sar_yolo_tpu.nn.fuse import fuse as _fuse
-                vmodel, vvars = _fuse(vmodel, vvars)
-            except Exception:  # unexpected param structure: eval unfused
-                vmodel, vvars = self.model, self.variables
+        vmodel, vvars = self._fused_for_serving()
         self.metrics = validator(model=vmodel, variables=vvars, meta=self.meta,
                                  dataset=dataset, args=args, data=data)
         return self.metrics
+
+    def _fused_for_serving(self):
+        """(model, variables) with BN/Rep folded for serving/eval — cached per
+        variables object so repeated val()/predict() calls don't re-fold;
+        falls back unfused on an unexpected param structure."""
+        cached = getattr(self, "_fused_cache", None)
+        if cached is not None and cached[0] is self.variables:
+            return cached[1], cached[2]
+        model, variables = self.model, self.variables
+        if not getattr(model, "fused", False):
+            try:
+                from sar_yolo_tpu.nn.fuse import fuse as _fuse
+                model, variables = _fuse(model, variables)
+            except Exception:  # unexpected param structure: serve unfused
+                model, variables = self.model, self.variables
+        self._fused_cache = (self.variables, model, variables)
+        return model, variables
 
     def _get_predictor(self, kwargs: dict):
         """Build (or reuse) the jitted predictor. Reuse keeps XLA executables
@@ -242,13 +253,7 @@ class YOLO:
         names = self.meta.get("names") or {i: f"c{i}" for i in range(self.meta["nc"])}
         # deploy-time fusion (≙ reference AutoBackend fuse=True at predict,
         # nn/autobackend.py:159): BN folded into convs, Rep branches merged
-        model, variables = self.model, self.variables
-        if not getattr(model, "fused", False):  # an explicit .fuse() already folded
-            try:
-                from sar_yolo_tpu.nn.fuse import fuse as _fuse
-                model, variables = _fuse(model, variables)
-            except Exception:  # unexpected param structure: serve unfused
-                model, variables = self.model, self.variables
+        model, variables = self._fused_for_serving()
         if getattr(args, "half", False):
             # bf16 serving (≙ reference half=True fp16): fold happens at f32
             # above, then weights+compute drop to bf16 — ~2x on the TPU forward

@@ -471,22 +471,25 @@ class GraphModel(nn.Module):
                 inp = saved[f]
             else:
                 inp = [out if j == -1 else saved[j] for j in f]
+            # activation checkpointing (remat=True): per-block
+            # rematerialization trades ~1/3 extra fwd FLOPs in the backward
+            # for O(depth) -> O(1) stored activations per block — the
+            # standard jax.checkpoint HBM lever for larger models / batches
+            # on TPU. The head stays un-remat'ed (its outputs feed the loss
+            # directly). Covers the text-guided World blocks too.
+            ckpt = self.remat and train and spec is not last
             if spec is last and spec.name == "RTDETRDecoder" and batch_gt is not None:
                 out = blk(inp, train=train, batch_gt=batch_gt)  # denoising queries
             elif spec.name == "C2fAttn":
-                out = blk(inp, txt, train=train)
+                out = (nn.remat(lambda m, xi, tt: m(xi, tt, train=True))(blk, inp, txt)
+                       if ckpt else blk(inp, txt, train=train))
             elif spec.name == "ImagePoolingAttn":
-                txt = blk(inp, txt, train=train)
+                txt = (nn.remat(lambda m, xi, tt: m(xi, tt, train=True))(blk, inp, txt)
+                       if ckpt else blk(inp, txt, train=train))
                 out = inp  # text side-channel update; x passes through (ref :681)
             elif spec.name == "WorldDetect":
                 out = blk(inp, train=train, txt=txt0)
-            elif self.remat and train and spec is not last:
-                # activation checkpointing (remat=True): per-block
-                # rematerialization trades ~1/3 extra fwd FLOPs in the
-                # backward for O(depth) -> O(1) stored activations per block —
-                # the standard jax.checkpoint HBM lever for larger models /
-                # batches on TPU. The head stays un-remat'ed (its outputs feed
-                # the loss directly).
+            elif ckpt:
                 out = nn.remat(lambda m, xi: m(xi, train=True))(blk, inp)
             else:
                 out = blk(inp, train=train)

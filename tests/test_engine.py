@@ -531,4 +531,8 @@ def test_remat_train_matches_exact(tmp_path):
         s, t1, _ = tr._train_step(tr.state, batch, tr._mosaic_on)
         _, t2, _ = tr._train_step(s, batch, tr._mosaic_on)
         totals[remat] = (float(t1), float(t2))
-    assert totals[False] == totals[True], totals
+    # tight allclose, not bitwise: the two programs compile differently
+    # (remat uses prevent_cse) and XLA does not guarantee bit-identical
+    # reassociation across versions/backends — measured diff on this CPU
+    # build is exactly 0.0
+    np.testing.assert_allclose(totals[False], totals[True], rtol=1e-6)
